@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + count via a cheap
+aggregation action that forces full materialization without collecting
+rows to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from recsys_spark_spark.plans.registry import QUERIES, _load_all
+from recsys_spark_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark(app_name="recsys-spark-bench")
+    _load_all()
+    bench = {n: s for n, s in QUERIES.items() if s.bench}
+
+    # warm the JVM + parquet footers once with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(bench.items()):
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        # force full execution; count() alone can skip projections, so
+        # aggregate a hash of every column (bit_xor cannot overflow)
+        df.selectExpr("bit_xor(xxhash64(*)) AS h").collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

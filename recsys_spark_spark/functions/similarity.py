@@ -1,0 +1,200 @@
+"""Similarity kernels as distributed co-rated self-join aggregations.
+
+The reference computes similarity between two FULL dense vectors (zeros
+at unrated positions) with driver-side loops
+(reference similarity/CosineSimilarity.scala:24-33,
+PearsonSimilarity.scala:24-37, EuclideanSimilarity.scala:24-28,
+JaccardSimilarity.scala:22-29).  Here the rating matrix never exists:
+for users a, b with long-format ratings, every full-vector kernel
+reduces to three per-user scalars plus the co-rated dot product —
+
+    dot     = Σ_{i co-rated} a_i·b_i          (zeros kill other terms)
+    sum_a   = Σ a_i,  sumsq_a = Σ a_i²        (per-user aggregates)
+
+    cosine   = dot / (√sumsq_a · √sumsq_b)
+    pearson  = (dot − sum_a·sum_b/N) /
+               (√(sumsq_a − sum_a²/N) · √(sumsq_b − sum_b²/N))
+               — N = total item count: the reference's (quirky) means
+               over the FULL array incl. zeros (PearsonSimilarity:24-37)
+    euclid   = 1 / (√(sumsq_a + sumsq_b − 2·dot) + 1)
+               (the +1 guard, EuclideanSimilarity.scala:25)
+    jaccard  = co / (n_a + n_b − co)  over the rated-item sets
+               (set form of the binary kernel, JaccardSimilarity:22-29)
+
+Documented divergence: the reference's all-pairs driver loop also
+scores pairs with NO co-rated item (cosine/pearson → 0, euclidean → a
+small positive value).  A distributed engine must not enumerate O(n²)
+pairs at 100 TB, so pairs sharing zero items are omitted here.  For
+cosine/pearson/jaccard this is exact (their similarity is 0 ⇒ never
+selected as neighbors before any co-rated pair); for euclidean it drops
+degenerate neighbors that carry no signal.
+
+Scale: the self-join explodes per-item rater lists — O(Σ_item n_i²)
+pair rows.  ``max_raters_per_item`` caps pathological hot items
+(a standard frequent-item cutoff for neighborhood CF); above that, use
+MinHashLSH / BucketedRandomProjectionLSH (operators/knn.py) instead of
+the exact join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+KERNELS = ("cosine", "pearson", "euclidean", "jaccard")
+
+
+def with_kernel_column(
+    df: DataFrame,
+    kernel: str,
+    n_cols_expr: Column,
+) -> DataFrame:
+    """Attach a ``sim`` column to a pair-stats DataFrame.
+
+    ``df`` must carry: dot, co, sum_a, sumsq_a, n_a, sum_b, sumsq_b, n_b.
+    ``n_cols_expr`` is the full vector length N (total distinct items /
+    users), needed only by the Pearson full-array-mean quirk.
+    """
+    if kernel == "cosine":
+        sim = F.col("dot") / (F.sqrt("sumsq_a") * F.sqrt("sumsq_b"))
+    elif kernel == "pearson":
+        num = F.col("dot") - F.col("sum_a") * F.col("sum_b") / n_cols_expr
+        den_a = F.sqrt(F.col("sumsq_a") - F.pow("sum_a", 2) / n_cols_expr)
+        den_b = F.sqrt(F.col("sumsq_b") - F.pow("sum_b", 2) / n_cols_expr)
+        sim = num / (den_a * den_b)
+    elif kernel == "euclidean":
+        sq_dist = F.col("sumsq_a") + F.col("sumsq_b") - 2 * F.col("dot")
+        # guard tiny negative fp residue before sqrt
+        sim = 1.0 / (F.sqrt(F.greatest(sq_dist, F.lit(0.0))) + 1.0)
+    elif kernel == "jaccard":
+        sim = F.col("co") / (F.col("n_a") + F.col("n_b") - F.col("co"))
+    else:
+        raise ValueError(f"unknown kernel {kernel!r}; one of {KERNELS}")
+    return df.withColumn("sim", sim)
+
+
+def pairwise_similarity(
+    ratings: DataFrame,
+    kernel: str = "cosine",
+    axis: str = "user",
+    n_cols: int | None = None,
+    directed: bool = True,
+    max_raters_per_item: int | None = None,
+    with_co: bool = False,
+) -> DataFrame:
+    """All co-rated pairs with their similarity, fully distributed.
+
+    Parameters
+    ----------
+    ratings : long-format ``(user_id, item_id, rating)``
+    axis : ``"user"`` → pairs of users over shared items (returns
+        ``(user_a, user_b, sim)``); ``"item"`` → pairs of items over
+        shared users (returns ``(item_a, item_b, sim)``).
+    n_cols : full vector length for the Pearson quirk; default =
+        countDistinct of the opposite axis (computed lazily as a scalar
+        subquery-style cross join of a 1-row aggregate — no collect).
+    directed : emit both (a,b) and (b,a) (needed for per-entity k-NN
+        windows); pair stats are computed once on a<b and mirrored.
+    max_raters_per_item : drop join keys hotter than this before the
+        self-join (skew guard for the quadratic blowup).
+    """
+    if axis == "user":
+        ent, key = "user_id", "item_id"
+    elif axis == "item":
+        ent, key = "item_id", "user_id"
+    else:
+        raise ValueError(f"axis must be 'user' or 'item', got {axis!r}")
+
+    r = ratings.select(
+        F.col(ent).alias("ent"), F.col(key).alias("key"), F.col("rating").alias("r")
+    )
+
+    if max_raters_per_item is not None:
+        key_counts = r.groupBy("key").agg(F.count("*").alias("_kn"))
+        r = (
+            r.join(key_counts, "key")
+            .where(F.col("_kn") <= max_raters_per_item)
+            .drop("_kn")
+        )
+
+    # per-entity scalar stats — one shuffle on ent, reused on both sides
+    stats = r.groupBy("ent").agg(
+        F.sum("r").alias("sum_r"),
+        F.sum(F.col("r") * F.col("r")).alias("sumsq_r"),
+        F.count("*").alias("n_r"),
+    )
+
+    # co-rated pair aggregation: self-join on the shared key, a<b once
+    a = r.select(F.col("key"), F.col("ent").alias("ea"), F.col("r").alias("ra"))
+    b = r.select(F.col("key"), F.col("ent").alias("eb"), F.col("r").alias("rb"))
+    pairs = (
+        a.join(b, "key")
+        .where(F.col("ea") < F.col("eb"))
+        .groupBy("ea", "eb")
+        .agg(
+            F.sum(F.col("ra") * F.col("rb")).alias("dot"),
+            F.count("*").alias("co"),
+        )
+    )
+
+    sa = stats.select(
+        F.col("ent").alias("ea"),
+        F.col("sum_r").alias("sum_a"),
+        F.col("sumsq_r").alias("sumsq_a"),
+        F.col("n_r").alias("n_a"),
+    )
+    sb = stats.select(
+        F.col("ent").alias("eb"),
+        F.col("sum_r").alias("sum_b"),
+        F.col("sumsq_r").alias("sumsq_b"),
+        F.col("n_r").alias("n_b"),
+    )
+    enriched = pairs.join(sa, "ea").join(sb, "eb")
+
+    if n_cols is not None:
+        n_expr = F.lit(float(n_cols))
+    else:
+        n_df = ratings.select(
+            F.countDistinct(key).cast("double").alias("_n_cols")
+        )
+        enriched = enriched.crossJoin(F.broadcast(n_df))
+        n_expr = F.col("_n_cols")
+
+    extra = ["co"] if with_co else []
+    sims = with_kernel_column(enriched, kernel, n_expr).select("ea", "eb", "sim", *extra)
+
+    if directed:
+        sims = sims.unionByName(
+            sims.select(
+                F.col("eb").alias("ea"), F.col("ea").alias("eb"), "sim", *extra
+            )
+        )
+
+    out_a, out_b = (f"{axis}_a", f"{axis}_b")
+    return sims.select(
+        F.col("ea").alias(out_a), F.col("eb").alias(out_b), "sim", *extra
+    )
+
+
+def top_k_neighbors(
+    sims: DataFrame,
+    k: int,
+    round_to: int | None = 9,
+) -> DataFrame:
+    """Keep each entity's k most-similar neighbors.
+
+    Ties break by ascending neighbor id — the reference's stable
+    sort-by-score leaves ties in candidate iteration order, i.e.
+    ascending id (SURVEY §2.6).  ``round_to`` rounds the similarity
+    before ranking so rank order is robust to last-ulp float noise
+    (important when results are hash-compared against another engine).
+    """
+    a, b = sims.columns[0], sims.columns[1]
+    sim = F.round("sim", round_to) if round_to is not None else F.col("sim")
+    ranked = sims.withColumn("_s", sim).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(a).orderBy(F.desc("_s"), F.asc(b))
+        ),
+    )
+    return ranked.where(F.col("rn") <= k).drop("rn", "_s")

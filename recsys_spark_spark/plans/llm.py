@@ -1,0 +1,247 @@
+"""LLM-training-data pipeline operators (SURVEY §2.12, BASELINE north star).
+
+Exact dedup, normalization dedup, text statistics, token frequency, and
+brute-force embedding similarity search — each with a DuckDB oracle.
+The approximate/scale variants (MinHashLSH banding, SimHash, IVF) live
+in operators/dedup.py and operators/knn.py and are property-tested
+rather than oracle-hashed (they are approximate by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import table
+from .registry import register
+
+R6 = 6
+KNN_QUERIES = 20  # vec_id < 20 are the query vectors
+KNN_K = 5
+
+
+# --- exact dedup (L1) ------------------------------------------------------
+@register(
+    "dedup_exact_docs",
+    oracle="""
+SELECT md5(text) AS text_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY md5(text)
+HAVING count(*) > 1
+""",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content hash; keeper = min doc_id.
+    At 100 TB this is one hash-partitioned shuffle on a 32-char key —
+    the hash, not the document body, is what shuffles."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# --- normalization dedup (near-dup, deterministic form) --------------------
+@register(
+    "dedup_normalized_docs",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS norm_hash
+  FROM documents
+)
+SELECT norm_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM norm
+GROUP BY norm_hash
+HAVING count(*) > 1
+""",
+)
+def dedup_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup, deterministic flavor: canonicalize (lowercase, strip
+    punctuation, collapse whitespace) then hash — catches
+    formatting-only duplicates; the probabilistic flavors (MinHash,
+    SimHash) are in operators/dedup.py."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        d.groupBy(F.md5(norm.cast("binary")).alias("norm_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# --- text statistics (L4) --------------------------------------------------
+@register(
+    "doc_token_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS chars_per_token
+FROM documents
+""",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics — whitespace tokenizer, all
+    JVM-side column functions (no UDF)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
+            / F.size(toks),
+            R6,
+        ).alias("chars_per_token"),
+    )
+
+
+# --- corpus token frequency ------------------------------------------------
+@register(
+    "top_tokens",
+    oracle="""
+SELECT token, n, CAST(rk AS INTEGER) AS rank FROM (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rk
+  FROM (
+    SELECT token, count(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ) GROUP BY token
+  )
+) WHERE rk <= 20
+""",
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-20 (explode → count → rank).
+    The explode-shuffle is the scale hazard; partial aggregation keeps
+    the shuffle at distinct-token width, not corpus width."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("token", "n", "rank")
+    )
+
+
+# --- text quality / language stats by metadata -----------------------------
+@register(
+    "doc_stats_by_lang",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents
+GROUP BY lang
+""",
+)
+def doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition profile per language tag."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), R6).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " ")).cast("double")), R6).alias(
+            "avg_tokens"
+        ),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+
+
+# --- brute-force embedding cosine top-k (L3 baseline) ----------------------
+@register(
+    "embedding_knn_bruteforce",
+    bench=True,
+    oracle=f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY 1
+),
+dots AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS match_id, sum(q.v * b.v) AS dot
+  FROM flat q JOIN flat b ON q.pos = b.pos
+  WHERE q.vec_id < {KNN_QUERIES} AND b.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.query_id, d.match_id,
+         round(d.dot / (nq.nrm * nb.nrm), 7) AS sim
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.match_id
+)
+SELECT query_id, match_id, round(sim, 6) AS sim, CAST(rk AS INTEGER) AS rank
+FROM (
+  SELECT query_id, match_id, sim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, match_id ASC) AS rk
+  FROM sims
+) WHERE rk <= {KNN_K}
+""",
+)
+def embedding_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for a query set against the whole collection.
+
+    Dimension-exploded join + hash aggregation: the base table streams
+    once, queries broadcast.  This is the correctness baseline; the
+    LSH-bucketed scale path is operators/knn.py."""
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("pos", "v"),
+    ).select("vec_id", "pos", F.col("v").cast("double").alias("v"))
+    norms = flat.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+
+    q = flat.where(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("v").alias("qv")
+    )
+    dots = (
+        F.broadcast(q)
+        .join(flat.alias("b"), "pos")
+        .where(F.col("b.vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("b.vec_id").alias("match_id"))
+        .agg(F.sum(F.col("qv") * F.col("v")).alias("dot"))
+    )
+    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("nq"))
+    nb = norms.select(F.col("vec_id").alias("match_id"), F.col("nrm").alias("nb"))
+    sims = (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(nb, "match_id")
+        .select(
+            "query_id",
+            "match_id",
+            F.round(F.col("dot") / (F.col("nq") * F.col("nb")), 7).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("query_id", "match_id", F.round("sim", R6).alias("sim"), "rank")
+    )

@@ -1,0 +1,78 @@
+"""Named query registry: Spark plan + (optional) DuckDB oracle SQL.
+
+Every operator the engine claims (SURVEY.md §2) registers here as a
+named query; ``__spark_entry__.py`` re-exports the registry to the
+driver, which runs the Spark side and the oracle SQL side-by-side at
+sf=0.01 and hash-compares the results.
+
+Conventions that make cross-engine hashing stable:
+- every computed column is aliased identically in Spark and SQL;
+- float aggregates are rounded (6 dp) in BOTH engines before output,
+  and similarity/rank decisions round BEFORE ranking (9 dp) so that a
+  last-ulp difference cannot flip a top-k boundary;
+- integer-ish outputs are cast to the same width (Spark count() is
+  BIGINT; DuckDB SUM(int) would be HUGEINT → cast);
+- ties at any rank boundary break by an explicit id column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One named query: a Spark callable and an optional DuckDB oracle."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    #: include in bench.py headline timing
+    bench: bool = False
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, bench: bool = False):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, bench=bench)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def all_oracle_sql() -> dict[str, str]:
+    _load_all()
+    return {
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+    }
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return {name: spec.fn for name, spec in QUERIES.items() if spec.bench}
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every plans module for its registration side effects."""
+    global _LOADED
+    if _LOADED:
+        return
+    from . import llm, recsys, relational  # noqa: F401
+
+    _LOADED = True

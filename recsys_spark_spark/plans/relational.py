@@ -1,0 +1,469 @@
+"""Relational operator battery over the star schema (SURVEY §2.2-2.7).
+
+Each query exercises a family from the operator inventory — scans with
+pushdown, equality/range filters, inner/semi/anti joins, hash
+aggregation, rollup/pivot, SQL window functions, time bucketing,
+sessionization, JSON extraction, set ops — expressed declaratively so
+Catalyst plans them (broadcast-hash for dims, partial aggregation,
+filter pushdown to parquet).  Reference parity notes cite
+/root/reference files; most of these generalize reference driver-side
+loops into their relational form (SURVEY §2 "Spark mapping" column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import table
+from .registry import register
+
+R6 = 6  # float output rounding (both engines) for stable hashing
+
+
+# --- TPC-H-style aggregation: filters (P3) + group agg (A1/A10) ------------
+@register(
+    "q1_pricing_summary",
+    bench=True,
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6)                                        AS sum_qty,
+       round(sum(l_extendedprice), 6)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
+       round(avg(l_quantity), 6)                                        AS avg_qty,
+       round(avg(l_extendedprice), 6)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: range filter pushed to parquet + 8-agg group-by.
+
+    The scan should show PushedFilters on l_shipdate and a ReadSchema of
+    only the 7 referenced columns; Catalyst does map-side partial
+    aggregation — at 100 TB this is a single shuffle of ~6 groups.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), R6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), R6).alias("sum_base_price"),
+            F.round(F.sum(disc_price), R6).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), R6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), R6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), R6).alias("avg_price"),
+            F.round(F.avg("l_discount"), R6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- 3-table join + top-k (J1 + T3) ----------------------------------------
+@register(
+    "q3_top_revenue_orders",
+    bench=True,
+    oracle="""
+WITH rev AS (
+  SELECT l.l_orderkey,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+         o.o_orderdate
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '2000-01-01'
+    AND l.l_shipdate > TIMESTAMP '2000-01-01'
+  GROUP BY l.l_orderkey, o.o_orderdate
+)
+SELECT l_orderkey, revenue, o_orderdate
+FROM rev
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority style: selective dim filter, 3-way join, top-10.
+
+    customer is the small side → broadcast; revenue is rounded BEFORE
+    the global sort so the limit boundary is stable cross-engine.
+    """
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R6
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+# --- 6-table snowflake join (J1-J3) ----------------------------------------
+@register(
+    "q5_region_revenue",
+    bench=True,
+    oracle="""
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+GROUP BY n.n_name
+""",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue per nation: the join-ordering stress test.
+
+    All four dimension tables broadcast; only orders ⋈ lineitem is a
+    fact-fact shuffle join.  The reference *disables* broadcast joins
+    globally (Main.scala:340-342) — this query is the counter-argument.
+    """
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R6
+            ).alias("revenue")
+        )
+    )
+
+
+# --- SQL window functions: per-group top-k (T2/T3 relational form) ---------
+@register(
+    "top_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+""",
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the window-rank top-k primitive that
+    replaces every driver-side sortWith/take in the reference
+    (SURVEY §2.6 T2/T3)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# --- anti join (E1/J5) -----------------------------------------------------
+@register(
+    "customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the relational form of the reference's
+    'unrated items' driver scans (BaseRecommender.scala:64-71)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- semi join (J5) --------------------------------------------------------
+@register(
+    "building_customers_with_orders",
+    oracle="""
+SELECT c_custkey
+FROM customer c
+WHERE c.c_mktsegment = 'BUILDING'
+  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def building_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: the 'rated candidates' split (SURVEY J5)."""
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+# --- rollup (§2.4 extension) ----------------------------------------------
+@register(
+    "sales_rollup",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_rows,
+       round(sum(l_extendedprice), 6) AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP — free in Catalyst, absent in the
+    reference (SURVEY §2.4 'not present')."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), R6).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
+# --- pivot -----------------------------------------------------------------
+@register(
+    "order_priority_pivot",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS urgent,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS high,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS medium,
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS low
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never let pivot scan for
+    distinct values at 100 TB — pass them)."""
+    o = table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    return pivoted.select(
+        "o_orderstatus",
+        F.coalesce("1-URGENT", F.lit(0)).alias("urgent"),
+        F.coalesce("2-HIGH", F.lit(0)).alias("high"),
+        F.coalesce("3-MEDIUM", F.lit(0)).alias("medium"),
+        F.coalesce("4-NOT SPECIFIED", F.lit(0)).alias("not_specified"),
+        F.coalesce("5-LOW", F.lit(0)).alias("low"),
+    )
+
+
+# --- time bucketing (W1/W2) ------------------------------------------------
+@register(
+    "events_daily",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window over events — the reference's period
+    bucketing (SequentialTopKRecommender.scala:314-319) in its native
+    Spark form; identical code works under readStream."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), R6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("day_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- JSON extraction (L5) --------------------------------------------------
+@register(
+    "events_json_props",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the JSON props column (SURVEY L5)."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+# --- lag / event gaps (as-of building block) -------------------------------
+@register(
+    "events_prev_gap",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(date_diff('second',
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+            ts) AS BIGINT) AS gap_s
+FROM events
+""",
+)
+def events_prev_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seconds since the user's previous event — lag() window, the
+    building block for as-of joins and sessionization (SURVEY §2.3
+    'not present in reference')."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)).alias(
+            "gap_s"
+        ),
+    )
+
+
+# --- sessionization --------------------------------------------------------
+@register(
+    "events_sessions",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(is_new) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM gaps
+GROUP BY user_id
+""",
+)
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap): lag + flag + sum — the batch
+    twin of streaming session_window (streaming/windows.py)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col("ts").cast("long") - prev) > 1800), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_new").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# --- exact median / quantiles ---------------------------------------------
+@register(
+    "part_price_median_by_brand",
+    oracle="""
+SELECT p_brand,
+       round(quantile_cont(p_retailprice, 0.5), 6) AS median_price,
+       round(quantile_cont(p_retailprice, 0.9), 6) AS p90_price,
+       count(*) AS n_parts
+FROM part
+GROUP BY p_brand
+""",
+)
+def part_price_median_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group.  At 100 TB swap
+    percentile() for percentile_approx() — same plan shape, bounded
+    memory; the oracle pins the exact variant."""
+    p = table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.round(F.percentile("p_retailprice", F.lit(0.5)), R6).alias("median_price"),
+        F.round(F.percentile("p_retailprice", F.lit(0.9)), R6).alias("p90_price"),
+        F.count("*").alias("n_parts"),
+    )
+
+
+# --- set operations (E1-E5) ------------------------------------------------
+@register(
+    "order_customer_set_ops",
+    oracle="""
+SELECT 'with_orders_no_f' AS set_name, count(*) AS n FROM (
+  SELECT DISTINCT o_custkey FROM orders
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+UNION ALL
+SELECT 'f_and_o' AS set_name, count(*) AS n FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+""",
+)
+def order_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-level EXCEPT/INTERSECT (SURVEY §2.7 — built-ins the
+    reference only had as driver-side Scala set ops)."""
+    o = table(spark, sf_dir, "orders")
+    all_c = o.select("o_custkey").distinct()
+    f_c = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o_c = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    # global agg (not groupBy) so an empty set still yields one 0-count row
+    no_f = all_c.exceptAll(f_c).agg(F.count("*").alias("n")).select(
+        F.lit("with_orders_no_f").alias("set_name"), "n"
+    )
+    both = f_c.intersect(o_c).agg(F.count("*").alias("n")).select(
+        F.lit("f_and_o").alias("set_name"), "n"
+    )
+    return no_f.unionByName(both)

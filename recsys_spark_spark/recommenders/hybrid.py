@@ -1,0 +1,54 @@
+"""Weighted hybrid blending (reference M9).
+
+The reference normalizes each child ranking by its max score times a
+weight, merges with a driver-side groupBy-sum, and takes top-K
+(HybridRecommenderTopK.scala:69-79,116-120; default weights 0.6/0.4 at
+:33-34).  Here the children are already DataFrames of
+``(user_id, item_id, score, ...)`` and the blend is a union +
+window-max normalization + group-sum — no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SCORE_ROUND = 6
+
+
+def _normalize(rec: DataFrame, weight: float) -> DataFrame:
+    """score → weight · score / max(score) per user
+    (HybridRecommenderTopK.scala:69-79)."""
+    w = Window.partitionBy("user_id")
+    return rec.select(
+        "user_id",
+        "item_id",
+        (F.lit(weight) * F.col("score") / F.max("score").over(w)).alias("wscore"),
+    )
+
+
+def hybrid_topk(
+    rec_a: DataFrame,
+    rec_b: DataFrame,
+    weight_a: float = 0.6,
+    weight_b: float = 0.4,
+    k_items: int = 5,
+) -> DataFrame:
+    """Blend two scored recommendation DataFrames into a top-K.
+
+    Inputs carry ``(user_id, item_id, score)``; an item present in both
+    lists sums its weighted normalized scores (the reference's
+    driver-side groupBy(_._1).mapValues(sum), :116-118).
+    """
+    blended = (
+        _normalize(rec_a, weight_a)
+        .unionByName(_normalize(rec_b, weight_b))
+        .groupBy("user_id", "item_id")
+        .agg(F.round(F.sum("wscore"), SCORE_ROUND).alias("score"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("item_id"))
+    return (
+        blended.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_items)
+        .select("user_id", "item_id", "score", "rank")
+    )

@@ -1,0 +1,330 @@
+"""User-based and item-based neighborhood CF, all-users-at-once.
+
+The reference scores ONE user per call with single-threaded driver
+loops over a dense matrix (UserBasedTopKRecommender.scala:40-91,
+ItemBasedTopKRecommender.scala:44-94 — O(users·items·veclen) per user,
+model shipped inside every task closure, Main.scala:96-111).  Here each
+recommender is ONE distributed plan for every user simultaneously:
+
+    co-rated self-join sims  →  candidate join  →  anti-join rated
+    →  per-(user,item) neighbor window rank ≤ k  →  aggregate score
+    →  per-user item window rank ≤ K
+
+Semantics preserved from the reference (cited):
+- neighbors are selected PER CANDIDATE ITEM among the entities that
+  actually rated it (UserBasedRatingRecommender.scala:34-53 filters
+  raters before ranking);
+- user-based prediction is the mean-centered weighted average
+  ``mean_u + Σ sim·(r_n − mean_n) / Σ sim``
+  (UserBasedRatingRecommender.scala:62-77); means are over *rated*
+  entries only (the filter(_>0) at :41,67);
+- item-based prediction is the plain weighted average
+  ``Σ sim·r / Σ |sim|`` (ItemBasedRatingRecommender.scala:52-72; the
+  reference folds the denominator with reduce(abs+abs), which equals
+  Σ|sim| for ≥2 neighbors — we use Σ|sim| and document the 1-element
+  quirk divergence);
+- ties rank by ascending id (the reference's stable sort leaves ties in
+  ascending candidate order, SURVEY §2.6).
+
+Scores are rounded (default 9 dp for sims, 6 dp for final scores)
+BEFORE ranking so that rank decisions are stable across engines —
+last-ulp float noise must not flip a top-k boundary when results are
+hash-compared against a SQL oracle.
+
+Scale notes: every stage is a key-partitioned shuffle Catalyst can
+plan; the only quadratic term is the co-rated pair join, capped via
+``max_raters_per_item`` (hot-item cutoff) or replaced by LSH
+(operators/knn.py) above ~10⁸ pair rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.similarity import pairwise_similarity
+
+# Similarities are rounded to 7 dp BEFORE any ranking: cross-engine
+# float noise (~1e-15) then flips a rank boundary only when two sims
+# differ by <1e-7 AND straddle a rounding edge (~1e-8 per comparison);
+# values that round equal tie-break deterministically by id.
+SIM_ROUND = 7
+SCORE_ROUND = 6
+
+
+def _user_means(ratings: DataFrame) -> DataFrame:
+    """Per-user mean over *rated* entries (UserBasedRating...scala:41-45)."""
+    return ratings.groupBy("user_id").agg(F.avg("rating").alias("mean_r"))
+
+
+def _rank_items(scored: DataFrame, k_items: int) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_items)
+        .select("user_id", "item_id", "score", "rank")
+    )
+
+
+def user_based_topk(
+    ratings: DataFrame,
+    k_neighbors: int = 25,
+    k_items: int = 5,
+    kernel: str = "cosine",
+    n_cols: int | None = None,
+    max_raters_per_item: int | None = None,
+    prefilter_neighbors: int | None = None,
+) -> DataFrame:
+    """Top-K unrated items per user via user k-NN (reference M3).
+
+    Returns ``(user_id, item_id, score, rank)`` for every user.
+
+    ``prefilter_neighbors``: keep only each user's N globally
+    most-similar neighbors before the candidate join.  The reference
+    ranks neighbors per candidate item over ALL raters
+    (UserBasedRatingRecommender.scala:34-53); pre-pruning bounds the
+    candidate explosion to O(users·N·ratings-per-neighbor) — the knob
+    that keeps this plan feasible at 100 TB.  Exact reference semantics
+    = ``prefilter_neighbors=None``.
+    """
+    sims = pairwise_similarity(
+        ratings,
+        kernel=kernel,
+        axis="user",
+        n_cols=n_cols,
+        directed=True,
+        max_raters_per_item=max_raters_per_item,
+    ).select(
+        F.col("user_a").alias("user_id"),
+        F.col("user_b").alias("neighbor"),
+        F.round("sim", SIM_ROUND).alias("sim"),
+    )
+
+    if prefilter_neighbors is not None:
+        wp = Window.partitionBy("user_id").orderBy(F.desc("sim"), F.asc("neighbor"))
+        sims = (
+            sims.withColumn("prn", F.row_number().over(wp))
+            .where(F.col("prn") <= prefilter_neighbors)
+            .drop("prn")
+        )
+
+    neigh_r = ratings.select(
+        F.col("user_id").alias("neighbor"),
+        "item_id",
+        F.col("rating").alias("r_n"),
+    )
+    # candidate (user, item): some neighbor rated it...
+    cand = sims.join(neigh_r, "neighbor")
+    # ...and the user did not (anti-join replaces the reference's
+    # filter(_._1 == 0) unrated scan, UserBasedTopKRecommender.scala:78)
+    cand = cand.join(
+        ratings.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti"
+    )
+
+    w = Window.partitionBy("user_id", "item_id").orderBy(
+        F.desc("sim"), F.asc("neighbor")
+    )
+    top = cand.withColumn("nrank", F.row_number().over(w)).where(
+        F.col("nrank") <= k_neighbors
+    )
+
+    means = _user_means(ratings)
+    n_means = means.select(
+        F.col("user_id").alias("neighbor"), F.col("mean_r").alias("mean_n")
+    )
+    scored = (
+        top.join(n_means, "neighbor")
+        .groupBy("user_id", "item_id")
+        .agg(
+            (
+                F.sum(F.col("sim") * (F.col("r_n") - F.col("mean_n")))
+                / F.sum("sim")
+            ).alias("delta"),
+            F.sum("sim").alias("sim_total"),
+        )
+        .where(F.col("sim_total") != 0)
+        .join(means, "user_id")
+        .select(
+            "user_id",
+            "item_id",
+            F.round(F.col("mean_r") + F.col("delta"), SCORE_ROUND).alias("score"),
+        )
+    )
+    return _rank_items(scored, k_items)
+
+
+def item_based_topk(
+    ratings: DataFrame,
+    k_neighbors: int = 25,
+    k_items: int = 5,
+    kernel: str = "cosine",
+    n_cols: int | None = None,
+    max_raters_per_item: int | None = None,
+    prefilter_neighbors: int | None = None,
+) -> DataFrame:
+    """Top-K unrated items per user via item k-NN (reference M5).
+
+    For each unrated candidate item, its neighbors are the k most
+    similar items *among the items the user rated*
+    (ItemBasedTopKRecommender.scala:44-94).
+    """
+    sims = pairwise_similarity(
+        ratings,
+        kernel=kernel,
+        axis="item",
+        n_cols=n_cols,
+        directed=True,
+        max_raters_per_item=max_raters_per_item,
+    ).select(
+        F.col("item_a").alias("item_id"),
+        F.col("item_b").alias("neighbor_item"),
+        F.round("sim", SIM_ROUND).alias("sim"),
+    )
+
+    if prefilter_neighbors is not None:
+        # the classic item-CF model shape: each item keeps its N most
+        # similar items; bounds the candidate join at scale
+        wp = Window.partitionBy("item_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_item")
+        )
+        sims = (
+            sims.withColumn("prn", F.row_number().over(wp))
+            .where(F.col("prn") <= prefilter_neighbors)
+            .drop("prn")
+        )
+
+    user_r = ratings.select(
+        "user_id", F.col("item_id").alias("neighbor_item"), F.col("rating").alias("r_u")
+    )
+    # candidate (user, item): the user rated a similar item...
+    cand = sims.join(user_r, "neighbor_item")
+    # ...and has not rated the candidate itself
+    cand = cand.join(
+        ratings.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti"
+    )
+
+    w = Window.partitionBy("user_id", "item_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_item")
+    )
+    top = cand.withColumn("nrank", F.row_number().over(w)).where(
+        F.col("nrank") <= k_neighbors
+    )
+
+    scored = (
+        top.groupBy("user_id", "item_id")
+        .agg(
+            F.sum(F.col("sim") * F.col("r_u")).alias("num"),
+            F.sum(F.abs("sim")).alias("den"),
+        )
+        .where(F.col("den") != 0)
+        .select(
+            "user_id",
+            "item_id",
+            F.round(F.col("num") / F.col("den"), SCORE_ROUND).alias("score"),
+        )
+    )
+    return _rank_items(scored, k_items)
+
+
+def predict_user_based(
+    ratings: DataFrame,
+    pairs: DataFrame,
+    k_neighbors: int = 25,
+    kernel: str = "cosine",
+    n_cols: int | None = None,
+) -> DataFrame:
+    """Predict ratings for explicit (user_id, item_id) pairs (reference M2).
+
+    ``pred = mean_u + Σ sim·(r_n − mean_n) / Σ sim`` over the k most
+    similar users who rated the item
+    (UserBasedRatingRecommender.scala:34-77).
+    Returns ``(user_id, item_id, prediction)``.
+    """
+    sims = pairwise_similarity(
+        ratings, kernel=kernel, axis="user", n_cols=n_cols, directed=True
+    ).select(
+        F.col("user_a").alias("user_id"),
+        F.col("user_b").alias("neighbor"),
+        F.round("sim", SIM_ROUND).alias("sim"),
+    )
+    neigh_r = ratings.select(
+        F.col("user_id").alias("neighbor"), "item_id", F.col("rating").alias("r_n")
+    )
+    cand = pairs.join(sims, "user_id").join(neigh_r, ["neighbor", "item_id"])
+    w = Window.partitionBy("user_id", "item_id").orderBy(
+        F.desc("sim"), F.asc("neighbor")
+    )
+    top = cand.withColumn("nrank", F.row_number().over(w)).where(
+        F.col("nrank") <= k_neighbors
+    )
+    means = _user_means(ratings)
+    n_means = means.select(
+        F.col("user_id").alias("neighbor"), F.col("mean_r").alias("mean_n")
+    )
+    return (
+        top.join(n_means, "neighbor")
+        .groupBy("user_id", "item_id")
+        .agg(
+            (
+                F.sum(F.col("sim") * (F.col("r_n") - F.col("mean_n")))
+                / F.sum("sim")
+            ).alias("delta"),
+            F.sum("sim").alias("sim_total"),
+        )
+        .where(F.col("sim_total") != 0)
+        .join(means, "user_id")
+        .select(
+            "user_id",
+            "item_id",
+            F.round(F.col("mean_r") + F.col("delta"), SCORE_ROUND).alias(
+                "prediction"
+            ),
+        )
+    )
+
+
+def predict_item_based(
+    ratings: DataFrame,
+    pairs: DataFrame,
+    k_neighbors: int = 25,
+    kernel: str = "cosine",
+    n_cols: int | None = None,
+) -> DataFrame:
+    """Predict ratings for explicit pairs via item k-NN (reference M4).
+
+    ``pred = Σ sim·r_u / Σ |sim|`` over the k items most similar to the
+    target among the user's rated items
+    (ItemBasedRatingRecommender.scala:36-72).
+    """
+    sims = pairwise_similarity(
+        ratings, kernel=kernel, axis="item", n_cols=n_cols, directed=True
+    ).select(
+        F.col("item_a").alias("item_id"),
+        F.col("item_b").alias("neighbor_item"),
+        F.round("sim", SIM_ROUND).alias("sim"),
+    )
+    user_r = ratings.select(
+        "user_id",
+        F.col("item_id").alias("neighbor_item"),
+        F.col("rating").alias("r_u"),
+    )
+    cand = pairs.join(sims, "item_id").join(user_r, ["user_id", "neighbor_item"])
+    w = Window.partitionBy("user_id", "item_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_item")
+    )
+    top = cand.withColumn("nrank", F.row_number().over(w)).where(
+        F.col("nrank") <= k_neighbors
+    )
+    return (
+        top.groupBy("user_id", "item_id")
+        .agg(
+            F.sum(F.col("sim") * F.col("r_u")).alias("num"),
+            F.sum(F.abs("sim")).alias("den"),
+        )
+        .where(F.col("den") != 0)
+        .select(
+            "user_id",
+            "item_id",
+            F.round(F.col("num") / F.col("den"), SCORE_ROUND).alias("prediction"),
+        )
+    )

@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+Deliberate divergences from the reference runtime config
+(reference Main.scala:338-347):
+
+- The reference *disables* broadcast joins
+  (``spark.sql.autoBroadcastJoinThreshold=-1``, Main.scala:340-342),
+  forcing sort-merge everywhere.  We keep broadcast enabled and lean on
+  AQE: at 100 TB the dimension tables (region/nation/part/supplier) are
+  still tiny relative to the facts, and broadcast-hash is the only join
+  strategy that avoids shuffling the fact table.
+- Timezone pinned to UTC so timestamps compare bit-for-bit with the
+  DuckDB oracle (DuckDB timestamps are UTC-naive).
+- ``spark.sql.shuffle.partitions`` defaults to the local core count;
+  on a real cluster this is overridden (AQE coalesces anyway).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "recsys-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    AQE is on (runtime coalescing, skew-join splitting); Arrow is on for
+    every pandas-UDF exchange; parquet pushdown/pruning are Spark
+    defaults and relied upon throughout.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # testdata events.parquet carries TIMESTAMP(NANOS) which Spark
+        # rejects by default; read as long nanos, converted in sources
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

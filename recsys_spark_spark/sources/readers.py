@@ -1,0 +1,152 @@
+"""Sources: parquet star schema + the reference's two CSV shapes.
+
+Reference readers being re-expressed (cited for parity, not copied):
+- S1 ratings reader: headerless TSV, explicit 4-column schema, unix
+  seconds → datetime (reference Main.scala:33-51).  The reference keeps
+  the converted timestamp as a *string* and re-parses it in UDFs
+  (SequentialTopKRecommender.scala:155-158); we keep TimestampType
+  end-to-end.
+- S2 feature reader: header CSV with schema inference
+  (reference Main.scala:53-59).
+
+Primary source for this engine is parquet (columnar, predicate pushdown,
+column pruning); the CSV readers exist for reference-format compat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Explicit schema of the reference ratings file (Main.scala:39-46);
+#: nullable=False there, but parquet/CSV ingest in Spark is nullable —
+#: semantics are identical because the data has no nulls.
+RATINGS_SCHEMA = StructType(
+    [
+        StructField("user_id", IntegerType(), False),
+        StructField("item_id", IntegerType(), False),
+        StructField("rating", DoubleType(), False),
+        StructField("timestamp", LongType(), False),
+    ]
+)
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin runtime confs the engine's semantics depend on.
+
+    The driver may hand us ANY SparkSession; these are all
+    runtime-settable and idempotent:
+    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS) which Spark
+      otherwise refuses to scan;
+    - UTC session timezone: timestamps must compare bit-for-bit with
+      DuckDB's UTC-naive timestamps in the oracle harness.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table from the sf directory.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as long
+    nanoseconds and is converted here to a microsecond TimestampType
+    (truncation — exactly what DuckDB's microsecond TIMESTAMP does, so
+    oracle comparisons agree).
+    """
+    ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            # integer division — float division of e18-scale nanos loses
+            # sub-microsecond precision
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read every table of the sf directory into a dict."""
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def read_ratings_csv(
+    spark: SparkSession,
+    path: str,
+    sep: str = "\t",
+    header: bool = False,
+) -> DataFrame:
+    """Reference S1 ratings reader (Main.scala:33-51), Spark-first.
+
+    Headerless TSV with the fixed 4-column schema; the unix-seconds
+    ``timestamp`` becomes a real TimestampType column ``ts`` (the
+    reference converts to a *string* with from_unixtime and re-parses it
+    later in UDFs — we never leave the native type).
+    """
+    df = spark.read.options(header=header, sep=sep).schema(RATINGS_SCHEMA).csv(path)
+    return df.withColumn("ts", F.col("timestamp").cast("timestamp")).drop("timestamp")
+
+
+def read_features_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Reference S2 feature reader (Main.scala:53-59): header + inference.
+
+    Downstream code treats the first column as the item id and every
+    remaining column as a numeric feature (ContentRecommender.scala:36-48).
+    """
+    return spark.read.options(header=True, inferSchema=True).csv(path)
+
+
+def ratings_from_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender-shaped projection of the star schema (FIXTURES.md §B).
+
+    ``(o_custkey, l_partkey, avg(l_quantity))`` from orders ⋈ lineitem
+    becomes ``(user_id, item_id, rating)``.  The join key is o_orderkey —
+    both sides are fact-sized at 100 TB, so this is a co-partitioned
+    shuffle join (never broadcast); the per-(user,item) aggregate gets
+    map-side partial aggregation from Catalyst automatically.
+    """
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .agg(F.avg("l_quantity").alias("rating"))
+    )
+
+
+def ratings_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternative ratings projection: events as implicit feedback.
+
+    ``(user_id, event_type, avg(value), max(ts))`` — used by the
+    sequential recommender demos where a timestamp per interaction is
+    required.
+    """
+    events = table(spark, sf_dir, "events")
+    return events.select(
+        F.col("user_id").cast("int").alias("user_id"),
+        F.col("event_type").alias("item_id"),
+        F.col("value").alias("rating"),
+        F.col("ts"),
+    )
