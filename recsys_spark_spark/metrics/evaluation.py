@@ -1,0 +1,115 @@
+"""Ranking + prediction metrics as DataFrame aggregations (SURVEY §2.10).
+
+The reference computes per-user metric tuples inside a foreach with a
+driver-side accumulator and averages them on the driver
+(Main.scala:96-122, accumulator/ListBufferAccumulator.scala:28-34).
+Here metrics are plain aggregations over joined DataFrames — no
+accumulators, no collect.
+
+Formulas (reference metrics/RankingMetrics.scala:37-53,
+PredictionMetrics.scala:35-43):
+    P@k  = |selected ∩ relevant| / k
+    R@k  = |selected ∩ relevant| / |relevant|   (0 when relevant empty)
+    AP@k = (1/k) Σ_{i=1..k} |selected_i ∩ relevant| / i
+    RMSE = √(Σe²/n),  MAE = Σ|e|/n
+
+Documented divergence (SURVEY X3): the reference computes AP over a
+Scala Set.take(i) — an UNORDERED prefix.  We use the properly ordered
+ranking: selected_i = the i highest-scored items.
+
+AP@k trick: each hit at rank r contributes Σ_{i=r..k} 1/i to the sum,
+so AP = (1/k)·Σ_hits c(rank) with c precomputed — a join against a
+k-row coefficient table instead of a per-user loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+R6 = 6
+
+
+def split_ratings(ratings: DataFrame, fold: int = 0, n_folds: int = 5):
+    """Deterministic hash split: (user_id + item_id) % n_folds == fold
+    is the test fold — reproducible in any engine, no RNG state.
+    Returns (train, test)."""
+    bucket = (F.col("user_id") + F.col("item_id")) % n_folds
+    return ratings.where(bucket != fold), ratings.where(bucket == fold)
+
+
+def prediction_metrics(
+    joined: DataFrame, pred_col: str = "prediction", actual_col: str = "rating"
+) -> DataFrame:
+    """RMSE/MAE over (prediction, actual) rows → one-row DataFrame
+    (X4/X5, PredictionMetrics.scala:35-43)."""
+    err = F.col(pred_col) - F.col(actual_col)
+    return joined.agg(
+        F.round(F.sqrt(F.avg(err * err)), R6).alias("rmse"),
+        F.round(F.avg(F.abs(err)), R6).alias("mae"),
+        F.count("*").alias("n_pairs"),
+    )
+
+
+def ap_coefficient(k: int, rank: int) -> float:
+    """c(rank) = Σ_{i=rank..k} 1/i, accumulated ascending so the float
+    op order matches the SQL oracle expression exactly."""
+    total = 0.0
+    for i in range(rank, k + 1):
+        total = total + 1.0 / i
+    return total
+
+
+def ranking_metrics(
+    spark: SparkSession,
+    recommended: DataFrame,
+    relevant: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Per-user P@k / R@k / AP@k.
+
+    ``recommended``: (user_id, item_id, rank) with rank 1..k.
+    ``relevant``: (user_id, item_id) ground-truth positives.
+    Users in ``recommended`` with no relevant row score 0 (X2's
+    empty-relevant rule).
+    """
+    coeff = spark.createDataFrame(
+        [(r, ap_coefficient(k, r)) for r in range(1, k + 1)], ["rank", "c"]
+    )
+    hits = recommended.join(relevant, ["user_id", "item_id"]).select(
+        "user_id", "rank"
+    )
+    per_user_hits = (
+        hits.join(F.broadcast(coeff), "rank")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_hits"), F.sum("c").alias("c_sum"))
+    )
+    rel_counts = relevant.groupBy("user_id").agg(F.count("*").alias("n_rel"))
+    users = recommended.select("user_id").distinct()
+    return (
+        users.join(per_user_hits, "user_id", "left")
+        .join(rel_counts, "user_id", "left")
+        .select(
+            "user_id",
+            (F.coalesce("n_hits", F.lit(0)) / F.lit(float(k))).alias("p_at_k"),
+            F.when(
+                F.col("n_rel").isNull() | (F.col("n_rel") == 0), F.lit(0.0)
+            )
+            .otherwise(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_rel").cast("double")
+            )
+            .alias("r_at_k"),
+            (F.coalesce("c_sum", F.lit(0.0)) / F.lit(float(k))).alias("ap_at_k"),
+        )
+    )
+
+
+def ranking_metrics_summary(per_user: DataFrame) -> DataFrame:
+    """Mean of the per-user tuples — the reference's driver-side
+    pairwise-sum average (Main.scala:113-122) as one agg."""
+    return per_user.agg(
+        F.round(F.avg("p_at_k"), R6).alias("mean_p"),
+        F.round(F.avg("r_at_k"), R6).alias("mean_r"),
+        F.round(F.avg("ap_at_k"), R6).alias("mean_ap"),
+        F.count("*").alias("n_users"),
+    )

@@ -93,9 +93,28 @@ WHERE co >= {min_co} AND ea < eb
 """.strip()
 
 
-def _user_topk_sql(kernel: str, prefilter: int, k_neighbors: int, k_items: int) -> str:
+#: hash-split twin of metrics.evaluation.split_ratings (fold 0 of 5)
+SPLIT_RATINGS_CTE = """
+ratings_all AS (
+  SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
+         avg(l.l_quantity) AS rating
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+ratings AS (SELECT * FROM ratings_all WHERE (user_id + item_id) % 5 <> 0),
+test AS (SELECT * FROM ratings_all WHERE (user_id + item_id) % 5 = 0)
+""".strip()
+
+
+def _user_topk_sql(
+    kernel: str,
+    prefilter: int,
+    k_neighbors: int,
+    k_items: int,
+    ratings_cte: str = RATINGS_CTE,
+) -> str:
     return f"""
-WITH {RATINGS_CTE},
+WITH {ratings_cte},
 {_sims_ctes("user", kernel)},
 pruned AS (
   SELECT user_id, neighbor, sim FROM (
@@ -137,9 +156,15 @@ SELECT user_id, item_id, score, CAST(rk AS INTEGER) AS rank FROM (
 """.strip()
 
 
-def _item_topk_sql(kernel: str, prefilter: int, k_neighbors: int, k_items: int) -> str:
+def _item_topk_sql(
+    kernel: str,
+    prefilter: int,
+    k_neighbors: int,
+    k_items: int,
+    ratings_cte: str = RATINGS_CTE,
+) -> str:
     return f"""
-WITH {RATINGS_CTE},
+WITH {ratings_cte},
 {_sims_ctes("item", kernel)},
 pruned AS (
   SELECT item_id, neighbor_item, sim FROM (
@@ -321,6 +346,231 @@ def hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratings, K_NEIGHBORS, CHILD_K, "cosine", prefilter_neighbors=PREFILTER
     )
     return hybrid_topk(u, i, weight_a=0.6, weight_b=0.4, k_items=K_ITEMS)
+
+
+# ---------------------------------------------------------------------------
+# evaluation queries (X1-X6): deterministic hash split, fold 0 of 5
+# ---------------------------------------------------------------------------
+
+RELEVANT_THRESHOLD = 30.0  # "relevant" = test rating >= 30 (cf. Main.scala:101-103
+#                            where relevant = rating >= 4.0 on the 1-5 scale)
+
+
+def _user_predict_sql(kernel: str, k_neighbors: int) -> str:
+    """M2 rating prediction for the test pairs, trained on the train fold
+    (UserBasedRatingRecommender.scala:34-77)."""
+    return f"""
+WITH {SPLIT_RATINGS_CTE},
+{_sims_ctes("user", kernel)},
+cand AS (
+  SELECT t.user_id, t.item_id, s.sim, s.eb AS neighbor, r.rating AS r_n
+  FROM test t
+  JOIN sims s ON s.ea = t.user_id
+  JOIN ratings r ON r.user_id = s.eb AND r.item_id = t.item_id
+),
+topn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, item_id ORDER BY sim DESC, neighbor ASC) AS nrank
+    FROM cand
+  ) WHERE nrank <= {k_neighbors}
+),
+means AS (SELECT user_id, avg(rating) AS m FROM ratings GROUP BY 1),
+pred AS (
+  SELECT t.user_id, t.item_id,
+         sum(t.sim * (t.r_n - mn.m)) / sum(t.sim) AS delta
+  FROM topn t JOIN means mn ON mn.user_id = t.neighbor
+  GROUP BY 1, 2
+  HAVING sum(t.sim) <> 0
+)
+SELECT p.user_id, p.item_id, round(mu.m + p.delta, 6) AS prediction
+FROM pred p JOIN means mu ON mu.user_id = p.user_id
+""".strip()
+
+
+def _item_predict_sql(kernel: str, k_neighbors: int) -> str:
+    """M4 rating prediction: k most similar items among the user's rated
+    (ItemBasedRatingRecommender.scala:36-72)."""
+    return f"""
+WITH {SPLIT_RATINGS_CTE},
+{_sims_ctes("item", kernel)},
+cand AS (
+  SELECT t.user_id, t.item_id, s.sim, s.eb AS neighbor_item, r.rating AS r_u
+  FROM test t
+  JOIN sims s ON s.ea = t.item_id
+  JOIN ratings r ON r.user_id = t.user_id AND r.item_id = s.eb
+),
+topn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, item_id ORDER BY sim DESC, neighbor_item ASC) AS nrank
+    FROM cand
+  ) WHERE nrank <= {k_neighbors}
+)
+SELECT user_id, item_id,
+       round(sum(sim * r_u) / sum(abs(sim)), 6) AS prediction
+FROM topn
+GROUP BY 1, 2
+HAVING sum(abs(sim)) <> 0
+""".strip()
+
+
+def _coeff_values_sql(k: int) -> str:
+    """AP@k coefficient rows; the 1.0/i sum is written left-to-right so
+    DuckDB evaluates the identical IEEE op sequence as
+    metrics.evaluation.ap_coefficient."""
+    rows = []
+    for r in range(1, k + 1):
+        expr = " + ".join(f"1.0/{i}" for i in range(r, k + 1))
+        rows.append(f"({r}, {expr})")
+    return ", ".join(rows)
+
+
+def _ranking_eval_sql(kernel: str, prefilter: int, k_neighbors: int, k: int) -> str:
+    rec_sql = _user_topk_sql(
+        kernel, prefilter, k_neighbors, k, ratings_cte=SPLIT_RATINGS_CTE
+    )
+    return f"""
+WITH rec AS (
+{rec_sql}
+),
+relevant AS (
+  WITH {SPLIT_RATINGS_CTE}
+  SELECT user_id, item_id FROM test WHERE rating >= {RELEVANT_THRESHOLD}
+),
+coeff(rank, c) AS (VALUES {_coeff_values_sql(k)}),
+hits AS (
+  SELECT r.user_id, r.rank
+  FROM rec r JOIN relevant USING (user_id, item_id)
+),
+per_user AS (
+  SELECT u.user_id,
+         coalesce(h.n_hits, 0) / {float(k)} AS p_at_k,
+         CASE WHEN rc.n_rel IS NULL OR rc.n_rel = 0 THEN 0.0
+              ELSE coalesce(h.n_hits, 0) / CAST(rc.n_rel AS DOUBLE) END AS r_at_k,
+         coalesce(h.c_sum, 0.0) / {float(k)} AS ap_at_k
+  FROM (SELECT DISTINCT user_id FROM rec) u
+  LEFT JOIN (
+    SELECT user_id, count(*) AS n_hits, sum(c) AS c_sum
+    FROM hits JOIN coeff USING (rank) GROUP BY 1
+  ) h USING (user_id)
+  LEFT JOIN (
+    SELECT user_id, count(*) AS n_rel FROM relevant GROUP BY 1
+  ) rc USING (user_id)
+)
+SELECT round(avg(p_at_k), 6) AS mean_p,
+       round(avg(r_at_k), 6) AS mean_r,
+       round(avg(ap_at_k), 6) AS mean_ap,
+       count(*) AS n_users
+FROM per_user
+""".strip()
+
+
+def _split(spark: SparkSession, sf_dir: str):
+    from ..metrics.evaluation import split_ratings
+
+    return split_ratings(ratings_from_sales(spark, sf_dir))
+
+
+@register("user_cf_predictions", oracle=_user_predict_sql("cosine", K_NEIGHBORS))
+def user_cf_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: predicted rating for every held-out (user, item) pair."""
+    from ..recommenders.neighborhood import predict_user_based
+
+    train, test = _split(spark, sf_dir)
+    return predict_user_based(
+        train, test.select("user_id", "item_id"), k_neighbors=K_NEIGHBORS
+    )
+
+
+@register("item_cf_predictions", oracle=_item_predict_sql("cosine", K_NEIGHBORS))
+def item_cf_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: item-kNN predicted rating for every held-out pair."""
+    from ..recommenders.neighborhood import predict_item_based
+
+    train, test = _split(spark, sf_dir)
+    return predict_item_based(
+        train, test.select("user_id", "item_id"), k_neighbors=K_NEIGHBORS
+    )
+
+
+@register(
+    "user_cf_rmse_mae",
+    oracle=f"""
+WITH pred AS (
+{_user_predict_sql("cosine", K_NEIGHBORS)}
+),
+actual AS (
+  WITH {SPLIT_RATINGS_CTE} SELECT user_id, item_id, rating FROM test
+)
+SELECT round(sqrt(avg((p.prediction - a.rating) * (p.prediction - a.rating))), 6)
+         AS rmse,
+       round(avg(abs(p.prediction - a.rating)), 6) AS mae,
+       count(*) AS n_pairs
+FROM pred p JOIN actual a USING (user_id, item_id)
+""",
+)
+def user_cf_rmse_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X5 over M2 predictions on the held-out fold — the reference's
+    cross-validation step (Main.scala:304-331) as one plan."""
+    from ..metrics.evaluation import prediction_metrics
+    from ..recommenders.neighborhood import predict_user_based
+
+    train, test = _split(spark, sf_dir)
+    preds = predict_user_based(
+        train, test.select("user_id", "item_id"), k_neighbors=K_NEIGHBORS
+    )
+    return prediction_metrics(preds.join(test, ["user_id", "item_id"]))
+
+
+@register(
+    "itemmean_rmse_mae",
+    oracle=f"""
+WITH {SPLIT_RATINGS_CTE},
+imean AS (SELECT item_id, avg(rating) AS prediction FROM ratings GROUP BY 1)
+SELECT round(sqrt(avg((m.prediction - t.rating) * (m.prediction - t.rating))), 6)
+         AS rmse,
+       round(avg(abs(m.prediction - t.rating)), 6) AS mae,
+       count(*) AS n_pairs
+FROM test t JOIN imean m ON m.item_id = t.item_id
+""",
+)
+def itemmean_rmse_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline predictor (item mean) RMSE/MAE — the floor any CF model
+    must beat."""
+    from ..metrics.evaluation import prediction_metrics
+
+    train, test = _split(spark, sf_dir)
+    imean = train.groupBy("item_id").agg(F.avg("rating").alias("prediction"))
+    return prediction_metrics(test.join(imean, "item_id"))
+
+
+@register(
+    "user_cf_ranking_eval",
+    oracle=_ranking_eval_sql("cosine", PREFILTER, K_NEIGHBORS, K_ITEMS),
+)
+def user_cf_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1-X3: mean P@5 / R@5 / AP@5 of the user-CF top-k against
+    held-out relevant items (rating >= {threshold}) — the full
+    evaluation harness (Main.scala:61-126) as one distributed plan.
+    AP uses the properly ordered prefix (documented X3 divergence from
+    the reference's unordered Set.take)."""
+    from ..metrics.evaluation import ranking_metrics, ranking_metrics_summary
+
+    train, test = _split(spark, sf_dir)
+    rec = user_based_topk(
+        train,
+        k_neighbors=K_NEIGHBORS,
+        k_items=K_ITEMS,
+        kernel="cosine",
+        prefilter_neighbors=PREFILTER,
+    )
+    relevant = test.where(F.col("rating") >= RELEVANT_THRESHOLD).select(
+        "user_id", "item_id"
+    )
+    return ranking_metrics_summary(
+        ranking_metrics(spark, rec, relevant, k=K_ITEMS)
+    )
 
 
 @register(
