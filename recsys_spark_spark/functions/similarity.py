@@ -81,6 +81,7 @@ def pairwise_similarity(
     directed: bool = True,
     max_raters_per_item: int | None = None,
     with_co: bool = False,
+    euclidean_fallback: bool = False,
 ) -> DataFrame:
     """All co-rated pairs with their similarity, fully distributed.
 
@@ -161,7 +162,16 @@ def pairwise_similarity(
         n_expr = F.col("_n_cols")
 
     extra = ["co"] if with_co else []
-    sims = with_kernel_column(enriched, kernel, n_expr).select("ea", "eb", "sim", *extra)
+    sims = with_kernel_column(enriched, kernel, n_expr)
+    if euclidean_fallback and kernel != "euclidean":
+        # K5: a primary similarity of exactly 0.0 falls back to inverted
+        # Euclidean (ContentBasedTopKRecommender.scala:42-50)
+        sq_dist = F.col("sumsq_a") + F.col("sumsq_b") - 2 * F.col("dot")
+        euclid = 1.0 / (F.sqrt(F.greatest(sq_dist, F.lit(0.0))) + 1.0)
+        sims = sims.withColumn(
+            "sim", F.when(F.col("sim") == 0.0, euclid).otherwise(F.col("sim"))
+        )
+    sims = sims.select("ea", "eb", "sim", *extra)
 
     if directed:
         sims = sims.unionByName(

@@ -349,6 +349,150 @@ def hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# content-based (M6-M8 + K5): feature-space sims from the part table
+# ---------------------------------------------------------------------------
+
+#: long-format feature CTE — twin of recommenders.content.part_features
+FEATURES_CTE = """
+feat AS (
+  SELECT p_partkey AS ent, 'brand:' || p_brand AS key, 1.0 AS r FROM part
+  UNION ALL
+  SELECT p_partkey, 'type:' || p_type, 1.0 FROM part
+  UNION ALL
+  SELECT p_partkey, 'size', p_size / 50.0 FROM part
+  UNION ALL
+  SELECT p_partkey, 'price', p_retailprice / 2000.0 FROM part
+)
+""".strip()
+
+#: cosine with the K5 zero→Euclidean fallback
+#: (ContentBasedTopKRecommender.scala:42-50)
+_CONTENT_SIMS_CTES = f"""
+{FEATURES_CTE},
+fstats AS (
+  SELECT ent, sum(r) AS s, sum(r*r) AS ss, count(*) AS n FROM feat GROUP BY 1
+),
+fpairs AS (
+  SELECT a.ent AS ea, b.ent AS eb, sum(a.r * b.r) AS dot
+  FROM feat a JOIN feat b ON a.key = b.key AND a.ent < b.ent
+  GROUP BY 1, 2
+),
+fhalf AS (
+  SELECT ea, eb,
+         CASE WHEN dot / (sqrt(sa.ss) * sqrt(sb.ss)) = 0.0
+              THEN 1.0 / (sqrt(greatest(sa.ss + sb.ss - 2 * dot, 0.0)) + 1.0)
+              ELSE dot / (sqrt(sa.ss) * sqrt(sb.ss)) END AS sim
+  FROM fpairs
+  JOIN fstats sa ON sa.ent = ea
+  JOIN fstats sb ON sb.ent = eb
+),
+fsims AS (
+  SELECT ea, eb, round(sim, 7) AS sim FROM fhalf
+  UNION ALL
+  SELECT eb, ea, round(sim, 7) AS sim FROM fhalf
+)
+""".strip()
+
+
+def _content_topk_sql(prefilter: int, k_neighbors: int, k_items: int) -> str:
+    return f"""
+WITH {RATINGS_CTE},
+{_CONTENT_SIMS_CTES},
+pruned AS (
+  SELECT item_id, neighbor_item, sim FROM (
+    SELECT ea AS item_id, eb AS neighbor_item, sim,
+           row_number() OVER (PARTITION BY ea ORDER BY sim DESC, eb ASC) AS rn
+    FROM fsims
+  ) WHERE rn <= {prefilter}
+),
+cand AS (
+  SELECT r.user_id, s.item_id, s.sim, s.neighbor_item, r.rating AS r_u
+  FROM pruned s JOIN ratings r ON r.item_id = s.neighbor_item
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ratings x
+    WHERE x.user_id = r.user_id AND x.item_id = s.item_id)
+),
+topn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, item_id ORDER BY sim DESC, neighbor_item ASC) AS nrank
+    FROM cand
+  ) WHERE nrank <= {k_neighbors}
+)
+SELECT user_id, item_id, score, CAST(rk AS INTEGER) AS rank FROM (
+  SELECT user_id, item_id, score,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY score DESC, item_id ASC) AS rk
+  FROM (
+    SELECT user_id, item_id,
+           round(sum(sim * r_u) / sum(abs(sim)), 6) AS score
+    FROM topn
+    GROUP BY 1, 2
+    HAVING sum(abs(sim)) <> 0
+  )
+) WHERE rk <= {k_items}
+""".strip()
+
+
+def _content_predict_sql(k_neighbors: int) -> str:
+    return f"""
+WITH {SPLIT_RATINGS_CTE},
+{_CONTENT_SIMS_CTES},
+cand AS (
+  SELECT t.user_id, t.item_id, s.sim, s.eb AS neighbor_item, r.rating AS r_u
+  FROM test t
+  JOIN fsims s ON s.ea = t.item_id
+  JOIN ratings r ON r.user_id = t.user_id AND r.item_id = s.eb
+),
+topn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, item_id ORDER BY sim DESC, neighbor_item ASC) AS nrank
+    FROM cand
+  ) WHERE nrank <= {k_neighbors}
+)
+SELECT user_id, item_id,
+       round(sum(sim * r_u) / sum(abs(sim)), 6) AS prediction
+FROM topn
+GROUP BY 1, 2
+HAVING sum(abs(sim)) <> 0
+""".strip()
+
+
+@register(
+    "content_topk_cosine",
+    oracle=_content_topk_sql(PREFILTER, K_NEIGHBORS, K_ITEMS),
+)
+def content_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: top-5 per user where item neighbors come from part-attribute
+    feature space (one-hot brand/type + scaled size/price), with the K5
+    Euclidean fallback."""
+    from ..recommenders.content import content_based_topk, part_features
+
+    return content_based_topk(
+        ratings_from_sales(spark, sf_dir),
+        part_features(spark, sf_dir),
+        k_neighbors=K_NEIGHBORS,
+        k_items=K_ITEMS,
+        prefilter_neighbors=PREFILTER,
+    )
+
+
+@register("content_cf_predictions", oracle=_content_predict_sql(K_NEIGHBORS))
+def content_cf_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: content-kNN predicted rating for held-out pairs."""
+    from ..recommenders.content import part_features, predict_content_based
+
+    train, test = _split(spark, sf_dir)
+    return predict_content_based(
+        train,
+        part_features(spark, sf_dir),
+        test.select("user_id", "item_id"),
+        k_neighbors=K_NEIGHBORS,
+    )
+
+
+# ---------------------------------------------------------------------------
 # evaluation queries (X1-X6): deterministic hash split, fold 0 of 5
 # ---------------------------------------------------------------------------
 
@@ -571,6 +715,32 @@ def user_cf_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_metrics_summary(
         ranking_metrics(spark, rec, relevant, k=K_ITEMS)
     )
+
+
+# ---------------------------------------------------------------------------
+# sequential (M10-M14): rows-only check — KMeans/FPGrowth have no SQL twin
+# ---------------------------------------------------------------------------
+
+
+@register("sequential_topk")
+def sequential_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10/M11: cluster-sequence rule recommendations.  No DuckDB
+    oracle (KMeans + FPGrowth are not SQL-expressible); correctness is
+    covered by property tests in tests/test_sequential.py."""
+    from ..recommenders.sequential import SequentialTopK
+    from ..sources.readers import table
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    interactions = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.col("l_shipdate").alias("ts"),
+    )
+    model = SequentialTopK(k_items=K_ITEMS).fit(interactions)
+    return model.recommend()
 
 
 @register(

@@ -1,0 +1,136 @@
+"""Content-based recommender (reference M6-M8 + K5).
+
+The reference assembles a feature CSV into dense vectors with
+VectorAssembler, collects them to a driver list, and linear-scans it
+per lookup (ContentRecommender.scala:32-53,
+ContentBasedRatingRecommender.scala:55-58).  Here item features live in
+a LONG-format DataFrame ``(item_id, idx, val)`` — one row per nonzero
+feature — so feature similarity is the same co-key self-join as rating
+similarity (functions/similarity.py) and the scoring core is shared
+with item-based CF (recommenders/neighborhood.py).
+
+Scale note: a dense feature (every item nonzero) makes the co-key join
+quadratic through one hot key.  For wide dense embeddings use LSH
+(operators/knn.py); for mixed catalogs keep dense numerics as a few
+scalar columns and one-hot the categoricals (sparse).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.similarity import pairwise_similarity
+from .neighborhood import (
+    SIM_ROUND,
+    predict_from_item_sims,
+    topk_from_item_sims,
+)
+
+
+def features_long_from_wide(features: DataFrame, id_col: str) -> DataFrame:
+    """Reference S2 shape (id + numeric feature columns,
+    Main.scala:53-59) → long format, zeros dropped.  The stack-based
+    unpivot replaces VectorAssembler + driver collect."""
+    value_cols = [c for c in features.columns if c != id_col]
+    pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in value_cols)
+    return (
+        features.selectExpr(
+            f"`{id_col}` as item_id",
+            f"stack({len(value_cols)}, {pairs}) as (idx, val)",
+        )
+        .where(F.col("val") != 0.0)
+    )
+
+
+def part_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demo content model for the star schema: one-hot brand/type plus
+    scaled numeric size/price from ``part``."""
+    from ..sources.readers import table
+
+    p = table(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.col("p_partkey").alias("item_id"),
+            F.concat(F.lit("brand:"), F.col("p_brand")).alias("idx"),
+            F.lit(1.0).alias("val"),
+        )
+        .unionByName(
+            p.select(
+                F.col("p_partkey").alias("item_id"),
+                F.concat(F.lit("type:"), F.col("p_type")).alias("idx"),
+                F.lit(1.0).alias("val"),
+            )
+        )
+        .unionByName(
+            p.select(
+                F.col("p_partkey").alias("item_id"),
+                F.lit("size").alias("idx"),
+                (F.col("p_size") / 50.0).alias("val"),
+            )
+        )
+        .unionByName(
+            p.select(
+                F.col("p_partkey").alias("item_id"),
+                F.lit("price").alias("idx"),
+                (F.col("p_retailprice") / 2000.0).alias("val"),
+            )
+        )
+    )
+
+
+def content_similarities(
+    features_long: DataFrame,
+    kernel: str = "cosine",
+    n_cols: int | None = None,
+) -> DataFrame:
+    """Directed item-item similarity in feature space with the K5
+    Euclidean fallback, ready for the shared scoring cores.
+    Returns ``(item_id, neighbor_item, sim)``."""
+    sims = pairwise_similarity(
+        features_long.select(
+            F.col("item_id").alias("user_id"),
+            F.col("idx").alias("item_id"),
+            F.col("val").alias("rating"),
+        ),
+        kernel=kernel,
+        axis="user",  # entities are items, join key is the feature idx
+        n_cols=n_cols,
+        directed=True,
+        euclidean_fallback=True,
+    )
+    return sims.select(
+        F.col("user_a").alias("item_id"),
+        F.col("user_b").alias("neighbor_item"),
+        F.round("sim", SIM_ROUND).alias("sim"),
+    )
+
+
+def content_based_topk(
+    ratings: DataFrame,
+    features_long: DataFrame,
+    k_neighbors: int = 25,
+    k_items: int = 5,
+    kernel: str = "cosine",
+    prefilter_neighbors: int | None = None,
+) -> DataFrame:
+    """M8: top-K per user where neighbors are the feature-space nearest
+    among the user's rated items
+    (ContentBasedTopKRecommender.scala:52-98)."""
+    sims = content_similarities(features_long, kernel)
+    return topk_from_item_sims(
+        sims, ratings, k_neighbors, k_items, prefilter_neighbors
+    )
+
+
+def predict_content_based(
+    ratings: DataFrame,
+    features_long: DataFrame,
+    pairs: DataFrame,
+    k_neighbors: int = 25,
+    kernel: str = "cosine",
+) -> DataFrame:
+    """M7: predicted rating for explicit pairs via feature k-NN
+    (ContentBasedRatingRecommender.scala:44-87)."""
+    sims = content_similarities(features_long, kernel)
+    return predict_from_item_sims(sims, ratings, pairs, k_neighbors)

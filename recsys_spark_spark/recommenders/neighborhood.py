@@ -181,6 +181,26 @@ def item_based_topk(
         F.round("sim", SIM_ROUND).alias("sim"),
     )
 
+    return topk_from_item_sims(
+        sims, ratings, k_neighbors, k_items, prefilter_neighbors
+    )
+
+
+def topk_from_item_sims(
+    sims: DataFrame,
+    ratings: DataFrame,
+    k_neighbors: int,
+    k_items: int,
+    prefilter_neighbors: int | None = None,
+) -> DataFrame:
+    """Item-neighbor scoring core: top-K per user from a directed
+    item-similarity DataFrame ``(item_id, neighbor_item, sim)``.
+
+    Shared by item-based CF (M5, rating-space sims) and content-based
+    (M8, feature-space sims) — the reference implements these twice
+    with identical scoring (ItemBasedTopKRecommender.scala:62-70,
+    ContentBasedTopKRecommender.scala:71-79: Σ sim·r / Σ|sim|).
+    """
     if prefilter_neighbors is not None:
         # the classic item-CF model shape: each item keeps its N most
         # similar items; bounds the candidate join at scale
@@ -303,6 +323,18 @@ def predict_item_based(
         F.col("item_b").alias("neighbor_item"),
         F.round("sim", SIM_ROUND).alias("sim"),
     )
+    return predict_from_item_sims(sims, ratings, pairs, k_neighbors)
+
+
+def predict_from_item_sims(
+    sims: DataFrame,
+    ratings: DataFrame,
+    pairs: DataFrame,
+    k_neighbors: int = 25,
+) -> DataFrame:
+    """Rating prediction from a directed item-sims DataFrame — shared
+    core of M4 (CF sims) and M7 (content sims):
+    ``Σ sim·r / Σ |sim|`` over the k nearest rated items."""
     user_r = ratings.select(
         "user_id",
         F.col("item_id").alias("neighbor_item"),

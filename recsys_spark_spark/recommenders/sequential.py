@@ -1,0 +1,283 @@
+"""Sequential recommender (reference M10-M14), Spark-first.
+
+Reference pipeline (SequentialTopKRecommender.scala:87-111): baskets →
+time periods → SOM clustering of baskets → FPGrowth over
+period-tagged cluster sequences → CMRules-style rule rework → per-user
+scoring, with the rule support recomputed by a UDF that closes over
+ALL transactions collected to the driver (:492-504) and per-user
+scoring done one user at a time on the driver (:113-152,183-239).
+
+This rebuild keeps the semantics but every stage is a DataFrame op:
+
+- baskets: groupBy(user, ts) + collect_list — sparse arrays, never the
+  reference's dense binary basket vector (U1, :248-255);
+- periods: ``least(floor((ts-min)/width), n-1)`` — pure column math;
+  dense ids by construction, replacing the reference's
+  orderBy + monotonically_increasing_id hazard (W3, :322-327) and
+  preserving the unmatched→last-period rule (W4, :278-312);
+- clustering: HashingTF → KMeans(k=h·w, seed) stands in for the
+  third-party SOM jar (M12 — honest divergence, no PySpark SOM; same
+  role: quantize baskets into h·w cluster ids, deterministic seed);
+- sequences: period-tagged cluster strings "{cluster}_{relperiod}"
+  via pure column expressions (U3's flatList UDF eliminated);
+- rules: pyspark.ml.fpm.FPGrowth (M13, 1:1) + rework filters as column
+  expressions (M14/P4) + support recompute as a broadcast-rules join
+  (J6) — the collected-transactions closure is gone;
+- recommend: ALL users at once — rule scoring is a crossJoin against
+  the broadcast rule set, candidate votes are an explode + groupBy
+  (A9), seen-item removal is an anti-join (J5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class SequentialTopK:
+    """Cluster-sequence rule recommender.
+
+    Parameters mirror the reference's setters
+    (SequentialTopKRecommender.scala:42-70): ``k_items`` top-K, grid
+    height×width (cluster count), FPGrowth min support/confidence, the
+    sequential-rule re-thresholds, and the period count.
+    """
+
+    k_items: int = 5
+    grid_height: int = 3
+    grid_width: int = 3
+    n_periods: int = 5
+    min_support: float = 0.01
+    min_confidence: float = 0.2
+    min_support_seq: float = 0.01
+    min_confidence_seq: float = 0.05
+    hash_features: int = 4096
+    seed: int = 42
+
+    # fitted state: all small-or-lazy DataFrames, nothing driver-side
+    baskets_: DataFrame | None = field(default=None, repr=False)
+    rules_: DataFrame | None = field(default=None, repr=False)
+    sequences_: DataFrame | None = field(default=None, repr=False)
+    cluster_votes_: DataFrame | None = field(default=None, repr=False)
+    seen_: DataFrame | None = field(default=None, repr=False)
+
+    # ---------------- fit stages ----------------
+
+    def _baskets(self, interactions: DataFrame) -> DataFrame:
+        """A4: one basket per (user, ts); items kept sparse as strings
+        (HashingTF input), replacing U1's dense binary vector."""
+        return interactions.groupBy("user_id", "ts").agg(
+            F.collect_list(F.col("item_id").cast("string")).alias("items")
+        )
+
+    def _with_periods(self, baskets: DataFrame) -> DataFrame:
+        """W2/W4: n equal periods over the observed span; overflow (the
+        exact max timestamp) clamps into the last period."""
+        # NTZ parquet timestamps refuse a direct double cast; normalize
+        # to session-TZ (UTC) timestamp first
+        secs = F.col("ts").cast("timestamp").cast("double")
+        bounds = baskets.agg(
+            F.min(secs).alias("t0"), F.max(secs).alias("t1")
+        )
+        width = (F.col("t1") - F.col("t0")) / self.n_periods
+        return (
+            baskets.crossJoin(F.broadcast(bounds))
+            .withColumn(
+                "period_id",
+                F.least(
+                    F.floor((secs - F.col("t0")) / width),
+                    F.lit(self.n_periods - 1),
+                ).cast("int"),
+            )
+            .drop("t0", "t1")
+        )
+
+    def _cluster(self, baskets: DataFrame) -> tuple[DataFrame, object]:
+        """M12: HashingTF + KMeans(k=h·w, seed) as the SOM stand-in.
+        Both stages are JVM-side; assignments are deterministic for a
+        fixed seed."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.feature import HashingTF
+
+        tf = HashingTF(
+            inputCol="items", outputCol="features", numFeatures=self.hash_features
+        )
+        feats = tf.transform(baskets)
+        km = KMeans(
+            k=self.grid_height * self.grid_width,
+            seed=self.seed,
+            featuresCol="features",
+            predictionCol="transaction_cluster",
+        )
+        model = km.fit(feats)
+        return model.transform(feats).drop("features"), model
+
+    def _sequences(self, clustered: DataFrame) -> DataFrame:
+        """U3 as pure column ops: per user, period-ordered flat list of
+        "{cluster}_{relperiod}" strings, relperiod 0 = last period."""
+        per_period = clustered.groupBy("user_id", "period_id").agg(
+            F.collect_set("transaction_cluster").alias("clusters")
+        )
+        tagged = per_period.withColumn(
+            "tags",
+            F.transform(
+                "clusters",
+                lambda c: F.concat_ws(
+                    "_",
+                    c.cast("string"),
+                    (F.col("period_id") - F.lit(self.n_periods - 1)).cast("string"),
+                ),
+            ),
+        )
+        return tagged.groupBy("user_id").agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("period_id", "tags"))),
+                    lambda s: s.getField("tags"),
+                )
+            ).alias("items")
+        )
+
+    def _mine_rules(self, sequences: DataFrame) -> DataFrame:
+        """M13 + M14: FPGrowth, keep current-period consequents, strip
+        current-period items from antecedents, dedupe, re-score
+        support/confidence over full sequences via a broadcast join
+        (replaces getSupport's collected-array closure, :492-504)."""
+        from pyspark.ml.fpm import FPGrowth
+
+        fp = FPGrowth(
+            itemsCol="items",
+            minSupport=self.min_support,
+            minConfidence=self.min_confidence,
+        )
+        model = fp.fit(sequences)
+        rules = (
+            model.associationRules
+            # consequent's head is in the current period (P4, :481-487)
+            .where(F.element_at("consequent", 1).endswith("_0"))
+            .withColumn(
+                "antecedent",
+                F.filter("antecedent", lambda x: ~x.endswith("_0")),
+            )
+            .where(F.size("antecedent") > 0)
+            .select("antecedent", "consequent")
+            .distinct()
+            .withColumn("rule_id", F.monotonically_increasing_id())
+        )
+
+        n_seq = sequences.count()
+        if n_seq == 0:
+            return rules.withColumn("support", F.lit(0.0)).withColumn(
+                "confidence", F.lit(0.0)
+            )
+
+        # J6: subset test as array_except-empty over broadcast rules
+        joined = sequences.crossJoin(F.broadcast(rules))
+        xy = F.concat("antecedent", "consequent")
+        counts = joined.groupBy("rule_id").agg(
+            F.sum(
+                F.when(F.size(F.array_except(xy, F.col("items"))) == 0, 1).otherwise(0)
+            ).alias("n_xy"),
+            F.sum(
+                F.when(
+                    F.size(F.array_except("antecedent", F.col("items"))) == 0, 1
+                ).otherwise(0)
+            ).alias("n_ant"),
+        )
+        scored = (
+            rules.join(counts, "rule_id")
+            .withColumn("support", F.col("n_xy") / F.lit(float(n_seq)))
+            .withColumn(
+                "confidence",
+                F.when(F.col("n_ant") > 0, F.col("n_xy") / F.col("n_ant")).otherwise(
+                    F.lit(0.0)
+                ),
+            )
+            .where(
+                (F.col("support") > self.min_support_seq)
+                & (F.col("confidence") > self.min_confidence_seq)
+            )
+            .select("rule_id", "antecedent", "consequent", "support", "confidence")
+        )
+        return scored
+
+    def fit(self, interactions: DataFrame) -> "SequentialTopK":
+        """Fit on ``(user_id, item_id, ts)`` interactions."""
+        baskets = self._baskets(interactions)
+        with_periods = self._with_periods(baskets)
+        clustered, _ = self._cluster(with_periods)
+        clustered = clustered.cache()
+
+        self.baskets_ = clustered
+        self.sequences_ = self._sequences(clustered).cache()
+        self.rules_ = self._mine_rules(self.sequences_).cache()
+
+        # candidate pool: items of last-period transactions, voted per
+        # cluster (reference transform :126-149, A9)
+        last = clustered.where(F.col("period_id") == self.n_periods - 1)
+        self.cluster_votes_ = (
+            last.select(
+                "transaction_cluster", F.explode("items").alias("item_id")
+            )
+            .groupBy("transaction_cluster", "item_id")
+            .agg(F.count("*").alias("votes"))
+            .cache()
+        )
+        self.seen_ = interactions.select(
+            "user_id", F.col("item_id").cast("string").alias("item_id")
+        ).distinct()
+        return self
+
+    # ---------------- recommend ----------------
+
+    def recommend(self) -> DataFrame:
+        """Top-K per user: best-matching rule picks a consequent
+        cluster; that cluster's most-voted unseen items win
+        (reference :113-152,183-239 — one user per call there, all
+        users in one plan here).
+
+        Returns ``(user_id, item_id, score, rank)``; item_id is the
+        string form of the original id.
+        """
+        if self.rules_ is None:
+            raise RuntimeError("fit() first")
+
+        # score every rule for every user: |antecedent ∩ items| · s · c
+        scored = (
+            self.sequences_.crossJoin(F.broadcast(self.rules_))
+            .withColumn(
+                "match", F.size(F.array_intersect("antecedent", "items"))
+            )
+            .withColumn(
+                "rule_score",
+                F.col("match") * F.col("support") * F.col("confidence"),
+            )
+            .where(F.col("rule_score") > 0)
+            .withColumn(
+                "consequent_cluster",
+                F.split(F.element_at("consequent", 1), "_").getItem(0).cast("int"),
+            )
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("rule_score"), F.asc("consequent_cluster"), F.asc("rule_id")
+        )
+        best = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "consequent_cluster")
+        )
+
+        cand = best.join(
+            self.cluster_votes_,
+            best.consequent_cluster == self.cluster_votes_.transaction_cluster,
+        ).select("user_id", "item_id", F.col("votes").cast("double").alias("score"))
+        fresh = cand.join(self.seen_, ["user_id", "item_id"], "left_anti")
+        wk = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("item_id"))
+        return (
+            fresh.withColumn("rank", F.row_number().over(wk))
+            .where(F.col("rank") <= self.k_items)
+            .select("user_id", "item_id", "score", "rank")
+        )

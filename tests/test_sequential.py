@@ -1,0 +1,88 @@
+"""Property tests for the sequential recommender (SURVEY §5 item 2 —
+pipeline properties, not cluster-id bit-parity: the KMeans-for-SOM
+substitution makes ids legitimately diverge from the reference)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from recsys_spark_spark.recommenders.sequential import SequentialTopK
+
+
+def _interactions(spark):
+    rows = []
+    # 8 users, 12 items, 6 months of weekly baskets; user u buys items
+    # clustered around u % 4 so baskets quantize into distinct clusters
+    import itertools
+
+    for u, week in itertools.product(range(8), range(24)):
+        base = (u % 4) * 3
+        ts = f"2024-{1 + week // 4:02d}-{1 + (week % 4) * 7:02d} 10:00:00"
+        for it in (base, base + 1, (base + week) % 12):
+            rows.append((u, it, ts))
+    return spark.createDataFrame(
+        rows, "user_id int, item_id int, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_sequential_pipeline_properties(spark):
+    inter = _interactions(spark)
+    model = SequentialTopK(
+        k_items=3, min_confidence=0.05, min_confidence_seq=0.01
+    ).fit(inter)
+
+    # periods are dense 0..n-1
+    pids = [
+        r.period_id
+        for r in model.baskets_.select("period_id").distinct().collect()
+    ]
+    assert set(pids) <= set(range(model.n_periods))
+
+    # every sequence item is "{cluster}_{relperiod}" with relperiod <= 0
+    seqs = model.sequences_.collect()
+    assert len(seqs) == 8
+    for row in seqs:
+        for tag in row["items"]:
+            cluster, rel = tag.rsplit("_", 1)
+            assert 0 <= int(cluster) < model.grid_height * model.grid_width
+            assert -(model.n_periods - 1) <= int(rel) <= 0
+
+    # rules: consequent in current period, antecedent never
+    for r in model.rules_.collect():
+        assert r["consequent"][0].endswith("_0")
+        assert all(not a.endswith("_0") for a in r["antecedent"])
+        assert 0.0 <= r["support"] <= 1.0
+        assert 0.0 <= r["confidence"] <= 1.0
+
+    rec = model.recommend()
+    pdf = rec.toPandas()
+    # top-k bounded, ranks dense from 1
+    assert pdf.groupby("user_id")["rank"].max().le(3).all()
+    assert (pdf.groupby("user_id")["rank"].min() == 1).all()
+    # recommendations never include already-seen items
+    seen = {
+        (r.user_id, r.item_id)
+        for r in model.seen_.collect()
+    }
+    assert all((u, i) not in seen for u, i in zip(pdf.user_id, pdf.item_id))
+
+
+def test_sequential_deterministic(spark):
+    inter = _interactions(spark)
+    a = (
+        SequentialTopK(k_items=3, min_confidence=0.05, min_confidence_seq=0.01)
+        .fit(inter)
+        .recommend()
+        .toPandas()
+        .sort_values(["user_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        SequentialTopK(k_items=3, min_confidence=0.05, min_confidence_seq=0.01)
+        .fit(inter)
+        .recommend()
+        .toPandas()
+        .sort_values(["user_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
