@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .rounding import qround
+
 KERNELS = ("cosine", "pearson", "euclidean", "jaccard")
 
 
@@ -200,7 +202,7 @@ def top_k_neighbors(
     (important when results are hash-compared against another engine).
     """
     a, b = sims.columns[0], sims.columns[1]
-    sim = F.round("sim", round_to) if round_to is not None else F.col("sim")
+    sim = qround("sim", round_to) if round_to is not None else F.col("sim")
     ranked = sims.withColumn("_s", sim).withColumn(
         "rn",
         F.row_number().over(

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import qround
+
 R6 = 6
 
 
@@ -45,8 +47,8 @@ def prediction_metrics(
     (X4/X5, PredictionMetrics.scala:35-43)."""
     err = F.col(pred_col) - F.col(actual_col)
     return joined.agg(
-        F.round(F.sqrt(F.avg(err * err)), R6).alias("rmse"),
-        F.round(F.avg(F.abs(err)), R6).alias("mae"),
+        qround(F.sqrt(F.avg(err * err)), R6).alias("rmse"),
+        qround(F.avg(F.abs(err)), R6).alias("mae"),
         F.count("*").alias("n_pairs"),
     )
 
@@ -108,8 +110,8 @@ def ranking_metrics_summary(per_user: DataFrame) -> DataFrame:
     """Mean of the per-user tuples — the reference's driver-side
     pairwise-sum average (Main.scala:113-122) as one agg."""
     return per_user.agg(
-        F.round(F.avg("p_at_k"), R6).alias("mean_p"),
-        F.round(F.avg("r_at_k"), R6).alias("mean_r"),
-        F.round(F.avg("ap_at_k"), R6).alias("mean_ap"),
+        qround(F.avg("p_at_k"), R6).alias("mean_p"),
+        qround(F.avg("r_at_k"), R6).alias("mean_r"),
+        qround(F.avg("ap_at_k"), R6).alias("mean_ap"),
         F.count("*").alias("n_users"),
     )

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import qround
+
 from ..sources.readers import table
 from .registry import register
 
@@ -89,8 +91,8 @@ SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
        CAST(length(text) AS BIGINT) AS n_chars,
-       round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-             / len(string_split(text, ' ')), 6) AS chars_per_token
+       floor((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' '))) * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token
 FROM documents
 """,
 )
@@ -104,7 +106,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
         F.length("text").cast("bigint").alias("n_chars"),
-        F.round(
+        qround(
             F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
             / F.size(toks),
             R6,
@@ -150,8 +152,8 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT lang,
        count(*) AS n_docs,
-       round(avg(n_chars), 6) AS avg_chars,
-       round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens,
+       floor((avg(n_chars)) * 1000000.0 + 0.5) / 1000000.0 AS avg_chars,
+       floor((avg(CAST(len(string_split(text, ' ')) AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS avg_tokens,
        CAST(count(DISTINCT source) AS BIGINT) AS n_sources
 FROM documents
 GROUP BY lang
@@ -162,8 +164,8 @@ def doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("n_chars"), R6).alias("avg_chars"),
-        F.round(F.avg(F.size(F.split("text", " ")).cast("double")), R6).alias(
+        qround(F.avg("n_chars"), R6).alias("avg_chars"),
+        qround(F.avg(F.size(F.split("text", " ")).cast("double")), R6).alias(
             "avg_tokens"
         ),
         F.countDistinct("source").cast("bigint").alias("n_sources"),
@@ -191,12 +193,12 @@ dots AS (
 ),
 sims AS (
   SELECT d.query_id, d.match_id,
-         round(d.dot / (nq.nrm * nb.nrm), 7) AS sim
+         floor((d.dot / (nq.nrm * nb.nrm)) * 10000000.0 + 0.5) / 10000000.0 AS sim
   FROM dots d
   JOIN norms nq ON nq.vec_id = d.query_id
   JOIN norms nb ON nb.vec_id = d.match_id
 )
-SELECT query_id, match_id, round(sim, 6) AS sim, CAST(rk AS INTEGER) AS rank
+SELECT query_id, match_id, floor((sim) * 1000000.0 + 0.5) / 1000000.0 AS sim, CAST(rk AS INTEGER) AS rank
 FROM (
   SELECT query_id, match_id, sim,
          row_number() OVER (
@@ -236,12 +238,12 @@ def embedding_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "match_id",
-            F.round(F.col("dot") / (F.col("nq") * F.col("nb")), 7).alias("sim"),
+            qround(F.col("dot") / (F.col("nq") * F.col("nb")), 7).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= KNN_K)
-        .select("query_id", "match_id", F.round("sim", R6).alias("sim"), "rank")
+        .select("query_id", "match_id", qround("sim", R6).alias("sim"), "rank")
     )

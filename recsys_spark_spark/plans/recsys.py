@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import qround
 from ..functions.similarity import pairwise_similarity
 from ..recommenders.neighborhood import item_based_topk, user_based_topk
 from ..recommenders.hybrid import hybrid_topk
@@ -75,9 +76,9 @@ halfsims AS (
   JOIN stats sb ON sb.ent = eb{ncols_join}
 ),
 sims AS (
-  SELECT ea, eb, co, round(sim, 7) AS sim FROM halfsims
+  SELECT ea, eb, co, floor((sim) * 10000000.0 + 0.5) / 10000000.0 AS sim FROM halfsims
   UNION ALL
-  SELECT eb, ea, co, round(sim, 7) AS sim FROM halfsims
+  SELECT eb, ea, co, floor((sim) * 10000000.0 + 0.5) / 10000000.0 AS sim FROM halfsims
 )
 """.strip()
 
@@ -87,7 +88,7 @@ def _pair_query_sql(axis: str, kernel: str, min_co: int) -> str:
     return f"""
 WITH {RATINGS_CTE},
 {_sims_ctes(axis, kernel)}
-SELECT ea AS {a}, eb AS {b}, round(sim, 4) AS sim, co
+SELECT ea AS {a}, eb AS {b}, floor((sim) * 10000.0 + 0.5) / 10000.0 AS sim, co
 FROM sims
 WHERE co >= {min_co} AND ea < eb
 """.strip()
@@ -147,10 +148,10 @@ scored AS (
 )
 SELECT user_id, item_id, score, CAST(rk AS INTEGER) AS rank FROM (
   SELECT s.user_id, s.item_id,
-         round(mu.m + s.delta, 6) AS score,
+         floor((mu.m + s.delta) * 1000000.0 + 0.5) / 1000000.0 AS score,
          row_number() OVER (
            PARTITION BY s.user_id
-           ORDER BY round(mu.m + s.delta, 6) DESC, s.item_id ASC) AS rk
+           ORDER BY floor((mu.m + s.delta) * 1000000.0 + 0.5) / 1000000.0 DESC, s.item_id ASC) AS rk
   FROM scored s JOIN means mu ON mu.user_id = s.user_id
 ) WHERE rk <= {k_items}
 """.strip()
@@ -193,7 +194,7 @@ SELECT user_id, item_id, score, CAST(rk AS INTEGER) AS rank FROM (
            PARTITION BY user_id ORDER BY score DESC, item_id ASC) AS rk
   FROM (
     SELECT user_id, item_id,
-           round(sum(sim * r_u) / sum(abs(sim)), 6) AS score
+           floor((sum(sim * r_u) / sum(abs(sim))) * 1000000.0 + 0.5) / 1000000.0 AS score
     FROM topn
     GROUP BY 1, 2
     HAVING sum(abs(sim)) <> 0
@@ -224,7 +225,7 @@ i_norm AS (
   FROM i_rec
 ),
 blended AS (
-  SELECT user_id, item_id, round(sum(wscore), 6) AS score
+  SELECT user_id, item_id, floor((sum(wscore)) * 1000000.0 + 0.5) / 1000000.0 AS score
   FROM (SELECT * FROM u_norm UNION ALL SELECT * FROM i_norm)
   GROUP BY 1, 2
 )
@@ -290,7 +291,7 @@ def _pair_query(
     # stay far from the rounding bucket for the value-hash to be stable
     return (
         sims.where(F.col("co") >= MIN_CO)
-        .select(a, b, F.round(F.round("sim", 7), 4).alias("sim"), "co")
+        .select(a, b, qround(qround("sim", 7), 4).alias("sim"), "co")
     )
 
 
@@ -387,9 +388,9 @@ fhalf AS (
   JOIN fstats sb ON sb.ent = eb
 ),
 fsims AS (
-  SELECT ea, eb, round(sim, 7) AS sim FROM fhalf
+  SELECT ea, eb, floor((sim) * 10000000.0 + 0.5) / 10000000.0 AS sim FROM fhalf
   UNION ALL
-  SELECT eb, ea, round(sim, 7) AS sim FROM fhalf
+  SELECT eb, ea, floor((sim) * 10000000.0 + 0.5) / 10000000.0 AS sim FROM fhalf
 )
 """.strip()
 
@@ -425,7 +426,7 @@ SELECT user_id, item_id, score, CAST(rk AS INTEGER) AS rank FROM (
            PARTITION BY user_id ORDER BY score DESC, item_id ASC) AS rk
   FROM (
     SELECT user_id, item_id,
-           round(sum(sim * r_u) / sum(abs(sim)), 6) AS score
+           floor((sum(sim * r_u) / sum(abs(sim))) * 1000000.0 + 0.5) / 1000000.0 AS score
     FROM topn
     GROUP BY 1, 2
     HAVING sum(abs(sim)) <> 0
@@ -452,7 +453,7 @@ topn AS (
   ) WHERE nrank <= {k_neighbors}
 )
 SELECT user_id, item_id,
-       round(sum(sim * r_u) / sum(abs(sim)), 6) AS prediction
+       floor((sum(sim * r_u) / sum(abs(sim))) * 1000000.0 + 0.5) / 1000000.0 AS prediction
 FROM topn
 GROUP BY 1, 2
 HAVING sum(abs(sim)) <> 0
@@ -527,7 +528,7 @@ pred AS (
   GROUP BY 1, 2
   HAVING sum(t.sim) <> 0
 )
-SELECT p.user_id, p.item_id, round(mu.m + p.delta, 6) AS prediction
+SELECT p.user_id, p.item_id, floor((mu.m + p.delta) * 1000000.0 + 0.5) / 1000000.0 AS prediction
 FROM pred p JOIN means mu ON mu.user_id = p.user_id
 """.strip()
 
@@ -552,7 +553,7 @@ topn AS (
   ) WHERE nrank <= {k_neighbors}
 )
 SELECT user_id, item_id,
-       round(sum(sim * r_u) / sum(abs(sim)), 6) AS prediction
+       floor((sum(sim * r_u) / sum(abs(sim))) * 1000000.0 + 0.5) / 1000000.0 AS prediction
 FROM topn
 GROUP BY 1, 2
 HAVING sum(abs(sim)) <> 0
@@ -602,9 +603,9 @@ per_user AS (
     SELECT user_id, count(*) AS n_rel FROM relevant GROUP BY 1
   ) rc USING (user_id)
 )
-SELECT round(avg(p_at_k), 6) AS mean_p,
-       round(avg(r_at_k), 6) AS mean_r,
-       round(avg(ap_at_k), 6) AS mean_ap,
+SELECT floor((avg(p_at_k)) * 1000000.0 + 0.5) / 1000000.0 AS mean_p,
+       floor((avg(r_at_k)) * 1000000.0 + 0.5) / 1000000.0 AS mean_r,
+       floor((avg(ap_at_k)) * 1000000.0 + 0.5) / 1000000.0 AS mean_ap,
        count(*) AS n_users
 FROM per_user
 """.strip()
@@ -647,9 +648,9 @@ WITH pred AS (
 actual AS (
   WITH {SPLIT_RATINGS_CTE} SELECT user_id, item_id, rating FROM test
 )
-SELECT round(sqrt(avg((p.prediction - a.rating) * (p.prediction - a.rating))), 6)
+SELECT floor((sqrt(avg((p.prediction - a.rating) * (p.prediction - a.rating)))) * 1000000.0 + 0.5) / 1000000.0
          AS rmse,
-       round(avg(abs(p.prediction - a.rating)), 6) AS mae,
+       floor((avg(abs(p.prediction - a.rating))) * 1000000.0 + 0.5) / 1000000.0 AS mae,
        count(*) AS n_pairs
 FROM pred p JOIN actual a USING (user_id, item_id)
 """,
@@ -672,9 +673,9 @@ def user_cf_rmse_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {SPLIT_RATINGS_CTE},
 imean AS (SELECT item_id, avg(rating) AS prediction FROM ratings GROUP BY 1)
-SELECT round(sqrt(avg((m.prediction - t.rating) * (m.prediction - t.rating))), 6)
+SELECT floor((sqrt(avg((m.prediction - t.rating) * (m.prediction - t.rating)))) * 1000000.0 + 0.5) / 1000000.0
          AS rmse,
-       round(avg(abs(m.prediction - t.rating)), 6) AS mae,
+       floor((avg(abs(m.prediction - t.rating))) * 1000000.0 + 0.5) / 1000000.0 AS mae,
        count(*) AS n_pairs
 FROM test t JOIN imean m ON m.item_id = t.item_id
 """,
@@ -749,8 +750,8 @@ def sequential_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {RATINGS_CTE}
 SELECT user_id,
        count(*) AS n_items,
-       round(avg(rating), 6) AS mean_rating,
-       round(sum(rating * rating), 6) AS sumsq
+       floor((avg(rating)) * 1000000.0 + 0.5) / 1000000.0 AS mean_rating,
+       floor((sum(rating * rating)) * 1000000.0 + 0.5) / 1000000.0 AS sumsq
 FROM ratings GROUP BY user_id
 """,
 )
@@ -760,6 +761,6 @@ def rating_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = ratings_from_sales(spark, sf_dir)
     return r.groupBy("user_id").agg(
         F.count("*").alias("n_items"),
-        F.round(F.avg("rating"), 6).alias("mean_rating"),
-        F.round(F.sum(F.col("rating") * F.col("rating")), 6).alias("sumsq"),
+        qround(F.avg("rating"), 6).alias("mean_rating"),
+        qround(F.sum(F.col("rating") * F.col("rating")), 6).alias("sumsq"),
     )

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import qround
+
 from ..sources.readers import table
 from .registry import register
 
@@ -27,13 +29,13 @@ R6 = 6  # float output rounding (both engines) for stable hashing
     bench=True,
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 6)                                        AS sum_qty,
-       round(sum(l_extendedprice), 6)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
-       round(avg(l_quantity), 6)                                        AS avg_qty,
-       round(avg(l_extendedprice), 6)                                   AS avg_price,
-       round(avg(l_discount), 6)                                        AS avg_disc,
+       floor((sum(l_quantity)) * 1000000.0 + 0.5) / 1000000.0                                        AS sum_qty,
+       floor((sum(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0                                   AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 1000000.0 + 0.5) / 1000000.0                AS sum_disc_price,
+       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 1000000.0 + 0.5) / 1000000.0  AS sum_charge,
+       floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0                                        AS avg_qty,
+       floor((avg(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0                                   AS avg_price,
+       floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0                                        AS avg_disc,
        count(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -53,13 +55,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), R6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), R6).alias("sum_base_price"),
-            F.round(F.sum(disc_price), R6).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), R6).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), R6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), R6).alias("avg_price"),
-            F.round(F.avg("l_discount"), R6).alias("avg_disc"),
+            qround(F.sum("l_quantity"), R6).alias("sum_qty"),
+            qround(F.sum("l_extendedprice"), R6).alias("sum_base_price"),
+            qround(F.sum(disc_price), R6).alias("sum_disc_price"),
+            qround(F.sum(disc_price * (1 + F.col("l_tax"))), R6).alias("sum_charge"),
+            qround(F.avg("l_quantity"), R6).alias("avg_qty"),
+            qround(F.avg("l_extendedprice"), R6).alias("avg_price"),
+            qround(F.avg("l_discount"), R6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -72,7 +74,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH rev AS (
   SELECT l.l_orderkey,
-         round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+         floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 1000000.0 + 0.5) / 1000000.0 AS revenue,
          o.o_orderdate
   FROM customer c
   JOIN orders o ON c.c_custkey = o.o_custkey
@@ -106,7 +108,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
+            qround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R6
             ).alias("revenue")
         )
@@ -122,7 +124,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     oracle="""
 SELECT n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+       floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 1000000.0 + 0.5) / 1000000.0 AS revenue
 FROM region r
 JOIN nation n ON n.n_regionkey = r.r_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -156,7 +158,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
+            qround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R6
             ).alias("revenue")
         )
@@ -236,7 +238,7 @@ def building_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFram
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        count(*) AS n_rows,
-       round(sum(l_extendedprice), 6) AS sum_price
+       floor((sum(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS sum_price
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
@@ -249,7 +251,7 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n_rows"),
-            F.round(F.sum("l_extendedprice"), R6).alias("sum_price"),
+            qround(F.sum("l_extendedprice"), R6).alias("sum_price"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -303,7 +305,7 @@ def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value
+       floor((sum(value)) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -317,7 +319,7 @@ def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), R6).alias("sum_value"),
+            qround(F.sum("value"), R6).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("day_start"),
@@ -416,8 +418,8 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "part_price_median_by_brand",
     oracle="""
 SELECT p_brand,
-       round(quantile_cont(p_retailprice, 0.5), 6) AS median_price,
-       round(quantile_cont(p_retailprice, 0.9), 6) AS p90_price,
+       floor((quantile_cont(p_retailprice, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS median_price,
+       floor((quantile_cont(p_retailprice, 0.9)) * 1000000.0 + 0.5) / 1000000.0 AS p90_price,
        count(*) AS n_parts
 FROM part
 GROUP BY p_brand
@@ -429,8 +431,8 @@ def part_price_median_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory; the oracle pins the exact variant."""
     p = table(spark, sf_dir, "part")
     return p.groupBy("p_brand").agg(
-        F.round(F.percentile("p_retailprice", F.lit(0.5)), R6).alias("median_price"),
-        F.round(F.percentile("p_retailprice", F.lit(0.9)), R6).alias("p90_price"),
+        qround(F.percentile("p_retailprice", F.lit(0.5)), R6).alias("median_price"),
+        qround(F.percentile("p_retailprice", F.lit(0.9)), R6).alias("p90_price"),
         F.count("*").alias("n_parts"),
     )
 

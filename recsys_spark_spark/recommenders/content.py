@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import qround
 from ..functions.similarity import pairwise_similarity
 from .neighborhood import (
     SIM_ROUND,
@@ -102,7 +103,7 @@ def content_similarities(
     return sims.select(
         F.col("user_a").alias("item_id"),
         F.col("user_b").alias("neighbor_item"),
-        F.round("sim", SIM_ROUND).alias("sim"),
+        qround("sim", SIM_ROUND).alias("sim"),
     )
 
 

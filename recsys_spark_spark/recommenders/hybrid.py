@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import qround
+
 SCORE_ROUND = 6
 
 
@@ -44,7 +46,7 @@ def hybrid_topk(
         _normalize(rec_a, weight_a)
         .unionByName(_normalize(rec_b, weight_b))
         .groupBy("user_id", "item_id")
-        .agg(F.round(F.sum("wscore"), SCORE_ROUND).alias("score"))
+        .agg(qround(F.sum("wscore"), SCORE_ROUND).alias("score"))
     )
     w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("item_id"))
     return (

@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import qround
 from ..functions.similarity import pairwise_similarity
 
 # Similarities are rounded to 7 dp BEFORE any ranking: cross-engine
@@ -97,7 +98,7 @@ def user_based_topk(
     ).select(
         F.col("user_a").alias("user_id"),
         F.col("user_b").alias("neighbor"),
-        F.round("sim", SIM_ROUND).alias("sim"),
+        qround("sim", SIM_ROUND).alias("sim"),
     )
 
     if prefilter_neighbors is not None:
@@ -147,7 +148,7 @@ def user_based_topk(
         .select(
             "user_id",
             "item_id",
-            F.round(F.col("mean_r") + F.col("delta"), SCORE_ROUND).alias("score"),
+            qround(F.col("mean_r") + F.col("delta"), SCORE_ROUND).alias("score"),
         )
     )
     return _rank_items(scored, k_items)
@@ -178,7 +179,7 @@ def item_based_topk(
     ).select(
         F.col("item_a").alias("item_id"),
         F.col("item_b").alias("neighbor_item"),
-        F.round("sim", SIM_ROUND).alias("sim"),
+        qround("sim", SIM_ROUND).alias("sim"),
     )
 
     return topk_from_item_sims(
@@ -240,7 +241,7 @@ def topk_from_item_sims(
         .select(
             "user_id",
             "item_id",
-            F.round(F.col("num") / F.col("den"), SCORE_ROUND).alias("score"),
+            qround(F.col("num") / F.col("den"), SCORE_ROUND).alias("score"),
         )
     )
     return _rank_items(scored, k_items)
@@ -265,7 +266,7 @@ def predict_user_based(
     ).select(
         F.col("user_a").alias("user_id"),
         F.col("user_b").alias("neighbor"),
-        F.round("sim", SIM_ROUND).alias("sim"),
+        qround("sim", SIM_ROUND).alias("sim"),
     )
     neigh_r = ratings.select(
         F.col("user_id").alias("neighbor"), "item_id", F.col("rating").alias("r_n")
@@ -296,7 +297,7 @@ def predict_user_based(
         .select(
             "user_id",
             "item_id",
-            F.round(F.col("mean_r") + F.col("delta"), SCORE_ROUND).alias(
+            qround(F.col("mean_r") + F.col("delta"), SCORE_ROUND).alias(
                 "prediction"
             ),
         )
@@ -321,7 +322,7 @@ def predict_item_based(
     ).select(
         F.col("item_a").alias("item_id"),
         F.col("item_b").alias("neighbor_item"),
-        F.round("sim", SIM_ROUND).alias("sim"),
+        qround("sim", SIM_ROUND).alias("sim"),
     )
     return predict_from_item_sims(sims, ratings, pairs, k_neighbors)
 
@@ -357,6 +358,6 @@ def predict_from_item_sims(
         .select(
             "user_id",
             "item_id",
-            F.round(F.col("num") / F.col("den"), SCORE_ROUND).alias("prediction"),
+            qround(F.col("num") / F.col("den"), SCORE_ROUND).alias("prediction"),
         )
     )
