@@ -22,12 +22,15 @@ reduces to three per-user scalars plus the co-rated dot product —
                (set form of the binary kernel, JaccardSimilarity:22-29)
 
 Documented divergence: the reference's all-pairs driver loop also
-scores pairs with NO co-rated item (cosine/pearson → 0, euclidean → a
-small positive value).  A distributed engine must not enumerate O(n²)
-pairs at 100 TB, so pairs sharing zero items are omitted here.  For
-cosine/pearson/jaccard this is exact (their similarity is 0 ⇒ never
-selected as neighbors before any co-rated pair); for euclidean it drops
-degenerate neighbors that carry no signal.
+scores pairs with NO co-rated item.  A distributed engine must not
+enumerate O(n²) pairs at 100 TB, so pairs sharing zero items are
+omitted here.  For cosine/jaccard this is exact (their similarity is
+0 ⇒ never selected as a neighbor before any co-rated pair); for
+euclidean it drops degenerate neighbors that carry no signal; for
+pearson a zero-overlap pair is NOT exactly 0 in the reference (the
+full-array numerator is −sum_a·sum_b/N, i.e. negative), so omission
+can drop negative-similarity neighbors when fewer than k co-rated
+ones exist — accepted divergence, same class as the euclidean one.
 
 Scale: the self-join explodes per-item rater lists — O(Σ_item n_i²)
 pair rows.  ``max_raters_per_item`` caps pathological hot items

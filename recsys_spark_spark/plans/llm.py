@@ -131,17 +131,24 @@ SELECT token, n, CAST(rk AS INTEGER) AS rank FROM (
 def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide token frequency top-20 (explode → count → rank).
     The explode-shuffle is the scale hazard; partial aggregation keeps
-    the shuffle at distinct-token width, not corpus width."""
+    the shuffle at distinct-token width, not corpus width.
+
+    The global top-20 is taken with ``orderBy().limit(20)`` — planned as
+    a distributed TakeOrderedAndProject (per-partition top-20, tiny
+    merge on the driver) — NOT an unpartitioned rank window, which
+    would funnel every distinct token through one partition.  The rank
+    column is then attached with a window over the 20 surviving rows,
+    where a single partition is exactly right."""
     d = table(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(20)
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w))
         .select("token", "n", "rank")
     )
 

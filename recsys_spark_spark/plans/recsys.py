@@ -6,8 +6,9 @@ from orders ⋈ lineitem as ``(user_id, item_id, rating)``.
 
 The oracle SQL is *generated* from the same kernel formulas the Spark
 side uses (functions/similarity.py) so the two engines state the same
-math; both round similarities to 9 dp BEFORE any ranking and scores to
-6 dp before output, making top-k boundaries stable cross-engine.
+math; both round similarities to 7 dp (SIM_ROUND; the 10000000.0
+factors in the SQL) BEFORE any ranking and scores to 6 dp before
+output, making top-k boundaries stable cross-engine.
 """
 
 from __future__ import annotations
@@ -248,6 +249,28 @@ K_ITEMS = 5
 CHILD_K = 20
 MIN_CO = 5
 
+#: Skew guard for the co-rated self-join (O(Σ n_i²) pair rows per hot
+#: item).  500 is a deliberate no-op at oracle/bench scale — the
+#: observed max raters-per-item is 49 at sf0.01 and 53 at sf0.1, so
+#: every oracle row is unchanged — but at 100 TB a viral item with 10⁶
+#: raters would otherwise contribute 10¹² pair rows to one join key;
+#: the cap bounds any single key's contribution at 2.5·10⁵ pairs.
+#: Parity note: the reference scores all pairs (driver loop, no skew
+#: concept); dropping ultra-hot items is the standard frequent-item
+#: cutoff for neighborhood CF and only fires above this threshold.
+MAX_RATERS_PER_ITEM = 500
+
+
+def _cached_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ratings_from_sales, marked for caching.
+
+    Every CF plan references the ratings subtree many times (pair join
+    sides, per-entity stats, means, candidate join, anti-join); without
+    a cache Catalyst re-executes the orders⋈lineitem aggregate for each
+    reference.  ``cache()`` registers by analyzed plan, so all queries
+    in a session share one materialization."""
+    return ratings_from_sales(spark, sf_dir).cache()
+
 
 @register("user_sim_cosine", oracle=_pair_query_sql("user", "cosine", MIN_CO))
 def user_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,9 +304,14 @@ def item_sim_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pair_query(
     spark: SparkSession, sf_dir: str, axis: str, kernel: str
 ) -> DataFrame:
-    ratings = ratings_from_sales(spark, sf_dir)
+    ratings = _cached_ratings(spark, sf_dir)
     sims = pairwise_similarity(
-        ratings, kernel=kernel, axis=axis, directed=False, with_co=True
+        ratings,
+        kernel=kernel,
+        axis=axis,
+        directed=False,
+        with_co=True,
+        max_raters_per_item=MAX_RATERS_PER_ITEM,
     )
     a, b = f"{axis}_a", f"{axis}_b"
     # 4 dp output: these queries list ~10⁶ pairs, and cross-engine float
@@ -305,11 +333,12 @@ def user_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference M3, UserBasedTopKRecommender.scala:40-91) as one
     distributed plan."""
     return user_based_topk(
-        ratings_from_sales(spark, sf_dir),
+        _cached_ratings(spark, sf_dir),
         k_neighbors=K_NEIGHBORS,
         k_items=K_ITEMS,
         kernel="cosine",
         prefilter_neighbors=PREFILTER,
+        max_raters_per_item=MAX_RATERS_PER_ITEM,
     )
 
 
@@ -323,11 +352,12 @@ def item_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     .scala:44-94); per-item neighbor lists pre-pruned to the standard
     item-CF top-N model shape."""
     return item_based_topk(
-        ratings_from_sales(spark, sf_dir),
+        _cached_ratings(spark, sf_dir),
         k_neighbors=K_NEIGHBORS,
         k_items=K_ITEMS,
         kernel="cosine",
         prefilter_neighbors=PREFILTER,
+        max_raters_per_item=MAX_RATERS_PER_ITEM,
     )
 
 
@@ -339,12 +369,22 @@ def item_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9 weighted hybrid: max-normalized 0.6·user + 0.4·item blend
     (HybridRecommenderTopK.scala:69-79,116-120)."""
-    ratings = ratings_from_sales(spark, sf_dir)
+    ratings = _cached_ratings(spark, sf_dir)
     u = user_based_topk(
-        ratings, K_NEIGHBORS, CHILD_K, "cosine", prefilter_neighbors=PREFILTER
+        ratings,
+        K_NEIGHBORS,
+        CHILD_K,
+        "cosine",
+        prefilter_neighbors=PREFILTER,
+        max_raters_per_item=MAX_RATERS_PER_ITEM,
     )
     i = item_based_topk(
-        ratings, K_NEIGHBORS, CHILD_K, "cosine", prefilter_neighbors=PREFILTER
+        ratings,
+        K_NEIGHBORS,
+        CHILD_K,
+        "cosine",
+        prefilter_neighbors=PREFILTER,
+        max_raters_per_item=MAX_RATERS_PER_ITEM,
     )
     return hybrid_topk(u, i, weight_a=0.6, weight_b=0.4, k_items=K_ITEMS)
 
@@ -471,7 +511,7 @@ def content_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..recommenders.content import content_based_topk, part_features
 
     return content_based_topk(
-        ratings_from_sales(spark, sf_dir),
+        _cached_ratings(spark, sf_dir),
         part_features(spark, sf_dir),
         k_neighbors=K_NEIGHBORS,
         k_items=K_ITEMS,
@@ -614,7 +654,7 @@ FROM per_user
 def _split(spark: SparkSession, sf_dir: str):
     from ..metrics.evaluation import split_ratings
 
-    return split_ratings(ratings_from_sales(spark, sf_dir))
+    return split_ratings(_cached_ratings(spark, sf_dir))
 
 
 @register("user_cf_predictions", oracle=_user_predict_sql("cosine", K_NEIGHBORS))
@@ -758,7 +798,7 @@ FROM ratings GROUP BY user_id
 def rating_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11/M1: the per-user stats that replace the reference's dense
     matrix materialization (BaseRecommender.scala:87-132)."""
-    r = ratings_from_sales(spark, sf_dir)
+    r = _cached_ratings(spark, sf_dir)
     return r.groupBy("user_id").agg(
         F.count("*").alias("n_items"),
         qround(F.avg("rating"), 6).alias("mean_rating"),

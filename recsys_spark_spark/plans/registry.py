@@ -8,7 +8,9 @@ sf=0.01 and hash-compares the results.
 Conventions that make cross-engine hashing stable:
 - every computed column is aliased identically in Spark and SQL;
 - float aggregates are rounded (6 dp) in BOTH engines before output,
-  and similarity/rank decisions round BEFORE ranking (9 dp) so that a
+  and similarity/rank decisions round BEFORE ranking (7 dp — the
+  SIM_ROUND constant, mirrored by the 10000000.0 factors in oracle
+  SQL) so that a
   last-ulp difference cannot flip a top-k boundary;
 - integer-ish outputs are cast to the same width (Spark count() is
   BIGINT; DuckDB SUM(int) would be HUGEINT → cast);

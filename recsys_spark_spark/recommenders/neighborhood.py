@@ -26,7 +26,7 @@ Semantics preserved from the reference (cited):
 - ties rank by ascending id (the reference's stable sort leaves ties in
   ascending candidate order, SURVEY §2.6).
 
-Scores are rounded (default 9 dp for sims, 6 dp for final scores)
+Scores are rounded (7 dp for sims = SIM_ROUND, 6 dp for final scores)
 BEFORE ranking so that rank decisions are stable across engines —
 last-ulp float noise must not flip a top-k boundary when results are
 hash-compared against a SQL oracle.

@@ -82,7 +82,12 @@ class SequentialTopK:
         bounds = baskets.agg(
             F.min(secs).alias("t0"), F.max(secs).alias("t1")
         )
-        width = (F.col("t1") - F.col("t0")) / self.n_periods
+        # degenerate span (every basket at one timestamp) would make
+        # width 0 → 0.0/0.0 = NaN → ANSI cast crash; clamp to a
+        # positive epsilon so everything lands in period 0
+        width = F.greatest(
+            (F.col("t1") - F.col("t0")) / self.n_periods, F.lit(1e-9)
+        )
         return (
             baskets.crossJoin(F.broadcast(bounds))
             .withColumn(

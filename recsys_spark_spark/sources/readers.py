@@ -137,11 +137,14 @@ def ratings_from_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ratings_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Alternative ratings projection: events as implicit feedback.
+    """Alternative interactions projection: events as implicit feedback.
 
-    ``(user_id, event_type, avg(value), max(ts))`` — used by the
-    sequential recommender demos where a timestamp per interaction is
-    required.
+    Plain per-event projection ``(user_id, item_id, rating, ts)`` — no
+    aggregation.  NOTE: ``item_id`` here is the STRING ``event_type``
+    (events carry no integer item key), so this frame is for
+    timestamped-interaction consumers (e.g. ``SequentialTopK.fit``,
+    which casts item ids to string anyway) and must NOT be joined
+    against the integer-keyed ``ratings_from_sales`` output.
     """
     events = table(spark, sf_dir, "events")
     return events.select(
