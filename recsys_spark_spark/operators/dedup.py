@@ -1,0 +1,490 @@
+"""Near-duplicate detection at scale (SURVEY L2).
+
+Three probabilistic/bucketed flavors plus one exact flavor, all
+DataFrame-native, all deterministic, all with DuckDB-replayable SQL
+twins:
+
+- **MinHash + banding** (`minhash_neardup_pairs`): token-shingle sets
+  → ``n_hashes`` min-hashes → bands of ``rows_per_band`` → bucket
+  join → exact-Jaccard verification of candidates.  The Jaccard
+  kernel is the reference's set-overlap semantic
+  (similarity/JaccardSimilarity.scala:22-29) lifted from rating
+  vectors to shingle sets.
+- **SimHash** (`simhash_neardup_pairs`): 60-bit per-doc fingerprint;
+  pairs within Hamming distance ``max_hamming``.  With the 4-chunk
+  pigeonhole join and max_hamming ≤ 3 this is EXACT, not
+  probabilistic: any two 60-bit words differing in ≤3 bits agree on
+  at least one 15-bit chunk.
+- **Exact n-gram Jaccard** (`ngram_jaccard_pairs`): inverted-index
+  self-join on shared shingles (only pairs sharing ≥1 shingle are
+  enumerated — the same zero-overlap-omission argument as
+  functions/similarity.py), exact Jaccard, threshold.
+- Exact/normalized full-text hashing lives in plans/llm.py (L1).
+
+Scale analysis (100 TB corpus):
+- shingling + hashing are narrow maps (no shuffle);
+- MinHash shuffles doc→signature (one row per doc per band, compact
+  keys); bucket sizes bound the candidate join — O(Σ bucket²) per
+  band, not O(n²);
+- the exact-Jaccard verify touches only candidate pairs;
+- `ngram_jaccard_pairs` is the exact fallback whose cost is
+  O(Σ_shingle df²); ``max_doc_freq`` drops stop-shingles (a shingle
+  in >N docs identifies nothing) to bound the hot keys — same skew
+  rationale as plans/recsys.py MAX_RATERS_PER_ITEM.
+
+Determinism / oracle story: every hash is the first 60 bits of
+md5(seed|value) — reproducible in DuckDB with string md5 + integer
+ops, so even the *probabilistic* pipelines get REAL value-hash
+oracles (the oracle replays banding bit-for-bit rather than trusting
+recall).  Recall itself is asserted in tests/test_dedup.py against
+planted near-duplicates.  At production scale the same pipeline can
+swap md5 for xxhash64 (cheaper, Spark-side only) via ``hash_mode``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import qround
+
+N_HASHES = 64
+ROWS_PER_BAND = 4
+SHINGLE = 3
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+J_ROUND = 6
+
+
+# --------------------------------------------------------------------------
+# shared deterministic 60-bit hash
+# --------------------------------------------------------------------------
+
+def hash60(col: Column, seed: int | str = 0, hash_mode: str = "md5") -> Column:
+    """First 60 bits of md5(seed|value) as a non-negative BIGINT —
+    the cross-engine hash primitive (DuckDB twin: `hash60_sql`).
+    ``hash_mode="xxhash64"`` is the cheap Spark-only production path
+    (no oracle)."""
+    if hash_mode == "xxhash64":
+        return F.xxhash64(F.lit(str(seed)), col)
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), col.cast("string")).cast("binary")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def hash60_sql(expr: str, seed: int | str = 0) -> str:
+    """DuckDB twin of `hash60` (md5 mode)."""
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{seed}|', {expr})), 1, 15)) AS BIGINT)"
+    )
+
+
+# --------------------------------------------------------------------------
+# shingling
+# --------------------------------------------------------------------------
+
+def shingles_col(text: Column, n: int = SHINGLE) -> Column:
+    """Distinct token n-gram shingles of a whitespace-tokenized text.
+    Documents shorter than n tokens contribute their whole token list
+    as one shingle (so no document vanishes)."""
+    toks = F.split(text, " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def shingle_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = SHINGLE
+) -> DataFrame:
+    """Exploded (id, shingle) rows, distinct per document."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("s"),
+    )
+
+
+SHINGLES_SQL = """
+SELECT doc_id AS id,
+       DISTINCT ON (doc_id, s) array_to_string(list_slice(t, i, i + {last}), ' ') AS s
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {table}),
+     UNNEST(generate_series(1, greatest(len(t) - {last}, 1))) AS g(i)
+""".strip()
+
+
+def shingles_sql(table: str = "documents", n: int = SHINGLE) -> str:
+    """DuckDB twin of `shingle_rows` (as a subquery body)."""
+    return f"""
+SELECT DISTINCT doc_id AS id, array_to_string(list_slice(t, i, i + {n - 1}), ' ') AS s
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {table}) toks,
+     UNNEST(generate_series(1, greatest(len(t) - {n - 1}, 1))) AS g(i)
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# MinHash + banding
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    sh_rows: DataFrame,
+    n_hashes: int = N_HASHES,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """(id, sig array<bigint>[n_hashes]): per-document min over the
+    shingle hashes for each seed — the classic permutation-free
+    MinHash.  One shuffle on the doc id; n_hashes parallel min
+    aggregates (all JVM-side)."""
+    mins = [
+        F.min(hash60(F.col("s"), seed, hash_mode)).alias(f"_h{seed}")
+        for seed in range(n_hashes)
+    ]
+    agg = sh_rows.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"_h{s}") for s in range(n_hashes)]).alias("sig")
+    )
+
+
+def band_rows(
+    sigs: DataFrame,
+    rows_per_band: int = ROWS_PER_BAND,
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """(id, band, bsig): one compact string key per band — the LSH
+    bucketing key."""
+    n_bands = n_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select("id", F.posexplode(bands).alias("band", "bsig"))
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one band bucket."""
+    a = bands.select(F.col("id").alias("id_a"), "band", "bsig")
+    b = bands.select(F.col("id").alias("id_b"), "band", "bsig")
+    return (
+        a.join(b, ["band", "bsig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    cand: DataFrame, sh_rows: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over shingle sets, restricted to candidate pairs.
+    jaccard = co / (n_a + n_b − co) — set form of the reference kernel
+    (similarity/JaccardSimilarity.scala:22-29)."""
+    sizes = sh_rows.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh_rows.select(F.col("id").alias("id_a"), "s")
+    b = sh_rows.select(F.col("id").alias("id_b"), "s")
+    co = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("co"))
+    )
+    return (
+        co.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            qround(
+                F.col("co") / (F.col("n_a") + F.col("n_b") - F.col("co")), J_ROUND
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_HASHES,
+    rows_per_band: int = ROWS_PER_BAND,
+    shingle: int = SHINGLE,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Full MinHash-LSH near-dedup: (id_a, id_b, jaccard ≥ threshold).
+
+    Detection probability per true pair at Jaccard s:
+    1 − (1 − s^rows_per_band)^(n_hashes/rows_per_band); defaults
+    (16 bands × 4) give ≈1−4·10⁻⁸ at s=0.9 and 0.64 at s=0.5 — tune
+    rows_per_band down for lower-similarity regimes."""
+    sh = shingle_rows(docs, id_col, text_col, shingle)
+    sigs = minhash_signatures(sh, n_hashes, hash_mode)
+    cand = lsh_candidate_pairs(band_rows(sigs, rows_per_band, n_hashes))
+    return verify_jaccard(cand, sh, threshold)
+
+
+def minhash_neardup_sql(
+    threshold: float = 0.5,
+    table: str = "documents",
+    n_hashes: int = N_HASHES,
+    rows_per_band: int = ROWS_PER_BAND,
+    shingle: int = SHINGLE,
+) -> str:
+    """DuckDB twin of `minhash_neardup_pairs` (md5 hash mode)."""
+    return f"""
+WITH sh AS (
+{shingles_sql(table, shingle)}
+),
+seeds AS (SELECT ss.seed AS seed FROM generate_series(0, {n_hashes - 1}) ss(seed)),
+mh AS (
+  SELECT sh.id, seeds.seed, min({hash60_sql("sh.s", "' || seeds.seed || '")}) AS mh
+  FROM sh, seeds
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT id, seed // {rows_per_band} AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY seed) AS bsig
+  FROM mh GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+  WHERE a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+co AS (
+  SELECT c.id_a, c.id_b, count(*) AS co
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT co.id_a, co.id_b,
+       floor((CAST(co.co AS DOUBLE) / (na.n + nb.n - co.co)) * 1000000.0 + 0.5)
+         / 1000000.0 AS jaccard
+FROM co
+JOIN sizes na ON na.id = co.id_a
+JOIN sizes nb ON nb.id = co.id_b
+WHERE floor((CAST(co.co AS DOUBLE) / (na.n + nb.n - co.co)) * 1000000.0 + 0.5)
+        / 1000000.0 >= {threshold}
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted-index join)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = SHINGLE,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT near-dup pairs: every (id_a < id_b, jaccard ≥ threshold).
+
+    Inverted-index self-join on shared shingles; pairs sharing no
+    shingle have Jaccard 0 and are correctly absent.  ``max_doc_freq``
+    drops shingles occurring in more than N documents before the join
+    (stop-shingle skew guard; changes results only for pairs whose
+    overlap is dominated by ubiquitous shingles)."""
+    sh = shingle_rows(docs, id_col, text_col, shingle)
+    if max_doc_freq is not None:
+        df_counts = sh.groupBy("s").agg(F.count("*").alias("_df"))
+        sh = sh.join(df_counts, "s").where(F.col("_df") <= max_doc_freq).drop("_df")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "s")
+    b = sh.select(F.col("id").alias("id_b"), "s")
+    co = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("co"))
+    )
+    return (
+        co.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            qround(
+                F.col("co") / (F.col("n_a") + F.col("n_b") - F.col("co")), J_ROUND
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_sql(
+    threshold: float = 0.5, table: str = "documents", shingle: int = SHINGLE
+) -> str:
+    """DuckDB twin of `ngram_jaccard_pairs` (no doc-freq cap)."""
+    return f"""
+WITH sh AS (
+{shingles_sql(table, shingle)}
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+co AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS co
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT co.id_a, co.id_b,
+       floor((CAST(co.co AS DOUBLE) / (na.n + nb.n - co.co)) * 1000000.0 + 0.5)
+         / 1000000.0 AS jaccard
+FROM co
+JOIN sizes na ON na.id = co.id_a
+JOIN sizes nb ON nb.id = co.id_b
+WHERE floor((CAST(co.co AS DOUBLE) / (na.n + nb.n - co.co)) * 1000000.0 + 0.5)
+        / 1000000.0 >= {threshold}
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = SIMHASH_BITS,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """(id, simhash bigint, n_tokens): 60-bit SimHash fingerprint.
+
+    Every token *occurrence* votes ±1 on each bit of its 60-bit hash;
+    bit b of the fingerprint is 1 iff the vote sum is ≥ 0.  One narrow
+    map + one aggregation on the doc id."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    h = toks.select("id", hash60(F.col("tok"), 0, hash_mode).alias("hv"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"_s{b}")
+        for b in range(n_bits)
+    ]
+    agg = h.groupBy("id").agg(F.count("*").alias("n_tokens"), *votes)
+    sig = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"_s{b}") >= 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select("id", sig.alias("simhash"), "n_tokens")
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """(id_a, id_b, hamming ≤ max_hamming) — EXACT for max_hamming ≤ 3.
+
+    Pigeonhole banding: the 60-bit fingerprint splits into 4 chunks of
+    15 bits; two words differing in ≤3 bits must agree on ≥1 chunk, so
+    joining per-chunk finds every such pair (for larger max_hamming the
+    join is a high-recall heuristic)."""
+    sigs = simhash_signatures(docs, id_col, text_col, SIMHASH_BITS, hash_mode)
+    chunk_width = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_width) - 1
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), c * chunk_width).bitwiseAND(F.lit(mask))
+            for c in range(SIMHASH_CHUNKS)
+        ]
+    )
+    ch = sigs.select("id", "simhash", F.posexplode(chunks).alias("c", "chunk"))
+    a = ch.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "c", "chunk"
+    )
+    b = ch.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "c", "chunk"
+    )
+    cand = (
+        a.join(b, ["c", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_sql_core(table: str = "documents", n_bits: int = SIMHASH_BITS) -> str:
+    """DuckDB CTE body computing (id, simhash, n_tokens)."""
+    return f"""
+toks AS (
+  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM {table}
+),
+h AS (SELECT id, {hash60_sql("tok")} AS hv FROM toks),
+votes AS (
+  SELECT id, bb.b AS b,
+         sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s,
+         count(*) AS n
+  FROM h, generate_series(0, {n_bits - 1}) bb(b)
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT id,
+         CAST(sum(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT)
+           AS simhash,
+         CAST(min(n) AS BIGINT) AS n_tokens
+  FROM votes GROUP BY 1
+)
+""".strip()
+
+
+def simhash_fingerprints_sql(table: str = "documents") -> str:
+    return f"""
+WITH {simhash_sql_core(table)}
+SELECT id AS doc_id, simhash, n_tokens FROM sig
+""".strip()
+
+
+def simhash_neardup_sql(max_hamming: int = 3, table: str = "documents") -> str:
+    chunk_width = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_width) - 1
+    return f"""
+WITH {simhash_sql_core(table)},
+ch AS (
+  SELECT id, simhash, cc.c AS c, (simhash >> (cc.c * {chunk_width})) & {mask} AS chunk
+  FROM sig, generate_series(0, {SIMHASH_CHUNKS - 1}) cc(c)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM ch a JOIN ch b ON a.c = b.c AND a.chunk = b.chunk
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+""".strip()

