@@ -116,12 +116,16 @@ def pairwise_similarity(
     )
 
     if max_raters_per_item is not None:
-        key_counts = r.groupBy("key").agg(F.count("*").alias("_kn"))
-        r = (
-            r.join(key_counts, "key")
-            .where(F.col("_kn") <= max_raters_per_item)
-            .drop("_kn")
+        # hot keys are by construction FEW (each contributes n² pair
+        # rows) → broadcast anti-join beats a full count-join: the
+        # fact table streams once against a tiny in-memory set
+        hot = (
+            r.groupBy("key")
+            .agg(F.count("*").alias("_kn"))
+            .where(F.col("_kn") > max_raters_per_item)
+            .select("key")
         )
+        r = r.join(F.broadcast(hot), "key", "left_anti")
 
     # per-entity scalar stats — one shuffle on ent, reused on both sides
     stats = r.groupBy("ent").agg(

@@ -75,6 +75,6 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import ann, dedup, llm, recsys, relational  # noqa: F401
+    from . import ann, dedup, llm, recsys, relational, seq  # noqa: F401
 
     _LOADED = True

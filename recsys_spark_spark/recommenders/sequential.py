@@ -36,6 +36,30 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def rule_counts(sequences: DataFrame, rules: DataFrame) -> DataFrame:
+    """J6/U6: per-rule sequence-containment counts via a broadcast
+    cross join + subset test (size(array_except) == 0), replacing the
+    reference's getSupport UDF that closes over ALL transactions
+    collected to the driver (SequentialTopKRecommender.scala:492-504).
+
+    ``sequences``: (user_id, items array<string>); ``rules``:
+    (rule_id, antecedent, consequent).  Returns (rule_id, n_xy, n_ant).
+    Scale: rules are post-threshold small → broadcast; sequences
+    stream once; the work per row is O(|rule items|)."""
+    joined = sequences.crossJoin(F.broadcast(rules))
+    xy = F.concat("antecedent", "consequent")
+    return joined.groupBy("rule_id").agg(
+        F.sum(
+            F.when(F.size(F.array_except(xy, F.col("items"))) == 0, 1).otherwise(0)
+        ).alias("n_xy"),
+        F.sum(
+            F.when(
+                F.size(F.array_except("antecedent", F.col("items"))) == 0, 1
+            ).otherwise(0)
+        ).alias("n_ant"),
+    )
+
+
 @dataclass
 class SequentialTopK:
     """Cluster-sequence rule recommender.
@@ -122,9 +146,15 @@ class SequentialTopK:
 
     def _sequences(self, clustered: DataFrame) -> DataFrame:
         """U3 as pure column ops: per user, period-ordered flat list of
-        "{cluster}_{relperiod}" strings, relperiod 0 = last period."""
+        "{cluster}_{relperiod}" strings, relperiod 0 = last period.
+
+        Clusters within a period are sorted ascending — the reference's
+        flatList UDF iterates a collected Set in arbitrary order
+        (SequentialTopKRecommender.scala:420-441); a deterministic
+        order changes nothing for FPGrowth (itemsets are sets) but
+        makes the stage reproducible and oracle-checkable."""
         per_period = clustered.groupBy("user_id", "period_id").agg(
-            F.collect_set("transaction_cluster").alias("clusters")
+            F.sort_array(F.collect_set("transaction_cluster")).alias("clusters")
         )
         tagged = per_period.withColumn(
             "tags",
@@ -180,18 +210,7 @@ class SequentialTopK:
             )
 
         # J6: subset test as array_except-empty over broadcast rules
-        joined = sequences.crossJoin(F.broadcast(rules))
-        xy = F.concat("antecedent", "consequent")
-        counts = joined.groupBy("rule_id").agg(
-            F.sum(
-                F.when(F.size(F.array_except(xy, F.col("items"))) == 0, 1).otherwise(0)
-            ).alias("n_xy"),
-            F.sum(
-                F.when(
-                    F.size(F.array_except("antecedent", F.col("items"))) == 0, 1
-                ).otherwise(0)
-            ).alias("n_ant"),
-        )
+        counts = rule_counts(sequences, rules)
         scored = (
             rules.join(counts, "rule_id")
             .withColumn("support", F.col("n_xy") / F.lit(float(n_seq)))
