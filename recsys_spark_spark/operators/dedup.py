@@ -43,6 +43,8 @@ swap md5 for xxhash64 (cheaper, Spark-side only) via ``hash_mode``.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -131,20 +133,43 @@ FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {table}) toks,
 # MinHash + banding
 # --------------------------------------------------------------------------
 
+#: Mersenne prime 2³¹−1 — the Carter–Wegman modulus; products stay
+#: < 2⁶², exact in any engine's BIGINT
+CW_P = 2147483647
+
+
+def cw_params(n_hashes: int = N_HASHES) -> list[tuple[int, int]]:
+    """Deterministic (aᵢ, bᵢ) pairs for the 2-universal family
+    hᵢ(x) = (aᵢ·x + bᵢ) mod p — derived from md5 in PYTHON and inlined
+    as integer literals on both engines (no runtime hashing cost)."""
+    out = []
+    for i in range(n_hashes):
+        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:15], 16) % (CW_P - 1) + 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:15], 16) % CW_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     sh_rows: DataFrame,
     n_hashes: int = N_HASHES,
     hash_mode: str = "md5",
 ) -> DataFrame:
     """(id, sig array<bigint>[n_hashes]): per-document min over the
-    shingle hashes for each seed — the classic permutation-free
-    MinHash.  One shuffle on the doc id; n_hashes parallel min
-    aggregates (all JVM-side)."""
+    shingle hashes for each seed — permutation-free MinHash.
+
+    Each shingle is hashed ONCE (md5 → 31-bit base); the n_hashes
+    values come from the Carter–Wegman family (aᵢ·base + bᵢ) mod p —
+    64 integer fma's instead of 64 cryptographic hashes per shingle
+    (the difference between 9.6M and 150K md5 calls at sf0.1).  One
+    shuffle on the doc id; parallel min aggregates, all JVM-side."""
+    base = (hash60(F.col("s"), 0, hash_mode) % CW_P).alias("b31")
+    hashed = sh_rows.select("id", base)
     mins = [
-        F.min(hash60(F.col("s"), seed, hash_mode)).alias(f"_h{seed}")
-        for seed in range(n_hashes)
+        F.min((F.col("b31") * a + b) % CW_P).alias(f"_h{i}")
+        for i, (a, b) in enumerate(cw_params(n_hashes))
     ]
-    agg = sh_rows.groupBy("id").agg(*mins)
+    agg = hashed.groupBy("id").agg(*mins)
     return agg.select(
         "id", F.array(*[F.col(f"_h{s}") for s in range(n_hashes)]).alias("sig")
     )
@@ -244,14 +269,18 @@ def minhash_neardup_sql(
     shingle: int = SHINGLE,
 ) -> str:
     """DuckDB twin of `minhash_neardup_pairs` (md5 hash mode)."""
+    seeds_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(cw_params(n_hashes))
+    )
     return f"""
 WITH sh AS (
 {shingles_sql(table, shingle)}
 ),
-seeds AS (SELECT ss.seed AS seed FROM generate_series(0, {n_hashes - 1}) ss(seed)),
+seeds(seed, a, b) AS (VALUES {seeds_rows}),
+hashed AS (SELECT id, {hash60_sql("s")} % {CW_P} AS b31 FROM sh),
 mh AS (
-  SELECT sh.id, seeds.seed, min({hash60_sql("sh.s", "' || seeds.seed || '")}) AS mh
-  FROM sh, seeds
+  SELECT hashed.id, seeds.seed, min((hashed.b31 * seeds.a + seeds.b) % {CW_P}) AS mh
+  FROM hashed, seeds
   GROUP BY 1, 2
 ),
 bands AS (

@@ -1,0 +1,22 @@
+"""Structured Streaming surface (SURVEY L6).
+
+The reference has no streaming abstraction — its ``window()`` use is
+batch time-bucketing (SequentialTopKRecommender.scala:314-319).  This
+package provides the readStream twins of the batch event queries in
+plans/relational.py: tumbling windows with watermarks and session
+windows, file-source tested against the batch results.
+"""
+
+from .windows import (
+    daily_counts_stream,
+    read_events_stream,
+    run_stream_once,
+    session_rows_stream,
+)
+
+__all__ = [
+    "read_events_stream",
+    "daily_counts_stream",
+    "session_rows_stream",
+    "run_stream_once",
+]

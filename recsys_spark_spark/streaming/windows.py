@@ -1,0 +1,126 @@
+"""Streaming window operators over the events stream (SURVEY L6).
+
+Each transformation here is the SAME logical plan as its batch twin
+(plans/relational.py::events_daily / events_sessions) applied to a
+``readStream`` source — the DataFrame code is identical by design,
+which is the whole point of Structured Streaming.  Watermarks bound
+the state store: at 100 TB/day the tumbling-window aggregation keeps
+one row per (window, event_type) per partition in state, evicted one
+day after the window closes.
+
+The file source streams the same parquet the batch queries scan, so
+tests can assert stream-vs-batch row equality after an
+``availableNow`` pass (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.rounding import qround
+from ..sources.readers import ensure_session_confs
+
+#: events.parquet physical schema under spark.sql.legacy.parquet
+#: .nanosAsLong (the file stores TIMESTAMP(NANOS); streaming sources
+#: need the schema declared up front)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),  # nanoseconds
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of the events table with the same ts
+    normalization as the batch reader (sources/readers.py::table):
+    nanos → microsecond TimestampType by integer division."""
+    ensure_session_confs(spark)
+    # the file source monitors a DIRECTORY; pathGlobFilter narrows it
+    # to the events file (a prod deployment would point at a landing
+    # directory receiving new files)
+    reader = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def daily_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming twin of events_daily: tumbling 1-day window counts.
+
+    The watermark bounds state: a window's row finalizes (append mode)
+    once the watermark passes its end; late events beyond it are
+    dropped rather than held forever."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            qround(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("day_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_rows_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming sessionization: one row per (user, session) via
+    ``F.session_window`` — the native form of the batch lag+flag+sum
+    sessionization in events_sessions.
+
+    Note the boundary semantics: session_window extends a session to
+    ``last_event + gap`` with an EXCLUSIVE end, so an event exactly
+    ``gap`` after its predecessor starts a NEW session — equivalent to
+    the batch twin's ``diff > 1800`` rule only when no gap is exactly
+    1800 s (asserted true for the test data in tests/test_streaming.py).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_once(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drain all available input through the streaming plan into an
+    in-memory table (availableNow + complete mode) and return it as a
+    batch DataFrame — the test harness for stream/batch parity."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

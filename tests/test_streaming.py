@@ -1,0 +1,66 @@
+"""Stream/batch parity for the L6 streaming windows: the same logical
+plan over readStream must produce the batch twin's rows after one
+availableNow drain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from recsys_spark_spark.plans.relational import events_daily, events_sessions
+from recsys_spark_spark.sources.readers import table
+from recsys_spark_spark.streaming.windows import (
+    daily_counts_stream,
+    read_events_stream,
+    run_stream_once,
+    session_rows_stream,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_daily_stream_matches_batch(spark, sf_dir):
+    stream = daily_counts_stream(read_events_stream(spark, sf_dir))
+    got = run_stream_once(stream, "daily_stream_test")
+    want = events_daily(spark, sf_dir)
+    cols = ["day_start", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_session_stream_matches_batch_session_counts(spark, sf_dir):
+    # precondition for boundary equivalence: no inter-event gap is
+    # exactly the 1800 s session gap (see session_rows_stream docstring)
+    e = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)).alias(
+            "gap"
+        )
+    )
+    assert gaps.where(F.col("gap") == 1800).count() == 0
+
+    stream = session_rows_stream(read_events_stream(spark, sf_dir))
+    sessions = run_stream_once(stream, "session_stream_test")
+    got = _rows(
+        sessions.groupBy("user_id").agg(
+            F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events")
+        ),
+        ["user_id", "n_sessions", "n_events"],
+    )
+    want = _rows(events_sessions(spark, sf_dir), ["user_id", "n_sessions", "n_events"])
+    assert got == want
+
+
+def test_stream_incremental_micro_batches(spark, sf_dir):
+    """maxFilesPerTrigger drives the source in bounded micro-batches;
+    the final answer is unchanged."""
+    stream = daily_counts_stream(
+        read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    )
+    got = run_stream_once(stream, "daily_stream_mb_test")
+    want = events_daily(spark, sf_dir)
+    cols = ["day_start", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
