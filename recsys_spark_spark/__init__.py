@@ -12,7 +12,8 @@ Layout:
     session        SparkSession builder (AQE on, UTC, sane shuffle parts)
     sources        readers (parquet star schema, reference CSV shapes)
     functions      similarity kernels, text analysis, vector math
-    operators      relational building blocks: top-k, dedup, knn, as-of
+    operators      scale paths: LSH knn, MinHash/SimHash near-dedup,
+                   multimodal binary plumbing (mapInPandas)
     recommenders   user/item CF, content, hybrid, sequential
     metrics        ranking + prediction metrics, cross-validation
     plans          the named query registry (queries + DuckDB oracles)

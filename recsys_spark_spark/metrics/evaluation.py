@@ -40,6 +40,31 @@ def split_ratings(ratings: DataFrame, fold: int = 0, n_folds: int = 5):
     return ratings.where(bucket != fold), ratings.where(bucket == fold)
 
 
+def crossval_prediction_metrics(
+    ratings: DataFrame,
+    predict_fn,
+    n_folds: int = 5,
+) -> DataFrame:
+    """X6: the reference's 5-fold harness (Main.scala:61-126 runs one
+    recommender per fold and averages) as ONE union plan.
+
+    ``predict_fn(train, pairs) -> (user_id, item_id, prediction)``.
+    Returns one (fold, rmse, mae, n_pairs) row per fold — the caller
+    aggregates or inspects per-fold variance.  The folds share the
+    (cached) ratings scan; everything else is fold-local subtrees that
+    Spark schedules independently."""
+    parts = []
+    for fold in range(n_folds):
+        train, test = split_ratings(ratings, fold=fold, n_folds=n_folds)
+        preds = predict_fn(train, test.select("user_id", "item_id"))
+        m = prediction_metrics(preds.join(test, ["user_id", "item_id"]))
+        parts.append(m.select(F.lit(fold).alias("fold"), "rmse", "mae", "n_pairs"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def prediction_metrics(
     joined: DataFrame, pred_col: str = "prediction", actual_col: str = "rating"
 ) -> DataFrame:

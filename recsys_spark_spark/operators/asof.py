@@ -1,0 +1,73 @@
+"""As-of (last-value-before) joins, Spark-native (SURVEY §2.3 notes
+the reference has no range/as-of join; the pattern is required for
+event-stream enrichment).
+
+Implementation is the UNION trick, not a range join: tag both inputs,
+union them, sort within each key by (ts, side, tiebreak), and carry
+the right side's value forward with ``last(..., ignorenulls=True)``
+over an unbounded-preceding window; left rows then hold the most
+recent right value at-or-before their timestamp.
+
+Why this shape at 100 TB: a naive ``l JOIN r ON l.key = r.key AND
+r.ts <= l.ts`` explodes to O(|l|·|r|) per key before the per-row
+argmax; the union trick is ONE shuffle on the key and a linear
+window pass — the same cost as sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    value_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tiebreak: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Attach to each left row the latest ``value_col`` from ``right``
+    with ``right.ts <= left.ts`` (per ``by`` key); NULL when no prior
+    right row exists.
+
+    ``tiebreak``: column present on BOTH sides ordering simultaneous
+    rows deterministically (right rows at exactly left.ts DO match —
+    at-or-before semantics; among equal-ts right rows the highest
+    tiebreak wins).  Returns all left columns + ``out_col``.
+    """
+    out_col = out_col or f"asof_{value_col}"
+    tb = tiebreak or left_ts
+
+    lcols = left.columns
+    l = left.select(
+        F.col(by).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.col(tb).alias("_tb"),
+        F.lit(1).alias("_is_l"),
+        F.lit(None).cast(right.schema[value_col].dataType).alias("_v"),
+        F.struct(*lcols).alias("_row"),
+    )
+    r = right.select(
+        F.col(by).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.col(tb).alias("_tb"),
+        F.lit(0).alias("_is_l"),
+        F.col(value_col).alias("_v"),
+        F.lit(None).cast(l.schema["_row"].dataType).alias("_row"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_is_l", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = l.unionByName(r).withColumn(
+        "_asof", F.last("_v", ignorenulls=True).over(w)
+    )
+    return tagged.where(F.col("_is_l") == 1).select(
+        *[F.col("_row")[c].alias(c) for c in lcols],
+        F.col("_asof").alias(out_col),
+    )

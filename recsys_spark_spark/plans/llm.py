@@ -2,9 +2,11 @@
 
 Exact dedup, normalization dedup, text statistics, token frequency, and
 brute-force embedding similarity search — each with a DuckDB oracle.
-The approximate/scale variants (MinHashLSH banding, SimHash, IVF) live
-in operators/dedup.py and operators/knn.py and are property-tested
-rather than oracle-hashed (they are approximate by construction).
+The approximate/scale variants (MinHash banding, SimHash, sign-LSH)
+live in operators/dedup.py and operators/knn.py; their registered
+queries (plans/dedup.py, plans/ann.py) ALSO carry value-hash oracles —
+the hash families are deterministic, so the oracle replays the banding
+— plus recall tests against the exact baselines here.
 """
 
 from __future__ import annotations

@@ -95,17 +95,22 @@ WHERE co >= {min_co} AND ea < eb
 """.strip()
 
 
-#: hash-split twin of metrics.evaluation.split_ratings (fold 0 of 5)
-SPLIT_RATINGS_CTE = """
+def _split_cte(fold: int, n_folds: int = 5) -> str:
+    """Hash-split twin of metrics.evaluation.split_ratings."""
+    return f"""
 ratings_all AS (
   SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
          avg(l.l_quantity) AS rating
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
   GROUP BY 1, 2
 ),
-ratings AS (SELECT * FROM ratings_all WHERE (user_id + item_id) % 5 <> 0),
-test AS (SELECT * FROM ratings_all WHERE (user_id + item_id) % 5 = 0)
+ratings AS (SELECT * FROM ratings_all WHERE (user_id + item_id) % {n_folds} <> {fold}),
+test AS (SELECT * FROM ratings_all WHERE (user_id + item_id) % {n_folds} = {fold})
 """.strip()
+
+
+#: fold 0 of 5 — the single-fold evaluation queries
+SPLIT_RATINGS_CTE = _split_cte(0)
 
 
 def _user_topk_sql(
@@ -541,11 +546,13 @@ RELEVANT_THRESHOLD = 30.0  # "relevant" = test rating >= 30 (cf. Main.scala:101-
 #                            where relevant = rating >= 4.0 on the 1-5 scale)
 
 
-def _user_predict_sql(kernel: str, k_neighbors: int) -> str:
+def _user_predict_sql(
+    kernel: str, k_neighbors: int, ratings_cte: str | None = None
+) -> str:
     """M2 rating prediction for the test pairs, trained on the train fold
     (UserBasedRatingRecommender.scala:34-77)."""
     return f"""
-WITH {SPLIT_RATINGS_CTE},
+WITH {ratings_cte or SPLIT_RATINGS_CTE},
 {_sims_ctes("user", kernel)},
 cand AS (
   SELECT t.user_id, t.item_id, s.sim, s.eb AS neighbor, r.rating AS r_n
@@ -728,6 +735,43 @@ def itemmean_rmse_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, test = _split(spark, sf_dir)
     imean = train.groupBy("item_id").agg(F.avg("rating").alias("prediction"))
     return prediction_metrics(test.join(imean, "item_id"))
+
+
+def _cv_fold_sql(fold: int) -> str:
+    return f"""
+SELECT {fold} AS fold, rmse, mae, n_pairs FROM (
+  WITH pred AS (
+{_user_predict_sql("cosine", K_NEIGHBORS, ratings_cte=_split_cte(fold))}
+  ),
+  actual AS (
+    WITH {_split_cte(fold)} SELECT user_id, item_id, rating FROM test
+  )
+  SELECT floor((sqrt(avg((p.prediction - a.rating) * (p.prediction - a.rating)))) * 1000000.0 + 0.5) / 1000000.0
+           AS rmse,
+         floor((avg(abs(p.prediction - a.rating))) * 1000000.0 + 0.5) / 1000000.0 AS mae,
+         count(*) AS n_pairs
+  FROM pred p JOIN actual a USING (user_id, item_id)
+)
+""".strip()
+
+
+@register(
+    "user_cf_cv5_rmse",
+    oracle="\nUNION ALL\n".join(_cv_fold_sql(f) for f in range(5)),
+)
+def user_cf_cv5_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: the full 5-fold cross-validation harness
+    (Main.scala:61-126 runs 5 train/test folds and averages) — one
+    union plan, one row per fold.  Fold 0 equals user_cf_rmse_mae."""
+    from ..metrics.evaluation import crossval_prediction_metrics
+    from ..recommenders.neighborhood import predict_user_based
+
+    ratings = _cached_ratings(spark, sf_dir)
+
+    def predict(train: DataFrame, pairs: DataFrame) -> DataFrame:
+        return predict_user_based(train, pairs, k_neighbors=K_NEIGHBORS)
+
+    return crossval_prediction_metrics(ratings, predict, n_folds=5)
 
 
 @register(

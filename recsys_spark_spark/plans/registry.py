@@ -75,6 +75,16 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import ann, dedup, llm, recsys, relational, seq  # noqa: F401
+    from . import (  # noqa: F401
+        ann,
+        dedup,
+        llm,
+        mm,
+        recsys,
+        relational,
+        seq,
+        text,
+        windows_extra,
+    )
 
     _LOADED = True

@@ -1,0 +1,234 @@
+"""Text-analysis operators for the training-data pipeline (SURVEY L4
+extensions): quality scoring, heuristic language-ID, BPE-ish token
+counting, and winnowing document fingerprints.
+
+All four are pure column-expression plans (no UDFs) with DuckDB
+oracles; transcendental functions are deliberately avoided in scored
+outputs (libm implementations differ across engines — only +,−,×,÷
+and comparisons are IEEE-identical everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import qround
+from ..operators.dedup import hash60, hash60_sql
+from ..sources.readers import table
+from .registry import register
+
+R6 = 6
+
+#: stopword list for quality scoring (a handful of function words that
+#: actually occur in the synthetic corpus vocabulary)
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+#: per-language marker tokens for the heuristic language-ID.  On real
+#: corpora these would be the top function words per language; the
+#: synthetic corpus shares one vocabulary, so the classifier output is
+#: arbitrary-but-deterministic — the operator pattern (marker scoring
+#: + argmax with lexicographic tie-break) is what's exercised.
+LANG_MARKERS = {
+    "de": ["der", "die", "und"],
+    "en": ["the", "a", "is"],
+    "es": ["el", "los", "una"],
+    "fr": ["le", "les", "des"],
+    "zh": ["shi", "wo", "ni"],
+}
+
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+WINNOW_K = 8  # char-gram length
+WINNOW_W = 8  # winnowing window (grams)
+
+
+def _sql_list(words: list[str]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+# --- quality scoring -------------------------------------------------------
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN {_sql_list(STOPWORDS)})) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio,
+         CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+              AS DOUBLE) / length(text) AS punct_ratio
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       floor(stop_ratio * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+       floor(punct_ratio * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
+       floor(least(1.0, greatest(0.0,
+             0.3 + 1.2 * stop_ratio - 2.0 * punct_ratio
+                 + least(n_tokens, 40) / 200.0)) * 1000000.0 + 0.5) / 1000000.0
+         AS quality
+FROM base
+""",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: stopword density up (natural prose
+    has function words), punctuation-noise down, mild length prior —
+    the standard cheap pre-filter stage of an LLM data pipeline,
+    entirely in whole-stage-codegen'd column expressions."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("bigint")
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+        / F.size(toks)
+    )
+    punct_ratio = (
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "[^a-z0-9 ]", ""))
+        ).cast("double")
+        / F.length("text")
+    )
+    quality = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0),
+            F.lit(0.3)
+            + 1.2 * stop_ratio
+            - 2.0 * punct_ratio
+            + F.least(n_tokens, F.lit(40)) / 200.0,
+        ),
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        qround(stop_ratio, R6).alias("stop_ratio"),
+        qround(punct_ratio, R6).alias("punct_ratio"),
+        qround(quality, R6).alias("quality"),
+    )
+
+
+# --- language identification ----------------------------------------------
+def _lang_score_sql(lang: str) -> str:
+    return (
+        f"CAST(len(list_filter(toks, t -> t IN {_sql_list(LANG_MARKERS[lang])}))"
+        " AS BIGINT)"
+    )
+
+
+@register(
+    "doc_lang_id",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in sorted(LANG_MARKERS))}
+  FROM t
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE {" ".join(f"WHEN s_{lg} = best THEN '{lg}'" for lg in sorted(LANG_MARKERS))}
+       END AS pred_lang,
+       best AS score
+FROM (
+  SELECT *, greatest({", ".join(f"s_{lg}" for lg in sorted(LANG_MARKERS))}) AS best
+  FROM scored
+)
+""",
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID: per-language function-word hit count,
+    argmax with lexicographic tie-break (the first CASE arm wins, langs
+    sorted) — the n-gram-heuristic pattern; swap LANG_MARKERS for real
+    per-language lists on a natural corpus."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def _score(markers: list[str]):
+        # factory closure: the HOF lambda must be unary (a second
+        # parameter would be interpreted as the element index)
+        return F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("bigint")
+
+    scores = {lg: _score(LANG_MARKERS[lg]) for lg in sorted(LANG_MARKERS)}
+    best = F.greatest(*scores.values())
+    pred = None
+    for lg in sorted(LANG_MARKERS):
+        arm = F.when(scores[lg] == best, F.lit(lg))
+        pred = arm if pred is None else pred.when(scores[lg] == best, F.lit(lg))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        best.alias("score"),
+    )
+
+
+# --- BPE-ish token counting ------------------------------------------------
+@register(
+    "doc_bpe_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens
+FROM documents
+""",
+)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style counting with a BPE-ish pre-tokenization regex
+    (word runs / digit runs / single non-alnum marks) — the cheap
+    token-budget estimator used before real BPE in data pipelines."""
+    d = table(spark, sf_dir, "documents")
+
+    def n(pat: str):
+        return F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("bigint")
+
+    return d.select(
+        "doc_id",
+        n(BPE_PATTERN).alias("n_bpe_tokens"),
+        n("[a-z]+").alias("n_word_tokens"),
+        n("[0-9]+").alias("n_num_tokens"),
+    )
+
+
+# --- winnowing fingerprints ------------------------------------------------
+@register(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, g.i AS pos,
+         {hash60_sql("substr(text, CAST(g.i AS INTEGER), {k})".format(k=WINNOW_K))} AS gh
+  FROM documents,
+       UNNEST(generate_series(1, greatest(length(text) - {WINNOW_K - 1}, 1))) AS g(i)
+),
+winnowed AS (
+  SELECT doc_id,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+  FROM grams
+)
+SELECT DISTINCT doc_id, fp FROM winnowed
+""",
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS-style) fingerprints: rolling 8-char-gram hashes,
+    minimum per sliding window of 8, deduplicated — the standard
+    plagiarism/near-copy fingerprint set.  Guarantees any shared
+    substring of length ≥ K+W−1 yields a shared fingerprint."""
+    d = table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text") - (WINNOW_K - 1), F.lit(1))
+    )
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda i: F.col("text").substr(i, F.lit(WINNOW_K)))
+        ).alias("pos", "gram"),
+    )
+    gh = grams.select("doc_id", "pos", hash60(F.col("gram")).alias("gh"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    return gh.select("doc_id", F.min("gh").over(w).alias("fp")).distinct()

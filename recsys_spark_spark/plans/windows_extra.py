@@ -1,0 +1,124 @@
+"""Additional window-family queries: as-of enrichment, sliding
+windows, and CUBE grouping sets — operators the reference lacks but a
+Spark-first analytics surface provides at zero cost (SURVEY §2.3,
+§2.4 'not present in reference' notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import qround
+from ..operators.asof import asof_join
+from ..sources.readers import table
+from .registry import register
+
+
+@register(
+    "events_asof_last_purchase",
+    oracle="""
+WITH u AS (
+  SELECT event_id, user_id, ts, CAST(NULL AS DOUBLE) AS pval, 1 AS is_l
+  FROM events
+  UNION ALL
+  SELECT event_id, user_id, ts, value AS pval, 0 AS is_l
+  FROM events WHERE event_type = 'purchase'
+),
+w AS (
+  SELECT event_id, user_id, ts, is_l,
+         last_value(pval IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_l, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS last_purchase_value
+  FROM u
+)
+SELECT event_id, user_id, ts, last_purchase_value
+FROM w WHERE is_l = 1
+""",
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union trick): each event enriched with the user's
+    most recent purchase value at-or-before its timestamp — one
+    shuffle + linear window pass, no range-join explosion."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase")
+    return asof_join(
+        e.select("event_id", "user_id", "ts"),
+        purchases.select("event_id", "user_id", "ts", "value"),
+        by="user_id",
+        value_col="value",
+        tiebreak="event_id",
+        out_col="last_purchase_value",
+    )
+
+
+@register(
+    "events_sliding_1h",
+    oracle="""
+WITH starts AS (
+  SELECT event_type,
+         unnest([date_trunc('minute', ts) - INTERVAL (EXTRACT(minute FROM ts)::INT % 30) MINUTE
+                   - INTERVAL 30 MINUTE,
+                 date_trunc('minute', ts) - INTERVAL (EXTRACT(minute FROM ts)::INT % 30) MINUTE
+                ]) AS window_start
+  FROM (SELECT event_type, date_trunc('second', ts) AS ts FROM events)
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+       count(*) AS n_events
+FROM starts
+GROUP BY 1, 2
+""",
+)
+def events_sliding_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h window, 30 min slide): every event lands in
+    exactly two windows — `F.window`'s sliding form, which the oracle
+    replays by enumerating the two epoch-aligned starts per event.
+    (Events are second-truncated first: sub-second timestamps don't
+    change window membership and keep the two engines' interval
+    arithmetic identical.)"""
+    e = table(spark, sf_dir, "events").withColumn(
+        "ts", F.date_trunc("second", "ts")
+    )
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+
+
+@register(
+    "sales_cube",
+    oracle="""
+SELECT o.o_orderpriority AS priority, l.l_returnflag AS returnflag,
+       count(*) AS n_lines,
+       floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0
+         AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY CUBE (o.o_orderpriority, l.l_returnflag)
+""",
+)
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over priority × returnflag (SURVEY §2.4:
+    grouping sets absent in the reference, free in Spark).  Revenue
+    rounds at 2 dp — cents — because the grand-total row sums ~600k
+    doubles and engines' summation orders differ at ~1e-7 relative."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return (
+        j.cube(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("l_returnflag").alias("returnflag"),
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            qround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

@@ -1,0 +1,59 @@
+"""Multimodal plumbing tests: real binary mapInPandas path with
+deterministic byte math; decode stubs raise clearly."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from recsys_spark_spark.operators.multimodal import (
+    binary_features,
+    decode_audio,
+    decode_image,
+    frame_samples,
+    with_binary_content,
+)
+from recsys_spark_spark.sources.readers import table
+
+
+def test_decode_stubs_raise():
+    with pytest.raises(NotImplementedError, match="STUB"):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError, match="STUB"):
+        decode_audio(b"RIFF")
+
+
+def test_binary_schema(spark, sf_dir):
+    mm = with_binary_content(table(spark, sf_dir, "documents").limit(5))
+    fields = {f.name: f.dataType.simpleString() for f in mm.schema.fields}
+    assert fields["content"] == "binary"
+    assert fields["modality"] == "string"
+    assert fields["meta"].startswith("struct<")
+
+
+def test_binary_features_match_python(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").limit(20)
+    mm = with_binary_content(docs)
+    got = {r["id"]: (r["n_bytes"], r["content_md5"]) for r in binary_features(mm).collect()}
+    for r in docs.collect():
+        b = r["text"].encode("utf-8")
+        assert got[r["doc_id"]] == (len(b), hashlib.md5(b).hexdigest())
+
+
+def test_frame_samples_shape_and_values(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").limit(10)
+    mm = with_binary_content(docs)
+    frames = frame_samples(mm, frame_bytes=64, every=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["id"], []).append((r["frame_idx"], r["frame_md5"]))
+    for r in docs.collect():
+        b = r["text"].encode("utf-8")
+        n_frames = max((len(b) + 63) // 64, 1)
+        expect = [
+            (i, hashlib.md5(b[i * 64 : (i + 1) * 64]).hexdigest())
+            for i in range(0, n_frames, 2)
+        ]
+        assert sorted(by_doc[r["doc_id"]]) == sorted(expect)

@@ -86,3 +86,55 @@ def test_sequential_deterministic(spark):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_fpgrowth_rules_golden(spark):
+    """Golden FPGrowth + rework check on a hand-computable corpus:
+    4 sequences over 2 tags; expected rules and their re-scored
+    support/confidence are derivable by hand.
+
+    Sequences: s1=[A_-1, B_0], s2=[A_-1, B_0], s3=[A_-1], s4=[B_0]
+    FPGrowth(minSupport=0.25, minConfidence=0.5) mines A_-1 -> B_0
+    with raw confidence 2/3; rework keeps it (consequent in period 0,
+    antecedent survives the _0 strip), then recomputes over ALL
+    sequences: n_xy=2, n_ant=3 -> support=0.5, confidence=2/3.
+    """
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.recommenders.sequential import SequentialTopK
+
+    seqs = spark.createDataFrame(
+        [(1, ["A_-1", "B_0"]), (2, ["A_-1", "B_0"]), (3, ["A_-1"]), (4, ["B_0"])],
+        "user_id int, items array<string>",
+    )
+    model = SequentialTopK(
+        min_support=0.25,
+        min_confidence=0.5,
+        min_support_seq=0.1,
+        min_confidence_seq=0.1,
+    )
+    rules = model._mine_rules(seqs).collect()
+    got = {
+        (tuple(r["antecedent"]), tuple(r["consequent"])): (
+            r["support"],
+            r["confidence"],
+        )
+        for r in rules
+    }
+    assert got == {(("A_-1",), ("B_0",)): (0.5, 2.0 / 3.0)}
+
+
+def test_rule_counts_golden(spark):
+    """rule_counts (J6/U6) against hand-counted containment."""
+    from recsys_spark_spark.recommenders.sequential import rule_counts
+
+    seqs = spark.createDataFrame(
+        [(1, ["x", "y", "z"]), (2, ["x", "z"]), (3, ["y"])],
+        "user_id int, items array<string>",
+    )
+    rules = spark.createDataFrame(
+        [(1, ["x"], ["z"]), (2, ["x", "y"], ["z"]), (3, ["q"], ["z"])],
+        "rule_id int, antecedent array<string>, consequent array<string>",
+    )
+    got = {r["rule_id"]: (r["n_xy"], r["n_ant"]) for r in rule_counts(seqs, rules).collect()}
+    assert got == {1: (2, 2), 2: (1, 1), 3: (0, 0)}

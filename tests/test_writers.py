@@ -1,0 +1,57 @@
+"""Sink tests: partitioned parquet round-trip with partition pruning
+visible in the physical plan, and bucketed-table shuffle elimination."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from recsys_spark_spark.sources.readers import table
+from recsys_spark_spark.sources.writers import (
+    read_partitioned,
+    write_bucketed_table,
+    write_partitioned,
+)
+
+
+def test_partitioned_write_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_by_priority")
+    o = table(spark, sf_dir, "orders")
+    write_partitioned(o, out, partition_by=["o_orderpriority"])
+
+    # directory layout: one dir per partition value
+    dirs = [d for d in os.listdir(out) if d.startswith("o_orderpriority=")]
+    n_prio = o.select("o_orderpriority").distinct().count()
+    assert len(dirs) == n_prio
+
+    back = read_partitioned(spark, out)
+    assert back.count() == o.count()
+
+    # a filter on the partition column must prune at planning time:
+    # the scan's PartitionFilters carry the predicate
+    pruned = back.where(F.col("o_orderpriority") == "1-URGENT")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert pruned.count() == o.where(F.col("o_orderpriority") == "1-URGENT").count()
+
+
+def test_bucketed_table_join_skips_shuffle(spark, sf_dir, tmp_path):
+    # warehouse dir is a static conf — drop leftovers instead
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    write_bucketed_table(o, "orders_b", "o_orderkey", 8, sort_by="o_orderkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed_table(li, "lineitem_b", "l_orderkey", 8, sort_by="l_orderkey")
+
+    a = spark.table("orders_b")
+    b = spark.table("lineitem_b")
+    joined = a.join(b, a.o_orderkey == b.l_orderkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-bucketed join: at most ONE side may exchange; the bucketed
+    # scan side joins shuffle-free
+    assert plan.lower().count("exchange hashpartitioning") <= 1
+    assert joined.count() == li.count()
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
