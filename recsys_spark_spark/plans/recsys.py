@@ -807,7 +807,7 @@ def user_cf_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("sequential_topk")
+@register("sequential_topk", bench=True)
 def sequential_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M10/M11: cluster-sequence rule recommendations.  No DuckDB
     oracle (KMeans + FPGrowth are not SQL-expressible); correctness is
