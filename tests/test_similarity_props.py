@@ -1,0 +1,93 @@
+"""Property-based checks for the similarity kernels (SURVEY §5 item 4)
+and the hot-key cap (VERDICT round-1 item 7): randomized small rating
+sets via hypothesis, invariants checked against direct set math."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from recsys_spark_spark.functions.similarity import pairwise_similarity
+
+ratings_strategy = st.dictionaries(
+    keys=st.tuples(st.integers(1, 5), st.integers(1, 6)),
+    values=st.sampled_from([1.0, 2.0, 3.0, 4.0, 5.0]),
+    min_size=4,
+    max_size=18,
+)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rat):
+    return spark.createDataFrame(
+        [(u, i, r) for (u, i), r in rat.items()],
+        "user_id int, item_id int, rating double",
+    )
+
+
+@given(rat=ratings_strategy)
+@SETTINGS
+def test_kernel_ranges_and_symmetry(spark, rat):
+    df = _df(spark, rat)
+    for kernel, lo, hi in [
+        ("cosine", 0.0, 1.0),      # ratings are positive
+        ("jaccard", 0.0, 1.0),
+        ("euclidean", 0.0, 1.0),
+        ("pearson", -1.0, 1.0),
+    ]:
+        rows = pairwise_similarity(df, kernel=kernel, axis="user").collect()
+        sims = {(r["user_a"], r["user_b"]): r["sim"] for r in rows}
+        for (a, b), s in sims.items():
+            assert (a, b) != (b, a) and sims.get((b, a)) == s, "symmetry"
+            if s is not None and not math.isnan(s):
+                assert lo - 1e-9 <= s <= hi + 1e-9, (kernel, a, b, s)
+
+
+@given(rat=ratings_strategy)
+@SETTINGS
+def test_jaccard_equals_set_math(spark, rat):
+    df = _df(spark, rat)
+    rows = pairwise_similarity(df, kernel="jaccard", axis="item").collect()
+    got = {(r["item_a"], r["item_b"]): r["sim"] for r in rows}
+    raters = {}
+    for (u, i), _ in rat.items():
+        raters.setdefault(i, set()).add(u)
+    for (a, b), s in got.items():
+        inter = raters[a] & raters[b]
+        union = raters[a] | raters[b]
+        assert inter, "no zero-overlap pairs may appear"
+        assert s == pytest.approx(len(inter) / len(union))
+
+
+@given(rat=ratings_strategy, cap=st.integers(1, 4))
+@SETTINGS
+def test_hot_key_cap_equals_prefiltered_input(spark, rat, cap):
+    """max_raters_per_item=N must equal running the UNCAPPED kernel on
+    ratings with >N-rater items removed — the cap is a pre-filter, not
+    an approximation."""
+    df = _df(spark, rat)
+    capped = pairwise_similarity(
+        df, kernel="cosine", axis="user", max_raters_per_item=cap
+    ).collect()
+
+    counts = {}
+    for (u, i), _ in rat.items():
+        counts[i] = counts.get(i, 0) + 1
+    keep = {k for k, v in rat.items() if counts[k[1]] <= cap}
+    manual = pairwise_similarity(
+        _df(spark, {k: rat[k] for k in keep}), kernel="cosine", axis="user"
+    ).collect()
+
+    norm = lambda rows: sorted(
+        (r["user_a"], r["user_b"], round(r["sim"], 9)) for r in rows
+    )
+    assert norm(capped) == norm(manual)
