@@ -848,3 +848,13 @@ def rating_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.avg("rating"), 6).alias("mean_rating"),
         qround(F.sum(F.col("rating") * F.col("rating")), 6).alias("sumsq"),
     )
+
+
+@register("als_topk")
+def als_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS factorization top-5 (no DuckDB oracle — iterative ML, like
+    sequential_topk; quality and shape are asserted in
+    tests/test_als.py against the item-mean baseline)."""
+    from ..recommenders.als import als_topk
+
+    return als_topk(_cached_ratings(spark, sf_dir), k_items=K_ITEMS)
