@@ -7,6 +7,7 @@ plans/relational.py: tumbling windows with watermarks and session
 windows, file-source tested against the batch results.
 """
 
+from .stateful import running_user_totals_stream
 from .windows import (
     daily_counts_stream,
     read_events_stream,
@@ -19,4 +20,5 @@ __all__ = [
     "daily_counts_stream",
     "session_rows_stream",
     "run_stream_once",
+    "running_user_totals_stream",
 ]

@@ -44,18 +44,21 @@ EVENTS_RAW_SCHEMA = StructType(
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    glob: str = "events.parquet",
 ) -> DataFrame:
     """File-source stream of the events table with the same ts
     normalization as the batch reader (sources/readers.py::table):
     nanos → microsecond TimestampType by integer division."""
     ensure_session_confs(spark)
     # the file source monitors a DIRECTORY; pathGlobFilter narrows it
-    # to the events file (a prod deployment would point at a landing
+    # to the events file(s) (a prod deployment would point at a landing
     # directory receiving new files)
     reader = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
