@@ -122,3 +122,55 @@ def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "customer_running_revenue",
+    oracle="""
+WITH t AS (
+  SELECT o.o_custkey AS custkey, o.o_orderdate AS order_date, o.o_orderkey,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS order_rev
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2, 3
+)
+SELECT custkey, order_date, o_orderkey AS orderkey,
+       floor((sum(order_rev) OVER (
+         PARTITION BY custkey ORDER BY order_date, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0
+         AS running_revenue
+FROM t
+""",
+)
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame spec (rowsBetween running total) — the analytic
+    frame family SURVEY §2.5 notes is absent in the reference.
+    2 dp rounding: the running sum accumulates engine-specific
+    addition order."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    t = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_orderkey").alias("orderkey"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "order_rev"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("order_date", "orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.select(
+        "custkey",
+        "order_date",
+        "orderkey",
+        qround(F.sum("order_rev").over(w), 2).alias("running_revenue"),
+    )
