@@ -1,0 +1,228 @@
+"""Reference-shaped compatibility API.
+
+Thin classes mirroring the reference's public surface
+(recommender/RecommenderInterface.scala:27-51: ``fit(df)`` then
+``transform(...)``) so code written against danitico/recsys-spark maps
+1:1 onto this engine:
+
+    rec = UserBasedTopKRecommender(k_users=25, top_k=5,
+                                   similarity="cosine")
+    rec.fit(ratings_df)
+    rec.transform()            # DataFrame, ALL users at once
+    rec.transform_user(42)     # [(item_id, score)], one user
+
+Differences from the reference, by design:
+- ``transform()`` scores every user in one distributed plan (the
+  reference scores one user per call in a driver loop,
+  UserBasedTopKRecommender.scala:76-90); ``transform_user`` is the
+  one-user convenience wrapper and is the ONLY place a collect
+  happens — on k rows.
+- ``fit`` caches the long-format ratings DataFrame instead of
+  materializing a dense matrix (BaseRecommender.scala:87-132).
+- parameter names follow the reference's setters: k_users /
+  k_similar_items, top_k, similarity kernel name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .recommenders.content import content_based_topk
+from .recommenders.hybrid import hybrid_topk
+from .recommenders.neighborhood import (
+    item_based_topk,
+    predict_item_based,
+    predict_user_based,
+    user_based_topk,
+)
+
+
+class _BaseTopK:
+    """Shared fit/transform plumbing (RecommenderInterface parity)."""
+
+    def __init__(self) -> None:
+        self._ratings: DataFrame | None = None
+        self._result: DataFrame | None = None
+
+    def fit(self, ratings: DataFrame) -> "_BaseTopK":
+        """M1: cache the long-format ratings (no dense matrix)."""
+        self._ratings = ratings.select("user_id", "item_id", "rating").cache()
+        self._result = None
+        return self
+
+    def _transform_all(self) -> DataFrame:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def transform(self) -> DataFrame:
+        """(user_id, item_id, score, rank) for EVERY user."""
+        if self._ratings is None:
+            raise RuntimeError("fit() first")
+        if self._result is None:
+            self._result = self._transform_all()
+        return self._result
+
+    def transform_user(self, user_id: int) -> list[tuple[int, float]]:
+        """Reference-call-shape convenience: one user's ordered top-K
+        as (item_id, score) tuples."""
+        rows = (
+            self.transform()
+            .where(F.col("user_id") == user_id)
+            .orderBy("rank")
+            .collect()
+        )
+        return [(r["item_id"], r["score"]) for r in rows]
+
+
+class UserBasedTopKRecommender(_BaseTopK):
+    """Reference UserBasedTopKRecommender.scala:40-91."""
+
+    def __init__(
+        self, k_users: int = 25, top_k: int = 5, similarity: str = "cosine"
+    ) -> None:
+        super().__init__()
+        self.k_users, self.top_k, self.similarity = k_users, top_k, similarity
+
+    def _transform_all(self) -> DataFrame:
+        return user_based_topk(
+            self._ratings,
+            k_neighbors=self.k_users,
+            k_items=self.top_k,
+            kernel=self.similarity,
+        )
+
+
+class ItemBasedTopKRecommender(_BaseTopK):
+    """Reference ItemBasedTopKRecommender.scala:44-94."""
+
+    def __init__(
+        self,
+        k_similar_items: int = 25,
+        top_k: int = 5,
+        similarity: str = "cosine",
+    ) -> None:
+        super().__init__()
+        self.k_similar_items, self.top_k, self.similarity = (
+            k_similar_items,
+            top_k,
+            similarity,
+        )
+
+    def _transform_all(self) -> DataFrame:
+        return item_based_topk(
+            self._ratings,
+            k_neighbors=self.k_similar_items,
+            k_items=self.top_k,
+            kernel=self.similarity,
+        )
+
+
+class ContentBasedTopKRecommender(_BaseTopK):
+    """Reference ContentBasedTopKRecommender.scala:52-98; features set
+    via ``set_features`` (ContentRecommender.scala:32-53)."""
+
+    def __init__(
+        self,
+        k_similar_items: int = 25,
+        top_k: int = 5,
+        similarity: str = "cosine",
+    ) -> None:
+        super().__init__()
+        self.k_similar_items, self.top_k, self.similarity = (
+            k_similar_items,
+            top_k,
+            similarity,
+        )
+        self._features: DataFrame | None = None
+
+    def set_features(self, features: DataFrame) -> "ContentBasedTopKRecommender":
+        """Long-format (item_id, key, r) feature frame — see
+        recommenders/content.py for the one-hot/scaled builder."""
+        self._features = features
+        return self
+
+    def _transform_all(self) -> DataFrame:
+        if self._features is None:
+            raise RuntimeError("set_features() first")
+        return content_based_topk(
+            self._ratings,
+            self._features,
+            k_neighbors=self.k_similar_items,
+            k_items=self.top_k,
+        )
+
+
+class HybridRecommenderTopK(_BaseTopK):
+    """Reference HybridRecommenderTopK.scala:81-121: weighted blend of
+    two fitted child recommenders (defaults 0.6/0.4, :33-34)."""
+
+    def __init__(
+        self,
+        first: _BaseTopK,
+        second: _BaseTopK,
+        weight_first: float = 0.6,
+        weight_second: float = 0.4,
+        top_k: int = 5,
+    ) -> None:
+        super().__init__()
+        self.first, self.second = first, second
+        self.weight_first, self.weight_second = weight_first, weight_second
+        self.top_k = top_k
+
+    def fit(self, ratings: DataFrame) -> "HybridRecommenderTopK":
+        self.first.fit(ratings)
+        self.second.fit(ratings)
+        self._ratings = self.first._ratings
+        self._result = None
+        return self
+
+    def _transform_all(self) -> DataFrame:
+        return hybrid_topk(
+            self.first.transform(),
+            self.second.transform(),
+            weight_a=self.weight_first,
+            weight_b=self.weight_second,
+            k_items=self.top_k,
+        )
+
+
+class UserBasedRatingRecommender:
+    """Reference UserBasedRatingRecommender.scala:34-77: predict the
+    rating of explicit (user, item) pairs."""
+
+    def __init__(self, k_users: int = 25, similarity: str = "cosine") -> None:
+        self.k_users, self.similarity = k_users, similarity
+        self._ratings: DataFrame | None = None
+
+    def fit(self, ratings: DataFrame) -> "UserBasedRatingRecommender":
+        self._ratings = ratings.select("user_id", "item_id", "rating").cache()
+        return self
+
+    def transform(self, pairs: DataFrame) -> DataFrame:
+        if self._ratings is None:
+            raise RuntimeError("fit() first")
+        return predict_user_based(
+            self._ratings, pairs, k_neighbors=self.k_users, kernel=self.similarity
+        )
+
+
+class ItemBasedRatingRecommender:
+    """Reference ItemBasedRatingRecommender.scala:36-72."""
+
+    def __init__(self, k_similar_items: int = 25, similarity: str = "cosine") -> None:
+        self.k_similar_items, self.similarity = k_similar_items, similarity
+        self._ratings: DataFrame | None = None
+
+    def fit(self, ratings: DataFrame) -> "ItemBasedRatingRecommender":
+        self._ratings = ratings.select("user_id", "item_id", "rating").cache()
+        return self
+
+    def transform(self, pairs: DataFrame) -> DataFrame:
+        if self._ratings is None:
+            raise RuntimeError("fit() first")
+        return predict_item_based(
+            self._ratings,
+            pairs,
+            k_neighbors=self.k_similar_items,
+            kernel=self.similarity,
+        )

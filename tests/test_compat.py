@@ -1,0 +1,54 @@
+"""Compat API (reference class shapes) must equal the functional API."""
+
+from __future__ import annotations
+
+from recsys_spark_spark.compat import (
+    HybridRecommenderTopK,
+    ItemBasedTopKRecommender,
+    UserBasedRatingRecommender,
+    UserBasedTopKRecommender,
+)
+from recsys_spark_spark.recommenders.neighborhood import user_based_topk
+from recsys_spark_spark.sources.readers import ratings_from_sales
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_user_topk_compat_equals_functional(spark, sf_dir):
+    ratings = ratings_from_sales(spark, sf_dir)
+    rec = UserBasedTopKRecommender(k_users=10, top_k=5).fit(ratings)
+    got = rec.transform()
+    want = user_based_topk(ratings, k_neighbors=10, k_items=5)
+    assert _rows(got) == _rows(want)
+
+    # one-user convenience matches the all-users frame
+    uid = got.first()["user_id"]
+    lst = rec.transform_user(uid)
+    frame = [
+        (r["item_id"], r["score"])
+        for r in got.where(got.user_id == uid).orderBy("rank").collect()
+    ]
+    assert lst == frame
+
+
+def test_hybrid_compat_runs(spark, sf_dir):
+    ratings = ratings_from_sales(spark, sf_dir)
+    hyb = HybridRecommenderTopK(
+        UserBasedTopKRecommender(k_users=10, top_k=10),
+        ItemBasedTopKRecommender(k_similar_items=10, top_k=10),
+        top_k=5,
+    ).fit(ratings)
+    pdf = hyb.transform().toPandas()
+    assert set(pdf.columns) == {"user_id", "item_id", "score", "rank"}
+    assert pdf.groupby("user_id")["rank"].max().le(5).all()
+
+
+def test_rating_predictor_compat(spark, sf_dir):
+    ratings = ratings_from_sales(spark, sf_dir)
+    pairs = ratings.select("user_id", "item_id").limit(50)
+    preds = UserBasedRatingRecommender(k_users=10).fit(ratings).transform(pairs)
+    pdf = preds.toPandas()
+    assert set(pdf.columns) == {"user_id", "item_id", "prediction"}
+    assert len(pdf) > 0
