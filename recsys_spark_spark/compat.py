@@ -226,3 +226,52 @@ class ItemBasedRatingRecommender:
             k_neighbors=self.k_similar_items,
             kernel=self.similarity,
         )
+
+
+class SequentialTopKRecommender:
+    """Reference SequentialTopKRecommender.scala:42-70 setter surface
+    over recommenders.sequential.SequentialTopK (KMeans-for-SOM
+    divergence documented there)."""
+
+    def __init__(
+        self,
+        k: int = 5,
+        height: int = 3,
+        width: int = 3,
+        number_periods: int = 5,
+        min_support: float = 0.01,
+        min_confidence: float = 0.2,
+        min_support_seq: float = 0.01,
+        min_confidence_seq: float = 0.05,
+        seed: int = 42,
+    ) -> None:
+        from .recommenders.sequential import SequentialTopK
+
+        self._model = SequentialTopK(
+            k_items=k,
+            grid_height=height,
+            grid_width=width,
+            n_periods=number_periods,
+            min_support=min_support,
+            min_confidence=min_confidence,
+            min_support_seq=min_support_seq,
+            min_confidence_seq=min_confidence_seq,
+            seed=seed,
+        )
+
+    def fit(self, interactions: DataFrame) -> "SequentialTopKRecommender":
+        """interactions: (user_id, item_id, ts)."""
+        self._model.fit(interactions)
+        return self
+
+    def transform(self) -> DataFrame:
+        return self._model.recommend()
+
+    def transform_user(self, user_id: int) -> list[tuple[str, float]]:
+        rows = (
+            self.transform()
+            .where(F.col("user_id") == user_id)
+            .orderBy("rank")
+            .collect()
+        )
+        return [(r["item_id"], r["score"]) for r in rows]

@@ -469,3 +469,20 @@ def order_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("f_and_o").alias("set_name"), "n"
     )
     return no_f.unionByName(both)
+
+
+@register(
+    "event_ratings_projection",
+    oracle="""
+SELECT CAST(user_id AS INTEGER) AS user_id, event_type AS item_id,
+       value AS rating, ts
+FROM events
+""",
+)
+def event_ratings_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events-as-implicit-feedback interactions frame
+    (sources.readers.ratings_from_events) — string item ids, per-event
+    grain, the timestamped input shape SequentialTopK consumes."""
+    from ..sources.readers import ratings_from_events
+
+    return ratings_from_events(spark, sf_dir)

@@ -52,3 +52,22 @@ def test_rating_predictor_compat(spark, sf_dir):
     pdf = preds.toPandas()
     assert set(pdf.columns) == {"user_id", "item_id", "prediction"}
     assert len(pdf) > 0
+
+
+def test_sequential_compat_runs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.compat import SequentialTopKRecommender
+    from recsys_spark_spark.sources.readers import table
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    inter = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.col("l_shipdate").alias("ts"),
+    )
+    rec = SequentialTopKRecommender(k=3).fit(inter)
+    pdf = rec.transform().toPandas()
+    assert set(pdf.columns) == {"user_id", "item_id", "score", "rank"}
+    assert pdf.groupby("user_id")["rank"].max().le(3).all()
