@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.ivf import cosine_knn_ivf, knn_ivf_oracle_sql
 from ..operators.knn import cosine_knn_lsh, knn_lsh_oracle_sql
 from ..sources.readers import table
 from .llm import KNN_K, KNN_QUERIES
@@ -108,3 +109,24 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < KNN_QUERIES)
     return cosine_knn_lsh(e, q, KNN_K)
+
+
+@register(
+    "embedding_knn_ivf",
+    bench=True,
+    oracle=knn_ivf_oracle_sql(KNN_QUERIES, KNN_K, EMB_DIM),
+)
+def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path #2: IVF-Flat (hash-seeded coarse quantizer + one
+    Lloyd step + n_probe search) for the same query set as
+    embedding_knn_bruteforce / embedding_knn_lsh.
+
+    Complementary to LSH: IVF exploits cluster structure (candidates
+    = |base|·n_probe/n_cells per query), LSH needs no training.  The
+    oracle replays the full deterministic pipeline, so recall is
+    cross-checked bit-for-bit; recall vs the exact baseline is
+    asserted separately in tests/test_knn.py.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < KNN_QUERIES)
+    return cosine_knn_ivf(e, q, KNN_K)

@@ -89,6 +89,33 @@ class SequentialTopK:
     #: this cap the join is |users| × |cluster items| (measured 300M
     #: rows / 52 s at sf0.1; 6 s with it).
     vote_prefilter: int = 512
+    #: "som" = distributed batch SOM (recommenders/som.py — the
+    #: reference's actual algorithm family, grid-neighborhood update);
+    #: "kmeans" = HashingTF+KMeans stand-in (round-1 behavior)
+    cluster_method: str = "som"
+    #: scale guard on the mined rule set: keep the top-N rules by
+    #: (support·confidence) with a content-based (antecedent,
+    #: consequent) tie-break so the cut is deterministic under any
+    #: partitioning.  A well-spread clustering can make FPGrowth emit
+    #: 10⁴-10⁵ rules from combinatorial frequent itemsets (measured
+    #: 49 555 at sf0.01 with the SOM); every downstream cost is linear
+    #: in the rule count, and low-score rules can only win for users
+    #: matching nothing better — the reference has no cap only because
+    #: it scores ONE user per driver call (:113-152).
+    max_rules: int = 4096
+    #: absolute floor on FPGrowth support: effective minSupport =
+    #: max(min_support, min_support_count / n_sequences).  A purely
+    #: fractional threshold degenerates on small corpora — at 150
+    #: sequences, 1% support means "appears twice", and a realistic
+    #: cluster spread then yields 3.2·10⁷ frequent itemsets from 150
+    #: rows (measured; the lattice is exponential in sequence length).
+    #: An itemset seen < this many times carries no statistical signal
+    #: at any corpus size, so the floor only removes noise rules.
+    #: (10 instead of 5: at 150 sequences the count-5 lattice is still
+    #: 2.8M itemsets / 24M raw rules — 47 s of FPGrowth — vs 0.5M/3.6M
+    #: at 10; above ~1000 sequences the relative threshold dominates
+    #: and the floor is inert.)
+    min_support_count: int = 10
     seed: int = 42
 
     # fitted state: all small-or-lazy DataFrames, nothing driver-side
@@ -135,9 +162,29 @@ class SequentialTopK:
         )
 
     def _cluster(self, baskets: DataFrame) -> tuple[DataFrame, object]:
-        """M12: HashingTF + KMeans(k=h·w, seed) as the SOM stand-in.
-        Both stages are JVM-side; assignments are deterministic for a
+        """M12: quantize baskets into grid_height×grid_width cluster
+        ids.  Default is the distributed batch SOM (real grid-
+        neighborhood semantics, the reference's algorithm family —
+        SequentialTopKRecommender.scala:403-416); "kmeans" keeps the
+        round-1 HashingTF+KMeans stand-in.  Both deterministic for a
         fixed seed."""
+        if self.cluster_method == "som":
+            from .som import BatchSOM, dense_hash_features
+
+            # persist: the batch SOM scans the features once per Lloyd
+            # iteration (+1 for the final assignment); without this
+            # every scan replays the whole upstream DAG (parquet →
+            # ratings → baskets → hash features) — measured 176 s vs
+            # ~40 s at sf0.01
+            feats = dense_hash_features(baskets, "items").persist()
+            som = BatchSOM(
+                height=self.grid_height,
+                width=self.grid_width,
+                max_iter=self.max_iter,
+                seed=self.seed,
+            ).fit(feats)
+            return som.transform(feats).drop("features"), som
+
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.feature import HashingTF
 
@@ -194,13 +241,22 @@ class SequentialTopK:
         (replaces getSupport's collected-array closure, :492-504)."""
         from pyspark.ml.fpm import FPGrowth
 
+        # clamp to 1.0: on a corpus smaller than the count floor the
+        # floor would exceed valid support (and a tiny corpus needs no
+        # lattice guard anyway)
+        n_seq = sequences.count()
+        eff_support = (
+            min(1.0, max(self.min_support, self.min_support_count / n_seq))
+            if n_seq
+            else self.min_support
+        )
         fp = FPGrowth(
             itemsCol="items",
-            minSupport=self.min_support,
+            minSupport=eff_support,
             minConfidence=self.min_confidence,
         )
         model = fp.fit(sequences)
-        rules = (
+        stripped = (
             model.associationRules
             # consequent's head is in the current period (P4, :481-487)
             .where(F.element_at("consequent", 1).endswith("_0"))
@@ -209,12 +265,25 @@ class SequentialTopK:
                 F.filter("antecedent", lambda x: ~x.endswith("_0")),
             )
             .where(F.size("antecedent") > 0)
-            .select("antecedent", "consequent")
-            .distinct()
-            .withColumn("rule_id", F.monotonically_increasing_id())
+            # distinct pairs, keeping the strongest pre-strip metrics
+            # as the capping key
+            .groupBy("antecedent", "consequent")
+            .agg(F.max(F.col("support") * F.col("confidence")).alias("_pre"))
+        )
+        if self.max_rules is not None:
+            # top-N by FPGrowth strength, content-based tie-break →
+            # deterministic under any partitioning; planned as a
+            # distributed TakeOrderedAndProject, not a global-sort
+            # window.  The exact re-score below runs on the survivors.
+            stripped = stripped.orderBy(
+                F.desc("_pre"),
+                F.concat_ws(" ", "antecedent"),
+                F.concat_ws(" ", "consequent"),
+            ).limit(self.max_rules)
+        rules = stripped.drop("_pre").withColumn(
+            "rule_id", F.monotonically_increasing_id()
         )
 
-        n_seq = sequences.count()
         if n_seq == 0:
             return rules.withColumn("support", F.lit(0.0)).withColumn(
                 "confidence", F.lit(0.0)
@@ -291,12 +360,23 @@ class SequentialTopK:
         if self.rules_ is None:
             raise RuntimeError("fit() first")
 
-        # score every rule for every user: |antecedent ∩ items| · s · c
+        # score every rule for every user: |antecedent ∩ items| · s · c.
+        # Sparse form: explode both sides and join on the shared tag —
+        # a (user, rule) row exists only where the intersection is
+        # non-empty, and count(*) IS the intersection size (sequence
+        # items and antecedents are both duplicate-free by
+        # construction).  The dense crossJoin form scored
+        # |users|·|rules| pairs (measured 98 s at sf0.01 once the SOM
+        # produced a realistic rule set; 13 s sparse).
+        useq = self.sequences_.select("user_id", F.explode("items").alias("tag"))
+        rtag = self.rules_.select("rule_id", F.explode("antecedent").alias("tag"))
+        match = (
+            useq.join(F.broadcast(rtag), "tag")
+            .groupBy("user_id", "rule_id")
+            .agg(F.count("*").alias("match"))
+        )
         scored = (
-            self.sequences_.crossJoin(F.broadcast(self.rules_))
-            .withColumn(
-                "match", F.size(F.array_intersect("antecedent", "items"))
-            )
+            match.join(F.broadcast(self.rules_), "rule_id")
             .withColumn(
                 "rule_score",
                 F.col("match") * F.col("support") * F.col("confidence"),

@@ -1,0 +1,182 @@
+"""Distributed batch Self-Organizing Map (reference M12).
+
+The reference clusters baskets with a third-party SOM estimator
+(``som.SOM`` from lib/sparkml-som_2.12-0.2.1.jar,
+SequentialTopKRecommender.scala:403-416: grid height×width,
+setMaxIter(5), seed).  Round 1 substituted KMeans (documented
+divergence); this module closes most of that gap with a standard
+batch SOM — real grid-neighborhood semantics — implemented
+Spark-first:
+
+per iteration:
+  1. best-matching-unit assignment: Arrow-batched pandas UDF, one
+     numpy distance matrix per batch against the broadcast codebook;
+  2. per-BMU partial sums via ``mapInPandas`` — each batch emits at
+     most k partial rows, so the driver collects O(k × partitions)
+     tiny rows, NOT data;
+  3. codebook update on the driver (k×dim numpy math): every unit
+     moves toward the weighted mean of all points, weights
+     exp(−grid_dist²/2σ²) with σ decaying linearly — the textbook
+     batch-SOM update (Kohonen).
+
+Bit-parity with the exact jar is not claimed (its init/decay schedule
+is its own); what is preserved is the ALGORITHM family: topology-aware
+quantization on an h×w grid, deterministic for a fixed seed.
+
+Scale: model state is the k×dim codebook (a few hundred KB broadcast);
+data is scanned once per iteration with no wide shuffle — the only
+cross-executor traffic is the k-row partials.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class BatchSOM:
+    """h×w batch SOM over a dense ``array<double>`` feature column."""
+
+    def __init__(
+        self,
+        height: int = 3,
+        width: int = 3,
+        max_iter: int = 5,
+        seed: int = 42,
+        sigma0: float | None = None,
+    ) -> None:
+        self.height, self.width = height, width
+        self.k = height * width
+        self.max_iter = max_iter
+        self.seed = seed
+        self.sigma0 = sigma0 if sigma0 is not None else max(height, width) / 2.0
+        self.codebook_: np.ndarray | None = None
+        # grid coordinates of each unit, row-major
+        self._grid = np.array(
+            [(i // width, i % width) for i in range(self.k)], dtype=float
+        )
+
+    # -- helpers ----------------------------------------------------------
+
+    def _neighborhood(self, sigma: float) -> np.ndarray:
+        """k×k matrix h[j, b] = exp(−grid_dist(j,b)² / 2σ²)."""
+        d2 = ((self._grid[:, None, :] - self._grid[None, :, :]) ** 2).sum(-1)
+        return np.exp(-d2 / (2.0 * sigma * sigma))
+
+    def _bmu_udf(self, feature_col: str):
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        C = self.codebook_.copy()  # captured by value
+        c_sq = (C * C).sum(1)
+
+        @pandas_udf("int")
+        def bmu(s: pd.Series) -> pd.Series:
+            X = np.stack(s.to_numpy()).astype(np.float64)
+            # argmin ||x−c||² = argmin c·c − 2 x·c
+            d = c_sq[None, :] - 2.0 * (X @ C.T)
+            return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+        return bmu(F.col(feature_col))
+
+    # -- API ---------------------------------------------------------------
+
+    def fit(self, df: DataFrame, feature_col: str = "features") -> "BatchSOM":
+        dim = df.select(F.size(feature_col).alias("d")).first()["d"]
+        # deterministic data-driven init: the k rows with the smallest
+        # feature hash (seeded) — reproducible under any partitioning
+        init_rows = (
+            df.select(feature_col)
+            .withColumn("_h", F.xxhash64(F.lit(self.seed), F.col(feature_col)))
+            .orderBy("_h")
+            .limit(self.k)
+            .collect()
+        )
+        if len(init_rows) < self.k:
+            raise ValueError(f"need at least k={self.k} rows to fit")
+        self.codebook_ = np.array(
+            [r[feature_col] for r in init_rows], dtype=np.float64
+        )
+
+        k = self.k
+        for it in range(self.max_iter):
+            sigma = max(self.sigma0 * (1.0 - it / self.max_iter), 0.3)
+            assigned = df.select(
+                F.col(feature_col).alias("f"),
+                self._bmu_udf(feature_col).alias("bmu"),
+            )
+
+            def partials(batches):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.stack(pdf["f"].to_numpy()).astype(np.float64)
+                    b = pdf["bmu"].to_numpy()
+                    out_b, out_n, out_s = [], [], []
+                    for j in np.unique(b):
+                        mask = b == j
+                        out_b.append(int(j))
+                        out_n.append(int(mask.sum()))
+                        out_s.append(X[mask].sum(0).tolist())
+                    yield pd.DataFrame(
+                        {"bmu": out_b, "n": out_n, "s": out_s}
+                    )
+
+            # O(k × partitions) tiny rows → driver
+            parts = assigned.mapInPandas(
+                partials, f"bmu int, n long, s array<double>"
+            ).collect()
+            counts = np.zeros(k)
+            sums = np.zeros((k, dim))
+            for r in parts:
+                counts[r["bmu"]] += r["n"]
+                sums[r["bmu"]] += np.array(r["s"])
+
+            H = self._neighborhood(sigma)  # k×k
+            num = H @ sums  # each unit pulls every BMU's mass
+            den = (H @ counts)[:, None]
+            nonzero = den[:, 0] > 0
+            new_cb = self.codebook_.copy()
+            new_cb[nonzero] = num[nonzero] / den[nonzero]
+            self.codebook_ = new_cb
+        return self
+
+    def transform(
+        self,
+        df: DataFrame,
+        feature_col: str = "features",
+        prediction_col: str = "transaction_cluster",
+    ) -> DataFrame:
+        if self.codebook_ is None:
+            raise RuntimeError("fit() first")
+        return df.withColumn(prediction_col, self._bmu_udf(feature_col))
+
+
+def dense_hash_features(
+    baskets: DataFrame,
+    items_col: str = "items",
+    keys: tuple[str, ...] = ("user_id", "ts"),
+    dim: int = 64,
+) -> DataFrame:
+    """Dense ``dim``-bucket hashed count vector per basket — the
+    Arrow-friendly feature input for BatchSOM (ml VectorUDT does not
+    cross the Arrow boundary; a plain array<double> does).  Pure
+    column expressions: explode → bucket hash → count → map → dense
+    array."""
+    ex = (
+        baskets.select(*keys, F.explode(items_col).alias("_it"))
+        .withColumn("_b", F.pmod(F.xxhash64("_it"), F.lit(dim)).cast("int"))
+        .groupBy(*keys, "_b")
+        .agg(F.count("*").cast("double").alias("_c"))
+    )
+    dense = ex.groupBy(*keys).agg(
+        F.map_from_entries(F.collect_list(F.struct("_b", "_c"))).alias("_m")
+    )
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0.0)),
+    )
+    return baskets.join(
+        dense.select(*keys, arr.alias("features")), list(keys)
+    )

@@ -112,6 +112,9 @@ def test_fpgrowth_rules_golden(spark):
         min_confidence=0.5,
         min_support_seq=0.1,
         min_confidence_seq=0.1,
+        # hand-computable corpus: disable the lattice noise floor so
+        # the mined rule set matches the by-hand FPGrowth derivation
+        min_support_count=0,
     )
     rules = model._mine_rules(seqs).collect()
     got = {

@@ -1,0 +1,71 @@
+"""Batch SOM tests: determinism, grid topology, cluster validity."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from recsys_spark_spark.recommenders.som import BatchSOM, dense_hash_features
+
+
+def _clustered_points(spark, n_per=30, seed=7):
+    """3 well-separated gaussian blobs in 8 dims."""
+    rng = np.random.default_rng(seed)
+    centers = np.array(
+        [[10.0] * 8, [-10.0] * 8, [10.0, -10.0] * 4]
+    )
+    rows = []
+    for ci, c in enumerate(centers):
+        pts = c + rng.normal(0, 0.5, size=(n_per, 8))
+        for i, p in enumerate(pts):
+            rows.append((ci * n_per + i, ci, [float(x) for x in p]))
+    return spark.createDataFrame(
+        rows, "id int, true_cluster int, features array<double>"
+    )
+
+
+def test_som_deterministic(spark):
+    df = _clustered_points(spark)
+    a = BatchSOM(2, 2, max_iter=5, seed=42).fit(df)
+    b = BatchSOM(2, 2, max_iter=5, seed=42).fit(df)
+    assert np.allclose(a.codebook_, b.codebook_)
+    ra = sorted((r["id"], r["transaction_cluster"]) for r in a.transform(df).collect())
+    rb = sorted((r["id"], r["transaction_cluster"]) for r in b.transform(df).collect())
+    assert ra == rb
+
+
+def test_som_separates_blobs(spark):
+    """Well-separated blobs must map to internally-consistent units:
+    every point of a blob shares its blob's majority unit."""
+    df = _clustered_points(spark)
+    som = BatchSOM(2, 2, max_iter=8, seed=42).fit(df)
+    out = som.transform(df).collect()
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r["true_cluster"], []).append(r["transaction_cluster"])
+    units = set()
+    for blob, assigns in by_blob.items():
+        vals, counts = np.unique(assigns, return_counts=True)
+        maj = vals[np.argmax(counts)]
+        assert counts.max() / len(assigns) >= 0.95, f"blob {blob} split"
+        units.add(int(maj))
+    assert len(units) == 3, "blobs collapsed onto fewer units"
+
+
+def test_som_cluster_range(spark):
+    df = _clustered_points(spark)
+    som = BatchSOM(3, 3, max_iter=3, seed=1).fit(df)
+    vals = {r["transaction_cluster"] for r in som.transform(df).collect()}
+    assert vals <= set(range(9))
+
+
+def test_dense_hash_features_shape(spark):
+    baskets = spark.createDataFrame(
+        [(1, "2024-01-01", ["a", "b", "a"]), (2, "2024-01-02", ["c"])],
+        "user_id int, ts string, items array<string>",
+    )
+    out = dense_hash_features(baskets, dim=16).collect()
+    assert all(len(r["features"]) == 16 for r in out)
+    # counts preserved: row 1 has 3 item occurrences
+    sums = {r["user_id"]: sum(r["features"]) for r in out}
+    assert sums == {1: 3.0, 2: 1.0}
