@@ -37,26 +37,62 @@ from pyspark.sql import functions as F
 
 
 def rule_counts(sequences: DataFrame, rules: DataFrame) -> DataFrame:
-    """J6/U6: per-rule sequence-containment counts via a broadcast
-    cross join + subset test (size(array_except) == 0), replacing the
+    """J6/U6: per-rule sequence-containment counts, replacing the
     reference's getSupport UDF that closes over ALL transactions
     collected to the driver (SequentialTopKRecommender.scala:492-504).
 
+    Sparse tag-join form: a sequence contains a rule's itemset iff it
+    matches ALL of the rule's tags, so explode both sides, join on the
+    shared tag, and compare the per-(user, rule) match count to the
+    rule's tag count.  Requires duplicate-free ``items`` and disjoint
+    antecedent/consequent (both true by construction: _sequences emits
+    per-period sets, FPGrowth rules are disjoint itemsets).  The dense
+    crossJoin + array_except subset test evaluated |seqs|·|rules|
+    array ops — 61M at sf0.1 (4096 rules), the recommend() cost
+    center; the sparse join only materializes actually-overlapping
+    pairs.
+
     ``sequences``: (user_id, items array<string>); ``rules``:
-    (rule_id, antecedent, consequent).  Returns (rule_id, n_xy, n_ant).
-    Scale: rules are post-threshold small → broadcast; sequences
-    stream once; the work per row is O(|rule items|)."""
-    joined = sequences.crossJoin(F.broadcast(rules))
-    xy = F.concat("antecedent", "consequent")
-    return joined.groupBy("rule_id").agg(
-        F.sum(
-            F.when(F.size(F.array_except(xy, F.col("items"))) == 0, 1).otherwise(0)
-        ).alias("n_xy"),
-        F.sum(
-            F.when(
-                F.size(F.array_except("antecedent", F.col("items"))) == 0, 1
-            ).otherwise(0)
-        ).alias("n_ant"),
+    (rule_id, antecedent, consequent).  Returns (rule_id, n_xy, n_ant)
+    with a 0/0 row for never-matched rules."""
+    ant = rules.select(
+        "rule_id", F.explode("antecedent").alias("tag"), F.lit(1).alias("is_ant")
+    )
+    con = rules.select(
+        "rule_id", F.explode("consequent").alias("tag"), F.lit(0).alias("is_ant")
+    )
+    rtags = ant.unionByName(con)
+    sizes = rules.select(
+        "rule_id",
+        F.size("antecedent").alias("sz_ant"),
+        (F.size("antecedent") + F.size("consequent")).alias("sz_xy"),
+    )
+    utags = sequences.select("user_id", F.explode("items").alias("tag"))
+    per_user = (
+        utags.join(F.broadcast(rtags), "tag")
+        .groupBy("user_id", "rule_id")
+        .agg(F.sum("is_ant").alias("c_ant"), F.count("*").alias("c_xy"))
+    )
+    counted = (
+        per_user.join(F.broadcast(sizes), "rule_id")
+        .groupBy("rule_id")
+        .agg(
+            F.sum(
+                F.when(F.col("c_xy") == F.col("sz_xy"), 1).otherwise(0)
+            ).alias("n_xy"),
+            F.sum(
+                F.when(F.col("c_ant") == F.col("sz_ant"), 1).otherwise(0)
+            ).alias("n_ant"),
+        )
+    )
+    return (
+        rules.select("rule_id")
+        .join(counted, "rule_id", "left")
+        .select(
+            "rule_id",
+            F.coalesce("n_xy", F.lit(0)).alias("n_xy"),
+            F.coalesce("n_ant", F.lit(0)).alias("n_ant"),
+        )
     )
 
 

@@ -7,6 +7,7 @@ plans/relational.py: tumbling windows with watermarks and session
 windows, file-source tested against the batch results.
 """
 
+from .dedup import dedup_docs_stream
 from .stateful import running_user_totals_stream
 from .windows import (
     daily_counts_stream,
@@ -21,4 +22,5 @@ __all__ = [
     "session_rows_stream",
     "run_stream_once",
     "running_user_totals_stream",
+    "dedup_docs_stream",
 ]

@@ -114,14 +114,18 @@ def session_rows_stream(
     )
 
 
-def run_stream_once(stream_df: DataFrame, name: str) -> DataFrame:
+def run_stream_once(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drain all available input through the streaming plan into an
-    in-memory table (availableNow + complete mode) and return it as a
-    batch DataFrame — the test harness for stream/batch parity."""
+    in-memory table (availableNow trigger) and return it as a batch
+    DataFrame — the test harness for stream/batch parity.  Aggregating
+    plans use the default complete mode; non-aggregating plans
+    (e.g. streaming dedup) need ``output_mode="append"``."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
