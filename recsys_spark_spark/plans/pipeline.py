@@ -1,0 +1,131 @@
+"""Composed training-data pipeline (the LLM-corpus north star):
+quality gate → language gate → exact dedup → near-dup removal, as ONE
+declarative plan with a full DuckDB oracle.
+
+The individual stages exist as standalone queries (doc_quality_scores,
+doc_lang_id, dedup_exact_docs, neardup_ngram_jaccard); this module is
+the composition a real corpus-cleaning job runs — and because every
+stage is a column-expression/join plan, Catalyst sees the WHOLE
+pipeline as one tree: the quality/language filters push into the
+parquet scan, and the dedup/near-dup stages only process survivors.
+
+Scale notes:
+- the ordering is deliberate: cheap row-local gates (quality, lang)
+  run FIRST so the shuffling stages (hash dedup, shingle self-join)
+  see the smallest possible corpus;
+- exact dedup shuffles a 32-char md5, never the document body;
+- near-dup pair generation here is the exact inverted-index join
+  (correct at sf scales); at 100 TB swap in the MinHash-banded
+  candidate stage from operators/dedup.py — the drop rule
+  (remove the higher doc_id of each verified pair) is unchanged.
+
+Reference seed: the reference has no corpus operators at all (its
+similarity kernels are ratings-space, similarity/*.scala); this is the
+L1-L4 composition SURVEY §2 lists as the engine's north-star use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import qround
+from ..operators.dedup import SHINGLE, ngram_jaccard_pairs, shingles_sql
+from ..sources.readers import table
+from .dedup import NEARDUP_THRESHOLD
+from .registry import register
+from .text import quality_exprs
+
+#: drop the bottom ~decile at sf0.01 (measured q10 = 0.458) — a real
+#: pipeline tunes this on a held-out labeled slice
+QUALITY_MIN = 0.46
+
+#: languages the downstream tokenizer does not support (demo value —
+#: non-vacuous: the synthetic corpus has 5 langs incl. 'zh')
+DROP_LANGS = ("zh",)
+
+
+@register(
+    "corpus_clean",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         floor(least(1.0, greatest(0.0,
+               0.3
+               + 1.2 * (CAST(len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+                         AS DOUBLE) / len(string_split(text, ' ')))
+               - 2.0 * (CAST(length(text) -
+                         length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+                         AS DOUBLE) / length(text))
+               + least(n_tokens, 40) / 200.0)) * 1000000.0 + 0.5) / 1000000.0
+           AS quality
+  FROM documents
+),
+gate AS (
+  SELECT * FROM scored
+  WHERE quality >= {QUALITY_MIN} AND lang NOT IN ('zh')
+),
+keep AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM gate GROUP BY 1),
+surv AS (SELECT g.* FROM gate g JOIN keep k ON k.doc_id = g.doc_id),
+sh AS (
+{shingles_sql("surv", SHINGLE)}
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+co AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS co
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT co.id_b AS doc_id
+  FROM co
+  JOIN sizes na ON na.id = co.id_a
+  JOIN sizes nb ON nb.id = co.id_b
+  WHERE floor((CAST(co.co AS DOUBLE) / (na.n + nb.n - co.co)) * 1000000.0 + 0.5)
+          / 1000000.0 >= {NEARDUP_THRESHOLD}
+)
+SELECT doc_id, lang, n_tokens, quality
+FROM surv
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+""",
+)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-plan corpus cleaning: quality ≥ {QUALITY_MIN}, supported
+    language, exact-duplicate removal (keep the smallest doc_id per
+    md5), then near-duplicate removal (drop the higher doc_id of every
+    exact-Jaccard pair ≥ threshold among survivors)."""
+    return clean_corpus(table(spark, sf_dir, "documents"))
+
+
+def clean_corpus(
+    docs: DataFrame,
+    quality_min: float = QUALITY_MIN,
+    drop_langs: tuple[str, ...] = DROP_LANGS,
+    neardup_threshold: float = NEARDUP_THRESHOLD,
+) -> DataFrame:
+    """Library form of corpus_clean (so tests can inject duplicates —
+    the shipped corpus has no exact dupes, round-1 vacuity lesson)."""
+    n_tokens, _, _, quality = quality_exprs()
+    gate = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "text",
+            n_tokens.alias("n_tokens"),
+            qround(quality, 6).alias("quality"),
+        )
+        .where(F.col("quality") >= quality_min)
+        .where(~F.col("lang").isin(*drop_langs))
+    )
+    keep = gate.groupBy(
+        F.md5(F.col("text").cast("binary")).alias("h")
+    ).agg(F.min("doc_id").alias("doc_id"))
+    surv = gate.join(keep.select("doc_id"), "doc_id", "semi")
+
+    pairs = ngram_jaccard_pairs(surv, neardup_threshold)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return surv.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_tokens", "quality"
+    )

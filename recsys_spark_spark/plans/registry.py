@@ -80,6 +80,7 @@ def _load_all() -> None:
         dedup,
         llm,
         mm,
+        pipeline,
         recsys,
         relational,
         seq,

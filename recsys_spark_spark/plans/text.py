@@ -71,13 +71,12 @@ SELECT doc_id, n_tokens,
 FROM base
 """,
 )
-def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document quality: stopword density up (natural prose
-    has function words), punctuation-noise down, mild length prior —
-    the standard cheap pre-filter stage of an LLM data pipeline,
-    entirely in whole-stage-codegen'd column expressions."""
-    d = table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+def quality_exprs(text_col: str = "text"):
+    """The quality-score column expressions, shared between
+    doc_quality_scores and the composed corpus_clean pipeline
+    (plans/pipeline.py).  Returns (n_tokens, stop_ratio, punct_ratio,
+    quality) raw (unrounded) columns."""
+    toks = F.split(text_col, " ")
     n_tokens = F.size(toks).cast("bigint")
     stop_ratio = (
         F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
@@ -85,10 +84,10 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     punct_ratio = (
         (
-            F.length("text")
-            - F.length(F.regexp_replace(F.col("text"), "[^a-z0-9 ]", ""))
+            F.length(text_col)
+            - F.length(F.regexp_replace(F.col(text_col), "[^a-z0-9 ]", ""))
         ).cast("double")
-        / F.length("text")
+        / F.length(text_col)
     )
     quality = F.least(
         F.lit(1.0),
@@ -100,6 +99,16 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.least(n_tokens, F.lit(40)) / 200.0,
         ),
     )
+    return n_tokens, stop_ratio, punct_ratio, quality
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: stopword density up (natural prose
+    has function words), punctuation-noise down, mild length prior —
+    the standard cheap pre-filter stage of an LLM data pipeline,
+    entirely in whole-stage-codegen'd column expressions."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens, stop_ratio, punct_ratio, quality = quality_exprs()
     return d.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
