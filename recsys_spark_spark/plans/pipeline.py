@@ -47,6 +47,7 @@ DROP_LANGS = ("zh",)
 
 @register(
     "corpus_clean",
+    bench=True,
     oracle=f"""
 WITH scored AS (
   SELECT doc_id, lang, text,

@@ -48,29 +48,6 @@ def _sql_list(words: list[str]) -> str:
 
 
 # --- quality scoring -------------------------------------------------------
-@register(
-    "doc_quality_scores",
-    oracle=f"""
-WITH base AS (
-  SELECT doc_id,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         CAST(len(list_filter(string_split(text, ' '),
-                              t -> t IN {_sql_list(STOPWORDS)})) AS DOUBLE)
-           / len(string_split(text, ' ')) AS stop_ratio,
-         CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
-              AS DOUBLE) / length(text) AS punct_ratio
-  FROM documents
-)
-SELECT doc_id, n_tokens,
-       floor(stop_ratio * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
-       floor(punct_ratio * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
-       floor(least(1.0, greatest(0.0,
-             0.3 + 1.2 * stop_ratio - 2.0 * punct_ratio
-                 + least(n_tokens, 40) / 200.0)) * 1000000.0 + 0.5) / 1000000.0
-         AS quality
-FROM base
-""",
-)
 def quality_exprs(text_col: str = "text"):
     """The quality-score column expressions, shared between
     doc_quality_scores and the composed corpus_clean pipeline
@@ -102,6 +79,30 @@ def quality_exprs(text_col: str = "text"):
     return n_tokens, stop_ratio, punct_ratio, quality
 
 
+
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN {_sql_list(STOPWORDS)})) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio,
+         CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+              AS DOUBLE) / length(text) AS punct_ratio
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       floor(stop_ratio * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+       floor(punct_ratio * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
+       floor(least(1.0, greatest(0.0,
+             0.3 + 1.2 * stop_ratio - 2.0 * punct_ratio
+                 + least(n_tokens, 40) / 200.0)) * 1000000.0 + 0.5) / 1000000.0
+         AS quality
+FROM base
+""",
+)
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality: stopword density up (natural prose
     has function words), punctuation-noise down, mild length prior —

@@ -1,0 +1,85 @@
+"""Physical-plan regression guards: the properties PERF.md claims
+(pushdown, pruning, broadcast strategy, distributed top-k, no
+accidental cartesian products) asserted on the ACTUAL plans, so a
+future edit that silently degrades a plan fails a test instead of a
+benchmark.
+
+These inspect the pre-execution AQE plan (AdaptiveSparkPlan with
+isFinalPlan=false): scan pushdown, join strategy hints, and operator
+choice are all decided before runtime re-optimization.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from recsys_spark_spark.plans.registry import QUERIES, _load_all
+
+
+def plan_of(df) -> str:
+    jqe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jqe.explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    _load_all()
+    return QUERIES
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir, queries):
+    p = plan_of(queries["q1_pricing_summary"].fn(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: the scan must not read l_orderkey/l_partkey etc.
+    scan = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in scan and "l_comment" not in scan
+    # map-side combine before the single shuffle
+    assert "partial_sum" in p
+    assert p.count("Exchange") >= 1
+
+
+def test_q3_q5_broadcast_dimensions(spark, sf_dir, queries):
+    for q in ("q3_top_revenue_orders", "q5_region_revenue"):
+        p = plan_of(queries[q].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in p, f"{q}: dimension join not broadcast"
+        assert "CartesianProduct" not in p
+
+
+def test_top_tokens_distributed_topk(spark, sf_dir, queries):
+    """Round-1 wrong #2: the global rank window funneled all tokens
+    through one partition; the fix must plan TakeOrderedAndProject."""
+    p = plan_of(queries["top_tokens"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_corpus_clean_pushes_lang_gate(spark, sf_dir, queries):
+    """The composed pipeline's row-local language gate must reach the
+    parquet scan (quality is computed so it can't push; lang can)."""
+    p = plan_of(queries["corpus_clean"].fn(spark, sf_dir))
+    assert "Not(In(lang" in p or "Not(EqualTo(lang" in p, "lang filter not pushed"
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir, queries):
+    """Every registered non-ML query plans without CartesianProduct;
+    the only crossJoins in the engine are broadcast 1-row bounds or
+    broadcast rule sets (which plan as BroadcastNestedLoopJoin)."""
+    skip = {"sequential_topk", "als_topk"}  # eager ML fitting in plan build
+    offenders = []
+    for name, spec in queries.items():
+        if name in skip:
+            continue
+        p = plan_of(spec.fn(spark, sf_dir))
+        if "CartesianProduct" in p:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_knn_window_rank_is_group_limited(spark, sf_dir, queries):
+    """Top-k windows must plan WindowGroupLimit (rank pruned before
+    the exchange), not a full sort of every candidate."""
+    for q in ("embedding_knn_lsh", "embedding_knn_ivf"):
+        p = plan_of(queries[q].fn(spark, sf_dir))
+        assert "WindowGroupLimit" in p, f"{q}: rank not group-limited"
