@@ -26,7 +26,7 @@ L1-L4 composition SURVEY §2 lists as the engine's north-star use.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import qround
@@ -129,4 +129,106 @@ def clean_corpus(
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return surv.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "lang", "n_tokens", "quality"
+    )
+
+
+# --- deterministic corpus subsampling --------------------------------------
+
+#: permille kept by corpus_sample (200‰ = 20%)
+SAMPLE_PERMILLE = 200
+
+
+@register(
+    "corpus_sample",
+    oracle=f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE CAST(concat('0x', substr(md5(concat('sample|', CAST(doc_id AS VARCHAR))), 1, 15))
+           AS BIGINT) % 1000 < {SAMPLE_PERMILLE}
+""",
+)
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash subsampling: keep a doc iff
+    md5-hash(doc_id) mod 1000 < permille.  Unlike ``df.sample()``
+    (partition-RNG: resampling under a different partitioning or
+    adding files changes the kept set), the hash decision is a pure
+    function of the id — stable across reruns, engines, cluster
+    sizes, and incremental loads, which is what makes training-data
+    subsamples reproducible and composable (a 10% sample is a strict
+    subset of the 20% sample).  Row-local: pushes to the scan, no
+    shuffle."""
+    from ..operators.dedup import hash60
+
+    d = table(spark, sf_dir, "documents")
+    return d.where(
+        hash60(F.col("doc_id").cast("string"), seed="sample") % 1000
+        < SAMPLE_PERMILLE
+    ).select("doc_id", "lang", "n_chars")
+
+
+# --- sequence packing -------------------------------------------------------
+
+#: token budget per training sequence (whitespace tokens here; swap in
+#: doc_bpe_token_counts' regex for BPE-ish budgets)
+PACK_BUDGET = 256
+#: shard count: packing is contiguous WITHIN a shard, so parallelism =
+#: n_shards while each pack stays deterministic
+PACK_SHARDS = 8
+
+
+@register(
+    "corpus_pack",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('pack|', CAST(doc_id AS VARCHAR))), 1, 15))
+              AS BIGINT) % {PACK_SHARDS} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+runs AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, CAST(shard AS INTEGER) AS shard, n_tokens,
+       CAST((cum - 1) // {PACK_BUDGET} AS INTEGER) AS pack_id
+FROM runs
+""",
+)
+def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pre-training: assign documents to
+    fixed-token-budget packs.  Docs are hash-sharded (parallelism,
+    deterministic), then packed contiguously in doc_id order within
+    each shard by running token total — pack_id = (cumsum−1) div
+    budget, i.e. a pack closes once its budget is reached (packs can
+    overflow by at most one document, the standard greedy-contiguous
+    approximation; bin-perfect packing is NP-hard and order-dependent).
+
+    Scale shape: ONE window per shard partition — state is a running
+    sum, shards bound the partition size (n_shards grows with the
+    corpus), no global sort.  The reference has no corpus operators;
+    this is SURVEY's L-family north star."""
+    from ..operators.dedup import hash60
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (hash60(F.col("doc_id").cast("string"), seed="pack") % PACK_SHARDS)
+        .cast("int")
+        .alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.withColumn("cum", F.sum("n_tokens").over(w)).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor((F.col("cum") - 1) / PACK_BUDGET).cast("int").alias("pack_id"),
     )

@@ -46,3 +46,53 @@ def test_corpus_clean_drops_injected_exact_dupes(spark, sf_dir):
     assert set(sample_ids) <= got_ids, "an original was dropped"
     # the clone injection changes nothing else
     assert got_ids == {r["doc_id"] for r in base_kept.collect()}
+
+
+def test_corpus_sample_deterministic_and_nested(spark, sf_dir):
+    """Hash sampling is a pure function of the id: rerun identical,
+    and a smaller permille is a strict subset of a larger one."""
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.operators.dedup import hash60
+
+    d = table(spark, sf_dir, "documents")
+
+    def sample_ids(permille):
+        return {
+            r["doc_id"]
+            for r in d.where(
+                hash60(F.col("doc_id").cast("string"), seed="sample") % 1000
+                < permille
+            ).collect()
+        }
+
+    s20 = sample_ids(200)
+    assert s20 == sample_ids(200)
+    s10 = sample_ids(100)
+    assert s10 < s20, "10% sample must nest inside 20%"
+    n = d.count()
+    assert 0.1 * n < len(s20) < 0.3 * n, "20% sample far off target"
+
+
+def test_corpus_pack_budget_property(spark, sf_dir):
+    """Every pack except possibly a shard's last stays within budget +
+    one overflowing document, and packs are contiguous per shard."""
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.plans.pipeline import PACK_BUDGET, corpus_pack
+
+    out = corpus_pack(spark, sf_dir)
+    packs = (
+        out.groupBy("shard", "pack_id")
+        .agg(F.sum("n_tokens").alias("tok"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    assert packs
+    for r in packs:
+        assert r["tok"] <= PACK_BUDGET + r["mx"], "pack overflowed by >1 doc"
+    # contiguity: pack ids per shard are 0..max with no gaps
+    by_shard = {}
+    for r in packs:
+        by_shard.setdefault(r["shard"], []).append(r["pack_id"])
+    for shard, ids in by_shard.items():
+        assert sorted(ids) == list(range(max(ids) + 1)), f"gap in shard {shard}"
