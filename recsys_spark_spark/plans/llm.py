@@ -44,16 +44,33 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
 @register(
     "dedup_exact_docs",
     oracle="""
-SELECT md5(text) AS text_hash,
-       count(*) AS n_docs,
-       min(doc_id) AS keep_doc_id
+SELECT doc_id,
+       md5(text) AS text_hash,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS keep_doc_id,
+       CAST(doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS INTEGER) AS is_dup
 FROM documents
-GROUP BY md5(text)
-HAVING count(*) > 1
 """,
 )
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dup_groups(table(spark, sf_dir, "documents"))
+    """Exact dedup as a per-document keeper mapping: every doc gets
+    (content hash, keeper id = min doc_id in its hash group, is_dup
+    flag).  Emitting the full mapping — not just the >1 groups —
+    keeps the oracle non-vacuous on a duplicate-free corpus (the
+    min-over-hash-partition logic is value-checked on every row) and
+    is the shape a downstream pipeline actually joins against to drop
+    or remap dupes.  One hash-partitioned shuffle on the 32-char
+    hash; the window min is computed within each hash partition."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text_hash")
+    return (
+        d.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash")
+        )
+        .withColumn("keep_doc_id", F.min("doc_id").over(w))
+        .withColumn(
+            "is_dup", (F.col("doc_id") != F.col("keep_doc_id")).cast("int")
+        )
+    )
 
 
 # --- normalization dedup (near-dup, deterministic form) --------------------
@@ -83,14 +100,30 @@ WITH norm AS (
                                  ' +', ' ', 'g'))) AS norm_hash
   FROM documents
 )
-SELECT norm_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+SELECT doc_id, norm_hash,
+       min(doc_id) OVER (PARTITION BY norm_hash) AS keep_doc_id,
+       CAST(doc_id <> min(doc_id) OVER (PARTITION BY norm_hash) AS INTEGER) AS is_dup
 FROM norm
-GROUP BY norm_hash
-HAVING count(*) > 1
 """,
 )
 def dedup_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return normalized_dup_groups(table(spark, sf_dir, "documents"))
+    """Normalization dedup as a per-document keeper mapping (same
+    non-vacuous shape as dedup_exact_docs, over the canonicalized
+    text hash)."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    w = Window.partitionBy("norm_hash")
+    return (
+        d.select("doc_id", F.md5(norm.cast("binary")).alias("norm_hash"))
+        .withColumn("keep_doc_id", F.min("doc_id").over(w))
+        .withColumn(
+            "is_dup", (F.col("doc_id") != F.col("keep_doc_id")).cast("int")
+        )
+    )
 
 
 # --- text statistics (L4) --------------------------------------------------

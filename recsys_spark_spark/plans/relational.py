@@ -201,14 +201,24 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_name
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1998-01-01')
 """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join — the relational form of the reference's
-    'unrated items' driver scans (BaseRecommender.scala:64-71)."""
+    'unrated items' driver scans (BaseRecommender.scala:64-71).
+    Bounded to 'no orders since 1998' because every customer in the
+    synthetic corpus has at least one order ever — the unbounded
+    anti-join returns 0 rows, which is vacuous oracle evidence; the
+    date-bounded form returns a real survivor set.  The date filter
+    is pushed below the anti-join (filter-then-anti beats
+    anti-then-filter: the build side shrinks before the shuffle)."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
