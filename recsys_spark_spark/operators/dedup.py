@@ -335,6 +335,11 @@ def ngram_jaccard_pairs(
     if max_doc_freq is not None:
         df_counts = sh.groupBy("s").agg(F.count("*").alias("_df"))
         sh = sh.join(df_counts, "s").where(F.col("_df") <= max_doc_freq).drop("_df")
+    # sh feeds three consumers (sizes + both sides of the self-join);
+    # persist so the explode + upstream text scan runs once, not 3×.
+    # MEMORY_AND_DISK (the persist() default): shingle rows ≈ tokens ×
+    # ids can exceed executor memory at scale — spill, don't recompute.
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("id").alias("id_a"), "s")
     b = sh.select(F.col("id").alias("id_b"), "s")

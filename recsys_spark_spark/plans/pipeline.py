@@ -123,7 +123,9 @@ def clean_corpus(
     keep = gate.groupBy(
         F.md5(F.col("text").cast("binary")).alias("h")
     ).agg(F.min("doc_id").alias("doc_id"))
-    surv = gate.join(keep.select("doc_id"), "doc_id", "semi")
+    # surv feeds the shingle pair join AND the final anti-join; without
+    # a persist the regex-heavy quality gate re-runs for every consumer.
+    surv = gate.join(keep.select("doc_id"), "doc_id", "semi").persist()
 
     pairs = ngram_jaccard_pairs(surv, neardup_threshold)
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
