@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .recommenders.content import content_based_topk
+from .recommenders.content import content_based_topk, predict_content_based
 from .recommenders.hybrid import hybrid_topk
 from .recommenders.neighborhood import (
     item_based_topk,
@@ -275,3 +275,93 @@ class SequentialTopKRecommender:
             .collect()
         )
         return [(r["item_id"], r["score"]) for r in rows]
+
+
+class ContentBasedRatingRecommender:
+    """Reference ContentBasedRatingRecommender.scala:26-105: predict
+    the rating of explicit (user, item) pairs from feature-space item
+    neighbors (zero-similarity pairs fall back to Euclidean — the K5
+    rule, :34-42, applied inside ``content_similarities``)."""
+
+    def __init__(
+        self, k_similar_items: int = 25, similarity: str = "cosine"
+    ) -> None:
+        self.k_similar_items, self.similarity = k_similar_items, similarity
+        self._ratings: DataFrame | None = None
+        self._features: DataFrame | None = None
+
+    def fit(self, ratings: DataFrame) -> "ContentBasedRatingRecommender":
+        self._ratings = ratings.select("user_id", "item_id", "rating").cache()
+        return self
+
+    def set_features(
+        self, features: DataFrame
+    ) -> "ContentBasedRatingRecommender":
+        """Long-format (item_id, key, r) feature frame."""
+        self._features = features
+        return self
+
+    def transform(self, pairs: DataFrame) -> DataFrame:
+        if self._ratings is None or self._features is None:
+            raise RuntimeError("fit() and set_features() first")
+        return predict_content_based(
+            self._ratings,
+            self._features,
+            pairs,
+            k_neighbors=self.k_similar_items,
+            kernel=self.similarity,
+        )
+
+
+class PredictionMetrics:
+    """Reference PredictionMetrics.scala:24-45: (RMSE, MAE) over
+    prediction errors.  Accepts an errors DataFrame (distributed — the
+    engine-native path) or a plain Python sequence (driver-side parity
+    with the reference's Array[Double] constructor)."""
+
+    def __init__(self, errors, error_col: str = "error") -> None:
+        self._errors, self._error_col = errors, error_col
+
+    def get_prediction_metrics(self) -> tuple[float, float]:
+        if isinstance(self._errors, DataFrame):
+            row = self._errors.agg(
+                F.sqrt(F.avg(F.pow(F.col(self._error_col), 2))).alias("rmse"),
+                F.avg(F.abs(F.col(self._error_col))).alias("mae"),
+            ).first()
+            return float(row["rmse"]), float(row["mae"])
+        import math
+
+        errs = list(self._errors)
+        rmse = math.sqrt(sum(e * e for e in errs) / len(errs))
+        mae = sum(abs(e) for e in errs) / len(errs)
+        return rmse, mae
+
+
+class RankingMetrics:
+    """Reference RankingMetrics.scala:21-55: (precision@k, recall@k,
+    AP@k) for one user's selected/relevant sets.  Mirrors the
+    reference's quirks exactly: precision divides by k (not
+    |selected|), recall of an empty relevant set is 0, and AP averages
+    ordered-prefix precisions over ALL k positions (not only hits —
+    see metrics/evaluation.py:81 for the distributed form and the
+    divergence note).  ``selected`` must be in rank order."""
+
+    def __init__(self, k: int, selected, relevant) -> None:
+        self._k = k
+        self._selected = list(selected)
+        self._relevant = set(relevant)
+
+    def get_ranking_metrics(self) -> tuple[float, float, float]:
+        hits = set(self._selected) & self._relevant
+        precision = len(hits) / float(self._k)
+        recall = (
+            len(hits) / float(len(self._relevant)) if self._relevant else 0.0
+        )
+        ap = (
+            sum(
+                len(set(self._selected[:i]) & self._relevant) / float(i)
+                for i in range(1, self._k + 1)
+            )
+            / self._k
+        )
+        return precision, recall, ap

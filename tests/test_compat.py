@@ -71,3 +71,52 @@ def test_sequential_compat_runs(spark, sf_dir):
     pdf = rec.transform().toPandas()
     assert set(pdf.columns) == {"user_id", "item_id", "score", "rank"}
     assert pdf.groupby("user_id")["rank"].max().le(3).all()
+
+
+def test_content_rating_predictor_compat(spark, sf_dir):
+    from recsys_spark_spark.compat import ContentBasedRatingRecommender
+    from recsys_spark_spark.recommenders.content import (
+        part_features,
+        predict_content_based,
+    )
+
+    ratings = ratings_from_sales(spark, sf_dir)
+    feats = part_features(spark, sf_dir)
+    pairs = ratings.select("user_id", "item_id").limit(50)
+    rec = (
+        ContentBasedRatingRecommender(k_similar_items=10)
+        .fit(ratings)
+        .set_features(feats)
+    )
+    got = rec.transform(pairs)
+    want = predict_content_based(ratings, feats, pairs, k_neighbors=10)
+    assert _rows(got) == _rows(want)
+
+
+def test_prediction_metrics_compat(spark):
+    import math
+
+    from recsys_spark_spark.compat import PredictionMetrics
+
+    errs = [1.0, -2.0, 0.5]
+    rmse, mae = PredictionMetrics(errs).get_prediction_metrics()
+    assert math.isclose(rmse, math.sqrt((1 + 4 + 0.25) / 3))
+    assert math.isclose(mae, 3.5 / 3)
+
+    df = spark.createDataFrame([(e,) for e in errs], "error double")
+    rmse2, mae2 = PredictionMetrics(df).get_prediction_metrics()
+    assert math.isclose(rmse, rmse2) and math.isclose(mae, mae2)
+
+
+def test_ranking_metrics_compat():
+    from recsys_spark_spark.compat import RankingMetrics
+
+    # reference quirks: precision /k, AP over all k prefixes
+    p, r, ap = RankingMetrics(
+        5, [1, 2, 3, 4, 5], {2, 4, 9}
+    ).get_ranking_metrics()
+    assert p == 2 / 5
+    assert r == 2 / 3
+    # prefixes: {1}:0/1 {1,2}:1/2 {..3}:1/3 {..4}:2/4 {..5}:2/5
+    assert abs(ap - (0 + 0.5 + 1 / 3 + 0.5 + 0.4) / 5) < 1e-12
+    assert RankingMetrics(5, [1], set()).get_ranking_metrics()[1] == 0.0
