@@ -234,3 +234,98 @@ def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor((F.col("cum") - 1) / PACK_BUDGET).cast("int").alias("pack_id"),
     )
+
+
+# --- vocabulary building ----------------------------------------------------
+
+#: fixed vocab size — training vocabularies are capped, which is what
+#: keeps the global ranking step bounded (TakeOrdered over aggregated
+#: token counts, never a full corpus sort)
+VOCAB_SIZE = 1024
+
+
+@register(
+    "corpus_vocab",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM tok GROUP BY token
+)
+SELECT token, n_occurrences, n_docs,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS BIGINT)
+         - 1 AS token_id
+FROM counts
+ORDER BY token_id
+LIMIT {VOCAB_SIZE}
+""",
+)
+def corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ordered vocabulary: top-VOCAB_SIZE tokens by
+    occurrence count (ties broken lexically), ids dense from 0 —
+    the token→id map a tokenizer trains against.
+
+    Scale shape: explode+groupBy is a map-side-combined count over
+    the corpus; the global ranking runs on the AGGREGATED vocab,
+    cut to VOCAB_SIZE by orderBy+limit (Spark plans TakeOrdered —
+    per-partition top-N then a driver merge of N×partitions rows,
+    no single-partition full sort); only the final N-row id
+    assignment is a one-partition window, bounded by the cap."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(
+        VOCAB_SIZE
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return top.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("bigint")
+    ).select("token", "n_occurrences", "n_docs", "token_id")
+
+
+# --- stratified sampling ----------------------------------------------------
+
+#: per-language keep rates (permille) — the shape `sampleBy` takes,
+#: but hash-deterministic: downsample over-represented languages
+STRATA_PERMILLE = {"en": 100, "de": 300, "fr": 300, "es": 300, "zh": 1000}
+
+
+@register(
+    "corpus_sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(concat('0x', substr(md5(concat('strata|', CAST(doc_id AS VARCHAR))), 1, 15))
+           AS BIGINT) % 1000 <
+      CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300 WHEN 'fr' THEN 300
+                WHEN 'es' THEN 300 WHEN 'zh' THEN 1000 ELSE 0 END
+""",
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-language) subsampling — the
+    id-hash form of ``df.sampleBy("lang", fractions)``: rebalances a
+    skewed corpus by downsampling over-represented strata.  Same
+    scale/reproducibility properties as corpus_sample (row-local,
+    pure function of the id, nested across rate changes); the rate
+    lookup is a CASE expression, so the whole filter pushes into the
+    scan — no join against a strata table needed (for thousands of
+    strata, swap the CASE for a broadcast join)."""
+    from ..operators.dedup import hash60
+
+    d = table(spark, sf_dir, "documents")
+    rate = F.lit(0)
+    for lang, pm in STRATA_PERMILLE.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pm)).otherwise(rate)
+    return d.where(
+        hash60(F.col("doc_id").cast("string"), seed="strata") % 1000 < rate
+    ).select("doc_id", "lang")

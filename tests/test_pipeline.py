@@ -96,3 +96,39 @@ def test_corpus_pack_budget_property(spark, sf_dir):
         by_shard.setdefault(r["shard"], []).append(r["pack_id"])
     for shard, ids in by_shard.items():
         assert sorted(ids) == list(range(max(ids) + 1)), f"gap in shard {shard}"
+
+
+def test_corpus_vocab_dense_frequency_ordered(spark, sf_dir):
+    from recsys_spark_spark.plans.pipeline import corpus_vocab
+
+    rows = corpus_vocab(spark, sf_dir).orderBy("token_id").collect()
+    assert rows, "empty vocab"
+    assert [r["token_id"] for r in rows] == list(range(len(rows)))
+    occ = [(-r["n_occurrences"], r["token"]) for r in rows]
+    assert occ == sorted(occ), "ids must follow (freq desc, token asc)"
+    assert all(r["n_docs"] <= r["n_occurrences"] for r in rows)
+
+
+def test_corpus_sample_stratified_rates(spark, sf_dir):
+    from recsys_spark_spark.plans.pipeline import (
+        STRATA_PERMILLE,
+        corpus_sample_stratified,
+    )
+    from recsys_spark_spark.sources.readers import table
+
+    base = {
+        r["lang"]: r["count"]
+        for r in table(spark, sf_dir, "documents").groupBy("lang").count().collect()
+    }
+    got = {
+        r["lang"]: r["count"]
+        for r in corpus_sample_stratified(spark, sf_dir).groupBy("lang").count().collect()
+    }
+    assert set(got) <= set(STRATA_PERMILLE)
+    # zh keeps everything; other strata land near their permille
+    assert got["zh"] == base["zh"]
+    for lang, pm in STRATA_PERMILLE.items():
+        if pm == 1000 or base.get(lang, 0) < 50:
+            continue
+        frac = got.get(lang, 0) / base[lang]
+        assert abs(frac - pm / 1000) < 0.15, (lang, frac)
