@@ -59,10 +59,23 @@ def ensure_session_confs(spark: SparkSession) -> None:
     - nanosAsLong: events.parquet stores TIMESTAMP(NANOS) which Spark
       otherwise refuses to scan;
     - UTC session timezone: timestamps must compare bit-for-bit with
-      DuckDB's UTC-naive timestamps in the oracle harness.
+      DuckDB's UTC-naive timestamps in the oracle harness;
+    - shuffle/AQE tuning, only when the session still carries the
+      stock 200-partition default: our plans assume AQE coalescing
+      and right-sized exchanges (see session.get_spark).  200-way
+      exchanges on a laptop-scale session cost ~2-3× on the CF
+      queries (measured 37.6 s vs 15 s for user_topk_cosine at
+      sf0.01).  A session the user tuned themselves (any non-default
+      value) is left alone.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
