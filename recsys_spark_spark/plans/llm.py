@@ -297,3 +297,36 @@ def embedding_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= KNN_K)
         .select("query_id", "match_id", qround("sim", R6).alias("sim"), "rank")
     )
+
+
+# --- embedding aggregation --------------------------------------------------
+@register(
+    "embedding_centroids_by_label",
+    oracle="""
+WITH e AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+)
+SELECT label, CAST(pos AS INTEGER) AS pos,
+       floor(avg(CAST(val AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS centroid,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM e GROUP BY 1, 2
+""",
+)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors, long format
+    (label, pos, centroid, n_vectors) — the class-prototype /
+    cluster-seed aggregation an embedding pipeline runs constantly.
+    posexplode + groupBy(label, pos) is a map-side-combined partial
+    aggregate: the shuffle carries (labels × dim) partial sums, never
+    vectors.  Double-sum order differs between engines by ~1e-13
+    relative; the 6-dp quantization absorbs it (same rounding both
+    sides)."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return ex.groupBy("label", "pos").agg(
+        qround(F.avg(F.col("val").cast("double")), R6).alias("centroid"),
+        F.count("*").alias("n_vectors"),
+    )

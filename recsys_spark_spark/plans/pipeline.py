@@ -329,3 +329,70 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(
         hash60(F.col("doc_id").cast("string"), seed="strata") % 1000 < rate
     ).select("doc_id", "lang")
+
+
+# --- long-document chunking -------------------------------------------------
+
+#: tokens per chunk / stride between chunk starts (overlap = 64-48 = 16)
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(greatest(1, ceil((len(string_split(text, ' ')) - {CHUNK_TOKENS})
+                               / {CHUNK_STRIDE}.0) + 1) AS INTEGER) AS n_chunks
+  FROM documents
+),
+e AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_id FROM t)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       array_to_string(toks[chunk_id*{CHUNK_STRIDE}+1 : chunk_id*{CHUNK_STRIDE}+{CHUNK_TOKENS}], ' ')
+         AS chunk_text,
+       CAST(len(toks[chunk_id*{CHUNK_STRIDE}+1 : chunk_id*{CHUNK_STRIDE}+{CHUNK_TOKENS}]) AS BIGINT)
+         AS n_chunk_tokens
+FROM e
+""",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — split long documents into
+    CHUNK_TOKENS-token windows every CHUNK_STRIDE tokens (the standard
+    context-window prep for embedding/training long docs; overlap keeps
+    boundary sentences in two chunks).  Pure column math: sequence →
+    explode → slice, row-local (no shuffle), so it scales as a narrow
+    map over the corpus.  Short docs yield exactly one (possibly
+    partial) chunk."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.greatest(
+            F.lit(1),
+            (
+                F.ceil(
+                    (F.size(toks) - F.lit(CHUNK_TOKENS))
+                    / F.lit(float(CHUNK_STRIDE))
+                )
+                + 1
+            ),
+        )
+        .cast("int")
+        .alias("n_chunks"),
+    )
+    e = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+    )
+    sl = F.slice(
+        F.col("toks"), F.col("chunk_id") * CHUNK_STRIDE + 1, F.lit(CHUNK_TOKENS)
+    )
+    return e.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.array_join(sl, " ").alias("chunk_text"),
+        F.size(sl).cast("bigint").alias("n_chunk_tokens"),
+    )

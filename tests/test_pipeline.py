@@ -132,3 +132,47 @@ def test_corpus_sample_stratified_rates(spark, sf_dir):
             continue
         frac = got.get(lang, 0) / base[lang]
         assert abs(frac - pm / 1000) < 0.15, (lang, frac)
+
+
+def test_doc_chunks_cover_and_overlap(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.plans.pipeline import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        doc_chunks,
+    )
+    from recsys_spark_spark.sources.readers import table
+
+    out = doc_chunks(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    # per-doc chunk count matches the formula; every token is covered
+    stats = (
+        out.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.max("chunk_id").alias("max_id"),
+            F.sum("n_chunk_tokens").alias("tok_sum"),
+        )
+        .join(docs.select("doc_id", F.size(F.split("text", " ")).alias("n")), "doc_id")
+        .collect()
+    )
+    import math
+
+    for r in stats:
+        want = max(1, math.ceil((r["n"] - CHUNK_TOKENS) / CHUNK_STRIDE) + 1)
+        assert r["n_chunks"] == want, (r["n"], r["n_chunks"], want)
+        assert r["max_id"] == want - 1
+        # overlap: total chunk tokens >= n (each token in >= 1 chunk)
+        assert r["tok_sum"] >= r["n"]
+    # a specific long doc: consecutive chunks overlap by CHUNK-STRIDE
+    long_doc = max(stats, key=lambda r: r["n"])
+    if long_doc["n_chunks"] > 1:
+        rows = (
+            out.where(F.col("doc_id") == long_doc["doc_id"])
+            .orderBy("chunk_id")
+            .collect()
+        )
+        a = rows[0]["chunk_text"].split(" ")
+        b = rows[1]["chunk_text"].split(" ")
+        assert a[CHUNK_STRIDE:] == b[: CHUNK_TOKENS - CHUNK_STRIDE]
