@@ -246,6 +246,7 @@ VOCAB_SIZE = 1024
 
 @register(
     "corpus_vocab",
+    bench=True,
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
@@ -340,6 +341,7 @@ CHUNK_STRIDE = 48
 
 @register(
     "doc_chunks",
+    bench=True,
     oracle=f"""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks,
