@@ -141,3 +141,25 @@ def test_rule_counts_golden(spark):
     )
     got = {r["rule_id"]: (r["n_xy"], r["n_ant"]) for r in rule_counts(seqs, rules).collect()}
     assert got == {1: (2, 2), 2: (1, 1), 3: (0, 0)}
+
+
+def test_bitmask_and_fallback_paths_agree(spark, sf_dir):
+    """The bitmask best-rule path and the explode-join fallback must
+    produce identical recommendations (same ties, same ranks)."""
+    from recsys_spark_spark.sources.readers import table
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    inter = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.col("l_shipdate").alias("ts"),
+    )
+    fast = SequentialTopK(k_items=3).fit(inter)
+    assert fast.bitmask_max_tags == 62  # default engages the mask path
+    slow = SequentialTopK(k_items=3, bitmask_max_tags=0).fit(inter)
+    a = sorted(map(tuple, fast.recommend().collect()))
+    b = sorted(map(tuple, slow.recommend().collect()))
+    assert a == b and a
