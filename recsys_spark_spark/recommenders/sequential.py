@@ -36,62 +36,127 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def rule_counts(sequences: DataFrame, rules: DataFrame) -> DataFrame:
+def rule_counts(
+    sequences: DataFrame, rules: DataFrame, bitmask_max_tags: int = 62
+) -> DataFrame:
     """J6/U6: per-rule sequence-containment counts, replacing the
     reference's getSupport UDF that closes over ALL transactions
     collected to the driver (SequentialTopKRecommender.scala:492-504).
 
-    Sparse tag-join form: a sequence contains a rule's itemset iff it
-    matches ALL of the rule's tags, so explode both sides, join on the
-    shared tag, and compare the per-(user, rule) match count to the
-    rule's tag count.  Requires duplicate-free ``items`` and disjoint
+    A sequence contains a rule's itemset iff it matches ALL of the
+    rule's tags.  Requires duplicate-free ``items`` and disjoint
     antecedent/consequent (both true by construction: _sequences emits
-    per-period sets, FPGrowth rules are disjoint itemsets).  The dense
-    crossJoin + array_except subset test evaluated |seqs|·|rules|
-    array ops — 61M at sf0.1 (4096 rules), the recommend() cost
-    center; the sparse join only materializes actually-overlapping
-    pairs.
+    per-period sets, FPGrowth rules are disjoint itemsets).
 
     ``sequences``: (user_id, items array<string>); ``rules``:
     (rule_id, antecedent, consequent).  Returns (rule_id, n_xy, n_ant)
-    with a 0/0 row for never-matched rules."""
-    ant = rules.select(
-        "rule_id", F.explode("antecedent").alias("tag"), F.lit(1).alias("is_ant")
-    )
-    con = rules.select(
-        "rule_id", F.explode("consequent").alias("tag"), F.lit(0).alias("is_ant")
-    )
-    rtags = ant.unionByName(con)
-    sizes = rules.select(
-        "rule_id",
-        F.size("antecedent").alias("sz_ant"),
-        (F.size("antecedent") + F.size("consequent")).alias("sz_xy"),
-    )
-    utags = sequences.select("user_id", F.explode("items").alias("tag"))
-    per_user = (
-        utags.join(F.broadcast(rtags), "tag")
-        .groupBy("user_id", "rule_id")
-        .agg(F.sum("is_ant").alias("c_ant"), F.count("*").alias("c_xy"))
-    )
-    counted = (
-        per_user.join(F.broadcast(sizes), "rule_id")
-        .groupBy("rule_id")
-        .agg(
-            F.sum(
-                F.when(F.col("c_xy") == F.col("sz_xy"), 1).otherwise(0)
-            ).alias("n_xy"),
-            F.sum(
-                F.when(F.col("c_ant") == F.col("sz_ant"), 1).otherwise(0)
-            ).alias("n_ant"),
+    with a 0/0 row for never-matched rules.
+
+    Strategy mirrors recommend(): the tag alphabet is ≤ grid cells ×
+    periods values, so the "sparse" tag join is actually dense (at
+    sf0.1 it materialized ~100M joined rows for 15k users × 4096
+    rules).  When the alphabet fits in a long, each sequence and each
+    rule side become BITMASKS; containment is ``mseq & mr == mr``,
+    counted per rule with a map-side partial aggregate over the
+    DISTINCT sequence masks (weighted by multiplicity) — the exchange
+    carries ≤ |rules| rows per partition and nothing wide shuffles.
+    Rule tags absent from every sequence poison the rule mask with a
+    bit no sequence has, so containment correctly fails (they cannot
+    be dropped: dropping would make the test vacuously pass).  >62
+    tags falls back to the explode-join form."""
+    tag_rows = (
+        sequences.select(F.explode("items").alias("t")).distinct().collect()
+    )  # bounded by the tag alphabet, never by data
+    tags = sorted(r["t"] for r in tag_rows)
+    if not tags:
+        # no sequences → nothing is contained
+        return rules.select(
+            "rule_id",
+            F.lit(0).cast("long").alias("n_xy"),
+            F.lit(0).cast("long").alias("n_ant"),
         )
-    )
+    if len(tags) <= bitmask_max_tags:
+        lits: list = []
+        for i, tg in enumerate(tags):
+            lits += [F.lit(tg), F.lit(1 << i)]
+        mp = F.create_map(*lits)
+        poison = F.lit(1 << 62).cast("long")
+
+        def mask(col):
+            return F.aggregate(
+                col,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc.bitwiseOR(
+                    F.coalesce(F.element_at(mp, x), poison)
+                ),
+            )
+
+        um = (
+            sequences.select(mask(F.col("items")).alias("mseq"))
+            .groupBy("mseq")
+            .agg(F.count("*").alias("cnt"))
+        )
+        rm = rules.select(
+            "rule_id",
+            mask(F.col("antecedent")).alias("mant"),
+            mask(F.concat("antecedent", "consequent")).alias("mxy"),
+        )
+        counted = (
+            um.crossJoin(F.broadcast(rm))
+            .groupBy("rule_id")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("mseq").bitwiseAND(F.col("mxy")) == F.col("mxy"),
+                        F.col("cnt"),
+                    ).otherwise(F.lit(0))
+                ).alias("n_xy"),
+                F.sum(
+                    F.when(
+                        F.col("mseq").bitwiseAND(F.col("mant")) == F.col("mant"),
+                        F.col("cnt"),
+                    ).otherwise(F.lit(0))
+                ).alias("n_ant"),
+            )
+        )
+    else:
+        ant = rules.select(
+            "rule_id", F.explode("antecedent").alias("tag"), F.lit(1).alias("is_ant")
+        )
+        con = rules.select(
+            "rule_id", F.explode("consequent").alias("tag"), F.lit(0).alias("is_ant")
+        )
+        rtags = ant.unionByName(con)
+        sizes = rules.select(
+            "rule_id",
+            F.size("antecedent").alias("sz_ant"),
+            (F.size("antecedent") + F.size("consequent")).alias("sz_xy"),
+        )
+        utags = sequences.select("user_id", F.explode("items").alias("tag"))
+        per_user = (
+            utags.join(F.broadcast(rtags), "tag")
+            .groupBy("user_id", "rule_id")
+            .agg(F.sum("is_ant").alias("c_ant"), F.count("*").alias("c_xy"))
+        )
+        counted = (
+            per_user.join(F.broadcast(sizes), "rule_id")
+            .groupBy("rule_id")
+            .agg(
+                F.sum(
+                    F.when(F.col("c_xy") == F.col("sz_xy"), 1).otherwise(0)
+                ).alias("n_xy"),
+                F.sum(
+                    F.when(F.col("c_ant") == F.col("sz_ant"), 1).otherwise(0)
+                ).alias("n_ant"),
+            )
+        )
     return (
         rules.select("rule_id")
         .join(counted, "rule_id", "left")
         .select(
             "rule_id",
-            F.coalesce("n_xy", F.lit(0)).alias("n_xy"),
-            F.coalesce("n_ant", F.lit(0)).alias("n_ant"),
+            F.coalesce("n_xy", F.lit(0)).cast("long").alias("n_xy"),
+            F.coalesce("n_ant", F.lit(0)).cast("long").alias("n_ant"),
         )
     )
 
@@ -323,8 +388,16 @@ class SequentialTopK:
                 F.concat_ws(" ", "antecedent"),
                 F.concat_ws(" ", "consequent"),
             ).limit(self.max_rules)
-        rules = stripped.drop("_pre").withColumn(
-            "rule_id", F.monotonically_increasing_id()
+        # cache: the capped rule set (≤ max_rules rows) feeds BOTH the
+        # rule_counts subtree and the final score join; without this
+        # the whole FPGrowth associationRules generation (~850k raw
+        # rules at sf0.1) plus the strip/cap sort re-executes once per
+        # consumer — and monotonically_increasing_id must be computed
+        # exactly once for the ids to be consistent across consumers
+        rules = (
+            stripped.drop("_pre")
+            .withColumn("rule_id", F.monotonically_increasing_id())
+            .cache()
         )
 
         if n_seq == 0:
@@ -333,7 +406,7 @@ class SequentialTopK:
             )
 
         # J6: subset test as array_except-empty over broadcast rules
-        counts = rule_counts(sequences, rules)
+        counts = rule_counts(sequences, rules, self.bitmask_max_tags)
         scored = (
             rules.join(counts, "rule_id")
             .withColumn("support", F.col("n_xy") / F.lit(float(n_seq)))

@@ -141,6 +141,12 @@ def test_rule_counts_golden(spark):
     )
     got = {r["rule_id"]: (r["n_xy"], r["n_ant"]) for r in rule_counts(seqs, rules).collect()}
     assert got == {1: (2, 2), 2: (1, 1), 3: (0, 0)}
+    # the explode-join fallback (>62-tag alphabets) must agree
+    fb = {
+        r["rule_id"]: (r["n_xy"], r["n_ant"])
+        for r in rule_counts(seqs, rules, bitmask_max_tags=0).collect()
+    }
+    assert fb == got
 
 
 def test_bitmask_and_fallback_paths_agree(spark, sf_dir):
