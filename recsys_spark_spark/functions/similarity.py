@@ -183,11 +183,22 @@ def pairwise_similarity(
     sims = sims.select("ea", "eb", "sim", *extra)
 
     if directed:
-        sims = sims.unionByName(
-            sims.select(
-                F.col("eb").alias("ea"), F.col("ea").alias("eb"), "sim", *extra
+        # one generator, not a self-union: Union(X, mirror(X)) plans X
+        # TWICE and Spark's exchange-reuse does not collapse the two
+        # branches (verified on the formatted plan — no ReusedExchange),
+        # so the quadratic pair join would execute twice.  Exploding
+        # [(a,b),(b,a)] per undirected pair keeps one subtree.
+        def _s(x: str, y: str) -> Column:
+            return F.struct(
+                F.col(x).alias("ea"),
+                F.col(y).alias("eb"),
+                F.col("sim").alias("sim"),
+                *[F.col(c).alias(c) for c in extra],
             )
-        )
+
+        sims = sims.select(
+            F.explode(F.array(_s("ea", "eb"), _s("eb", "ea"))).alias("_p")
+        ).select("_p.*")
 
     out_a, out_b = (f"{axis}_a", f"{axis}_b")
     return sims.select(

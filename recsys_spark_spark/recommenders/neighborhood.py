@@ -107,6 +107,13 @@ def user_based_topk(
             sims.withColumn("prn", F.row_number().over(wp))
             .where(F.col("prn") <= prefilter_neighbors)
             .drop("prn")
+            # the pruned neighbor list IS the fitted k-NN model —
+            # O(users·N) rows.  cache() registers by analyzed plan, so
+            # every query in the session that builds the same model
+            # (standalone top-K, the hybrid child, ranking eval) reuses
+            # one materialization of the quadratic pair join instead of
+            # re-running it
+            .cache()
         )
 
     neigh_r = ratings.select(
@@ -212,6 +219,11 @@ def topk_from_item_sims(
             sims.withColumn("prn", F.row_number().over(wp))
             .where(F.col("prn") <= prefilter_neighbors)
             .drop("prn")
+            # cached for the same plan-identity reuse as the user-axis
+            # model (see user_based_topk): item top-K, the hybrid
+            # child, and content-based top-K each rebuild this exact
+            # O(items·N)-row model
+            .cache()
         )
 
     user_r = ratings.select(
