@@ -426,7 +426,10 @@ class SequentialTopK:
 
     def fit(self, interactions: DataFrame) -> "SequentialTopK":
         """Fit on ``(user_id, item_id, ts)`` interactions."""
-        baskets = self._baskets(interactions)
+        # persist: _with_periods consumes baskets twice (the 1-row
+        # span-bounds aggregate + the main branch), which would re-run
+        # the upstream interactions join + basket groupBy
+        baskets = self._baskets(interactions).persist()
         with_periods = self._with_periods(baskets)
         clustered, _ = self._cluster(with_periods)
         clustered = clustered.cache()
