@@ -83,3 +83,26 @@ def test_knn_window_rank_is_group_limited(spark, sf_dir, queries):
     for q in ("embedding_knn_lsh", "embedding_knn_ivf"):
         p = plan_of(queries[q].fn(spark, sf_dir))
         assert "WindowGroupLimit" in p, f"{q}: rank not group-limited"
+
+
+def test_directed_sims_single_pair_join_subtree(spark):
+    """PERF regression guard: directed pairwise_similarity must build
+    ONE pair-join subtree (explode of both directions), never
+    Union(X, mirror(X)) — Spark does not collapse the union branches
+    (no ReusedExchange), so a union form executes the quadratic join
+    twice."""
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.functions.similarity import pairwise_similarity
+
+    r = spark.createDataFrame(
+        [(1, 10, 4.0), (2, 10, 3.0), (1, 11, 5.0), (2, 11, 2.0)],
+        "user_id int, item_id int, rating double",
+    )
+    sims = pairwise_similarity(r, "cosine", "user", directed=True)
+    p = plan_of(sims)
+    assert "Union" not in p, "directed mirror reintroduced a Union"
+    assert "Generate" in p  # the explode generator node
+    # both directions still come out
+    rows = {(x["user_a"], x["user_b"]) for x in sims.collect()}
+    assert rows == {(1, 2), (2, 1)}
