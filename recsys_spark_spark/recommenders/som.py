@@ -101,13 +101,22 @@ class BatchSOM:
             if n > self.fit_sample_rows:
                 denom = 1 << 30
                 thresh = int(denom * self.fit_sample_rows / n)
-                df = df.where(
-                    F.pmod(
-                        F.xxhash64(F.lit(self.seed ^ 0x5EED), F.col(feature_col)),
-                        F.lit(denom),
+                df = (
+                    df.where(
+                        F.pmod(
+                            F.xxhash64(
+                                F.lit(self.seed ^ 0x5EED), F.col(feature_col)
+                            ),
+                            F.lit(denom),
+                        )
+                        < F.lit(thresh)
                     )
-                    < F.lit(thresh)
-                ).persist()
+                    # few fat partitions: the sample is rescanned once
+                    # per Lloyd iteration, and per-task Arrow setup
+                    # dominates on ~100k rows spread over 32 partitions
+                    .coalesce(8)
+                    .persist()
+                )
                 sampled = True
         # deterministic data-driven init: the k rows with the smallest
         # feature hash (seeded) — reproducible under any partitioning
