@@ -17,31 +17,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from ..functions.rounding import qround
 from ..sources.readers import ensure_session_confs
-
-#: events.parquet physical schema under spark.sql.legacy.parquet
-#: .nanosAsLong (the file stores TIMESTAMP(NANOS); streaming sources
-#: need the schema declared up front)
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),  # nanoseconds
-        StructField("user_id", LongType(), True),
-        StructField("event_type", StringType(), True),
-        StructField("value", DoubleType(), True),
-        StructField("props", StringType(), True),
-    ]
-)
-
 
 def read_events_stream(
     spark: SparkSession,
@@ -50,20 +28,40 @@ def read_events_stream(
     glob: str = "events.parquet",
 ) -> DataFrame:
     """File-source stream of the events table with the same ts
-    normalization as the batch reader (sources/readers.py::table):
-    nanos → microsecond TimestampType by integer division."""
+    normalization as the batch reader (sources/readers.py::table).
+
+    Streaming file sources need the schema declared up front, and the
+    physical encoding of ``ts`` varies by generator: TIMESTAMP(NANOS)
+    scans as long nanoseconds (under ``nanosAsLong``) and needs ``div
+    1000``; TIMESTAMP(MICROS) without a timezone scans as
+    TIMESTAMP_NTZ and must pass through untouched.  Sniff the footer
+    once with a batch read — exactly what the batch reader keys on —
+    instead of hardcoding either shape.
+    """
     ensure_session_confs(spark)
+    batch_schema = (
+        spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+    )
     # the file source monitors a DIRECTORY; pathGlobFilter narrows it
     # to the events file(s) (a prod deployment would point at a landing
     # directory receiving new files)
     reader = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", glob)
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in batch_schema.fields)
+    if ts_type.get("ts") == "bigint":  # nanos-as-long encoding
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type.get("ts") == "timestamp_ntz":
+        # streaming event time (watermarks, window/session_window) is
+        # only defined on TIMESTAMP; with the session tz pinned UTC
+        # (ensure_session_confs) this cast preserves the wall-clock
+        # values the batch twin sees
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def daily_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:

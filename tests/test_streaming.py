@@ -35,10 +35,15 @@ def test_session_stream_matches_batch_session_counts(spark, sf_dir):
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # same NTZ-safe truncated-diff expression as the batch twin — gaps
+    # landing in [1800, 1801) are the only ones where truncated-gap
+    # (batch) and exact-gap (session_window) semantics could disagree
     gaps = e.select(
-        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)).alias(
-            "gap"
-        )
+        F.timestamp_diff(
+            "SECOND",
+            F.date_trunc("second", F.lag("ts").over(w)),
+            F.date_trunc("second", F.col("ts")),
+        ).alias("gap")
     )
     assert gaps.where(F.col("gap") == 1800).count() == 0
 
