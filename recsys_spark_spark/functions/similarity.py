@@ -80,7 +80,7 @@ def with_kernel_column(
 
 def pairwise_similarity(
     ratings: DataFrame,
-    kernel: str = "cosine",
+    kernel: str | tuple[str, ...] = "cosine",
     axis: str = "user",
     n_cols: int | None = None,
     directed: bool = True,
@@ -93,9 +93,14 @@ def pairwise_similarity(
     Parameters
     ----------
     ratings : long-format ``(user_id, item_id, rating)``
+    kernel : one kernel name → a single ``sim`` column; a TUPLE of
+        kernel names → one ``sim_<kernel>`` column each, all computed
+        from the SAME pair-stats aggregate (the quadratic co-rated
+        join runs once, not once per kernel — every kernel is a scalar
+        formula over (dot, co, sums, sumsqs)).
     axis : ``"user"`` → pairs of users over shared items (returns
-        ``(user_a, user_b, sim)``); ``"item"`` → pairs of items over
-        shared users (returns ``(item_a, item_b, sim)``).
+        ``(user_a, user_b, sim...)``); ``"item"`` → pairs of items over
+        shared users (returns ``(item_a, item_b, sim...)``).
     n_cols : full vector length for the Pearson quirk; default =
         countDistinct of the opposite axis (computed lazily as a scalar
         subquery-style cross join of a 1-row aggregate — no collect).
@@ -104,6 +109,10 @@ def pairwise_similarity(
     max_raters_per_item : drop join keys hotter than this before the
         self-join (skew guard for the quadratic blowup).
     """
+    kernels: tuple[str, ...] = (kernel,) if isinstance(kernel, str) else kernel
+    multi = not isinstance(kernel, str)
+    if euclidean_fallback and multi:
+        raise ValueError("euclidean_fallback only supported for a single kernel")
     if axis == "user":
         ent, key = "user_id", "item_id"
     elif axis == "item":
@@ -171,8 +180,13 @@ def pairwise_similarity(
         n_expr = F.col("_n_cols")
 
     extra = ["co"] if with_co else []
-    sims = with_kernel_column(enriched, kernel, n_expr)
-    if euclidean_fallback and kernel != "euclidean":
+    sim_cols: list[str] = []
+    sims = enriched
+    for k in kernels:
+        name = f"sim_{k}" if multi else "sim"
+        sims = with_kernel_column(sims, k, n_expr).withColumnRenamed("sim", name)
+        sim_cols.append(name)
+    if euclidean_fallback and kernels[0] != "euclidean":
         # K5: a primary similarity of exactly 0.0 falls back to inverted
         # Euclidean (ContentBasedTopKRecommender.scala:42-50)
         sq_dist = F.col("sumsq_a") + F.col("sumsq_b") - 2 * F.col("dot")
@@ -180,7 +194,7 @@ def pairwise_similarity(
         sims = sims.withColumn(
             "sim", F.when(F.col("sim") == 0.0, euclid).otherwise(F.col("sim"))
         )
-    sims = sims.select("ea", "eb", "sim", *extra)
+    sims = sims.select("ea", "eb", *sim_cols, *extra)
 
     if directed:
         # one generator, not a self-union: Union(X, mirror(X)) plans X
@@ -192,8 +206,7 @@ def pairwise_similarity(
             return F.struct(
                 F.col(x).alias("ea"),
                 F.col(y).alias("eb"),
-                F.col("sim").alias("sim"),
-                *[F.col(c).alias(c) for c in extra],
+                *[F.col(c).alias(c) for c in (*sim_cols, *extra)],
             )
 
         sims = sims.select(
@@ -202,7 +215,7 @@ def pairwise_similarity(
 
     out_a, out_b = (f"{axis}_a", f"{axis}_b")
     return sims.select(
-        F.col("ea").alias(out_a), F.col("eb").alias(out_b), "sim", *extra
+        F.col("ea").alias(out_a), F.col("eb").alias(out_b), *sim_cols, *extra
     )
 
 

@@ -25,7 +25,7 @@ from ..operators.dedup import (
     simhash_signatures,
 )
 from ..sources.readers import table
-from .registry import register
+from .registry import register, register_demoted
 
 NEARDUP_THRESHOLD = 0.5
 MAX_HAMMING = 3
@@ -54,10 +54,13 @@ def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_simhash", oracle=simhash_fingerprints_sql())
+@register_demoted("doc_simhash", oracle=simhash_fingerprints_sql())
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprint per document (document
-    fingerprinting; the Hamming-space dual of MinHash)."""
+    fingerprinting; the Hamming-space dual of MinHash).  Demoted tier:
+    neardup_simhash replays the same fingerprints inside its pigeonhole
+    join, so the registered row already covers this path; the exact
+    fingerprint values stay pytest-parity-checked."""
     return simhash_signatures(table(spark, sf_dir, "documents")).select(
         F.col("id").alias("doc_id"), "simhash", "n_tokens"
     )

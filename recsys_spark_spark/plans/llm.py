@@ -42,33 +42,68 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
 
 
 @register(
-    "dedup_exact_docs",
+    "dedup_docs",
     oracle="""
-SELECT doc_id,
-       md5(text) AS text_hash,
-       min(doc_id) OVER (PARTITION BY md5(text)) AS keep_doc_id,
-       CAST(doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS INTEGER) AS is_dup
-FROM documents
+WITH norm AS (
+  SELECT doc_id, md5(text) AS text_hash,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS norm_hash
+  FROM documents
+)
+SELECT doc_id, text_hash,
+       min(doc_id) OVER (PARTITION BY text_hash) AS keep_doc_id,
+       CAST(doc_id <> min(doc_id) OVER (PARTITION BY text_hash) AS INTEGER) AS is_dup,
+       norm_hash,
+       min(doc_id) OVER (PARTITION BY norm_hash) AS norm_keep_doc_id,
+       CAST(doc_id <> min(doc_id) OVER (PARTITION BY norm_hash) AS INTEGER)
+         AS norm_is_dup
+FROM norm
 """,
 )
-def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup as a per-document keeper mapping: every doc gets
-    (content hash, keeper id = min doc_id in its hash group, is_dup
-    flag).  Emitting the full mapping — not just the >1 groups —
-    keeps the oracle non-vacuous on a duplicate-free corpus (the
+def dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 exact + normalized dedup as ONE per-document keeper mapping:
+    every doc gets (content hash, keeper id = min doc_id in its hash
+    group, is_dup flag) for both the raw text hash and the
+    canonicalized (lowercase, strip punctuation, collapse whitespace)
+    hash.  Emitting the full mapping — not just the >1 groups — keeps
+    the oracle non-vacuous on a duplicate-free corpus (the
     min-over-hash-partition logic is value-checked on every row) and
-    is the shape a downstream pipeline actually joins against to drop
-    or remap dupes.  One hash-partitioned shuffle on the 32-char
-    hash; the window min is computed within each hash partition."""
+    is the shape a downstream pipeline actually joins against.  Two
+    hash-partitioned window shuffles on 32-char keys — the hashes, not
+    the document bodies, are what shuffle.  (Merged from the former
+    dedup_exact_docs + dedup_normalized_docs registry entries — same
+    grain, one scan.)"""
     d = table(spark, sf_dir, "documents")
-    w = Window.partitionBy("text_hash")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    we = Window.partitionBy("text_hash")
+    wn = Window.partitionBy("norm_hash")
     return (
         d.select(
-            "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash")
+            "doc_id",
+            F.md5(F.col("text").cast("binary")).alias("text_hash"),
+            F.md5(norm.cast("binary")).alias("norm_hash"),
         )
-        .withColumn("keep_doc_id", F.min("doc_id").over(w))
+        .withColumn("keep_doc_id", F.min("doc_id").over(we))
         .withColumn(
             "is_dup", (F.col("doc_id") != F.col("keep_doc_id")).cast("int")
+        )
+        .withColumn("norm_keep_doc_id", F.min("doc_id").over(wn))
+        .withColumn(
+            "norm_is_dup",
+            (F.col("doc_id") != F.col("norm_keep_doc_id")).cast("int"),
+        )
+        .select(
+            "doc_id",
+            "text_hash",
+            "keep_doc_id",
+            "is_dup",
+            "norm_hash",
+            "norm_keep_doc_id",
+            "norm_is_dup",
         )
     )
 
@@ -91,59 +126,38 @@ def normalized_dup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "dedup_normalized_docs",
-    oracle="""
-WITH norm AS (
-  SELECT doc_id,
-         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-                                 ' +', ' ', 'g'))) AS norm_hash
-  FROM documents
-)
-SELECT doc_id, norm_hash,
-       min(doc_id) OVER (PARTITION BY norm_hash) AS keep_doc_id,
-       CAST(doc_id <> min(doc_id) OVER (PARTITION BY norm_hash) AS INTEGER) AS is_dup
-FROM norm
-""",
-)
-def dedup_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalization dedup as a per-document keeper mapping (same
-    non-vacuous shape as dedup_exact_docs, over the canonicalized
-    text hash)."""
-    d = table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
-        )
-    )
-    w = Window.partitionBy("norm_hash")
-    return (
-        d.select("doc_id", F.md5(norm.cast("binary")).alias("norm_hash"))
-        .withColumn("keep_doc_id", F.min("doc_id").over(w))
-        .withColumn(
-            "is_dup", (F.col("doc_id") != F.col("keep_doc_id")).cast("int")
-        )
-    )
-
-
 # --- text statistics (L4) --------------------------------------------------
+
+from .text import BPE_PATTERN  # noqa: E402  (shared BPE-ish regex)
+
+
 @register(
     "doc_token_stats",
-    oracle="""
+    oracle=f"""
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
        CAST(length(text) AS BIGINT) AS n_chars,
        floor((CAST(length(replace(text, ' ', '')) AS DOUBLE)
-             / len(string_split(text, ' '))) * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token
+             / len(string_split(text, ' '))) * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens
 FROM documents
 """,
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token statistics — whitespace tokenizer, all
-    JVM-side column functions (no UDF)."""
+    """Per-document token statistics: whitespace tokenizer counts plus
+    BPE-ish regex token counts (word runs / digit runs / punctuation
+    marks) — all JVM-side column functions (no UDF), one scan.
+    (Absorbs the former doc_bpe_token_counts registry entry — same
+    grain.)"""
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+
+    def n(pat: str):
+        return F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("bigint")
+
     return d.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
@@ -154,6 +168,9 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(toks),
             R6,
         ).alias("chars_per_token"),
+        n(BPE_PATTERN).alias("n_bpe_tokens"),
+        n("[a-z]+").alias("n_word_tokens"),
+        n("[0-9]+").alias("n_num_tokens"),
     )
 
 

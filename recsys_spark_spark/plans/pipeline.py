@@ -3,7 +3,7 @@ quality gate → language gate → exact dedup → near-dup removal, as ONE
 declarative plan with a full DuckDB oracle.
 
 The individual stages exist as standalone queries (doc_quality_scores,
-doc_lang_id, dedup_exact_docs, neardup_ngram_jaccard); this module is
+dedup_docs, neardup_ngram_jaccard); this module is
 the composition a real corpus-cleaning job runs — and because every
 stage is a column-expression/join plan, Catalyst sees the WHOLE
 pipeline as one tree: the quality/language filters push into the
@@ -140,25 +140,66 @@ def clean_corpus(
 SAMPLE_PERMILLE = 200
 
 
+#: per-language keep rates (permille) — the shape `sampleBy` takes,
+#: but hash-deterministic: downsample over-represented languages
+STRATA_PERMILLE = {"en": 100, "de": 300, "fr": 300, "es": 300, "zh": 1000}
+
+
 @register(
-    "corpus_sample",
+    "corpus_samples",
     oracle=f"""
-SELECT doc_id, lang, n_chars
+SELECT doc_id, lang, n_chars,
+       CAST(CAST(concat('0x', substr(md5(concat('sample|', CAST(doc_id AS VARCHAR))), 1, 15))
+                 AS BIGINT) % 1000 < {SAMPLE_PERMILLE} AS INTEGER) AS in_sample,
+       CAST(CAST(concat('0x', substr(md5(concat('strata|', CAST(doc_id AS VARCHAR))), 1, 15))
+                 AS BIGINT) % 1000 <
+            CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300 WHEN 'fr' THEN 300
+                      WHEN 'es' THEN 300 WHEN 'zh' THEN 1000 ELSE 0 END
+            AS INTEGER) AS in_strat_sample
 FROM documents
-WHERE CAST(concat('0x', substr(md5(concat('sample|', CAST(doc_id AS VARCHAR))), 1, 15))
-           AS BIGINT) % 1000 < {SAMPLE_PERMILLE}
 """,
 )
+def corpus_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash subsampling, uniform AND stratified, as one
+    per-document decision table: keep a doc iff md5-hash(doc_id) mod
+    1000 < permille, with the stratified flavor looking the permille
+    up per language (the id-hash form of ``df.sampleBy``).  Unlike
+    ``df.sample()`` (partition-RNG: resampling under a different
+    partitioning or adding files changes the kept set), the hash
+    decision is a pure function of the id — stable across reruns,
+    engines, cluster sizes, and incremental loads, which is what makes
+    training-data subsamples reproducible and composable (a 10% sample
+    is a strict subset of the 20% sample).  Row-local: pushes to the
+    scan, no shuffle.  Emitting BOTH flags on every doc (rather than
+    two filtered row sets) value-checks each hash decision corpus-wide
+    in one query; consumers filter on the flag they want.  (Merged
+    from the former corpus_sample + corpus_sample_stratified registry
+    entries.)"""
+    from ..operators.dedup import hash60
+
+    d = table(spark, sf_dir, "documents")
+    rate = F.lit(0)
+    for lang, pm in STRATA_PERMILLE.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pm)).otherwise(rate)
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            hash60(F.col("doc_id").cast("string"), seed="sample") % 1000
+            < SAMPLE_PERMILLE
+        )
+        .cast("int")
+        .alias("in_sample"),
+        (hash60(F.col("doc_id").cast("string"), seed="strata") % 1000 < rate)
+        .cast("int")
+        .alias("in_strat_sample"),
+    )
+
+
 def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hash subsampling: keep a doc iff
-    md5-hash(doc_id) mod 1000 < permille.  Unlike ``df.sample()``
-    (partition-RNG: resampling under a different partitioning or
-    adding files changes the kept set), the hash decision is a pure
-    function of the id — stable across reruns, engines, cluster
-    sizes, and incremental loads, which is what makes training-data
-    subsamples reproducible and composable (a 10% sample is a strict
-    subset of the 20% sample).  Row-local: pushes to the scan, no
-    shuffle."""
+    """Filtered-row-set view of the uniform hash sample (library form;
+    the registered query is corpus_samples)."""
     from ..operators.dedup import hash60
 
     d = table(spark, sf_dir, "documents")
@@ -296,31 +337,10 @@ def corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- stratified sampling ----------------------------------------------------
 
-#: per-language keep rates (permille) — the shape `sampleBy` takes,
-#: but hash-deterministic: downsample over-represented languages
-STRATA_PERMILLE = {"en": 100, "de": 300, "fr": 300, "es": 300, "zh": 1000}
 
-
-@register(
-    "corpus_sample_stratified",
-    oracle=f"""
-SELECT doc_id, lang
-FROM documents
-WHERE CAST(concat('0x', substr(md5(concat('strata|', CAST(doc_id AS VARCHAR))), 1, 15))
-           AS BIGINT) % 1000 <
-      CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300 WHEN 'fr' THEN 300
-                WHEN 'es' THEN 300 WHEN 'zh' THEN 1000 ELSE 0 END
-""",
-)
 def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified (per-language) subsampling — the
-    id-hash form of ``df.sampleBy("lang", fractions)``: rebalances a
-    skewed corpus by downsampling over-represented strata.  Same
-    scale/reproducibility properties as corpus_sample (row-local,
-    pure function of the id, nested across rate changes); the rate
-    lookup is a CASE expression, so the whole filter pushes into the
-    scan — no join against a strata table needed (for thousands of
-    strata, swap the CASE for a broadcast join)."""
+    """Filtered-row-set view of the stratified hash sample (library
+    form; the registered query is corpus_samples)."""
     from ..operators.dedup import hash60
 
     d = table(spark, sf_dir, "documents")

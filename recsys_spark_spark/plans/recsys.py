@@ -21,7 +21,7 @@ from ..functions.similarity import pairwise_similarity
 from ..recommenders.neighborhood import item_based_topk, user_based_topk
 from ..recommenders.hybrid import hybrid_topk
 from ..sources.readers import ratings_from_sales
-from .registry import register
+from .registry import register, register_demoted
 
 # ---------------------------------------------------------------------------
 # oracle SQL templates
@@ -84,14 +84,46 @@ sims AS (
 """.strip()
 
 
-def _pair_query_sql(axis: str, kernel: str, min_co: int) -> str:
+def _pair_query_sql(axis: str, kernels: tuple[str, ...], min_co: int) -> str:
+    """Undirected pair listing with one rounded column per kernel —
+    all kernels share the single stats/copairs aggregate, exactly like
+    the Spark side's multi-kernel pairwise_similarity."""
+    ent, key = ("user_id", "item_id") if axis == "user" else ("item_id", "user_id")
     a, b = (f"{axis}_a", f"{axis}_b")
+    ncols_join = (
+        ", (SELECT CAST(count(DISTINCT " + key + ") AS DOUBLE) AS n FROM ratings) ncols"
+        if "pearson" in kernels
+        else ""
+    )
+    kcols = ", ".join(f"{KERNEL_SQL[k]} AS raw_{k}" for k in kernels)
+    out = ", ".join(
+        f"floor((floor((raw_{k}) * 10000000.0 + 0.5) / 10000000.0) * 10000.0 + 0.5)"
+        f" / 10000.0 AS sim_{k}"
+        for k in kernels
+    )
     return f"""
 WITH {RATINGS_CTE},
-{_sims_ctes(axis, kernel)}
-SELECT ea AS {a}, eb AS {b}, floor((sim) * 10000.0 + 0.5) / 10000.0 AS sim, co
-FROM sims
-WHERE co >= {min_co} AND ea < eb
+stats AS (
+  SELECT {ent} AS ent, sum(rating) AS s, sum(rating*rating) AS ss,
+         count(*) AS n
+  FROM ratings GROUP BY 1
+),
+copairs AS (
+  SELECT a.{ent} AS ea, b.{ent} AS eb,
+         sum(a.rating * b.rating) AS dot, count(*) AS co
+  FROM ratings a JOIN ratings b
+    ON a.{key} = b.{key} AND a.{ent} < b.{ent}
+  GROUP BY 1, 2
+),
+halfsims AS (
+  SELECT ea, eb, co, {kcols}
+  FROM copairs
+  JOIN stats sa ON sa.ent = ea
+  JOIN stats sb ON sb.ent = eb{ncols_join}
+)
+SELECT ea AS {a}, eb AS {b}, {out}, co
+FROM halfsims
+WHERE co >= {min_co}
 """.strip()
 
 
@@ -277,42 +309,40 @@ def _cached_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ratings_from_sales(spark, sf_dir).cache()
 
 
-@register("user_sim_cosine", oracle=_pair_query_sql("user", "cosine", MIN_CO))
-def user_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K1 cosine over full rating vectors, as a co-rated self-join
-    (reference similarity/CosineSimilarity.scala:24-33)."""
-    return _pair_query(spark, sf_dir, "user", "cosine")
+@register(
+    "user_sims", oracle=_pair_query_sql("user", ("cosine", "pearson"), MIN_CO)
+)
+def user_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 cosine + K2 Pearson over full rating vectors, one co-rated
+    self-join (reference similarity/CosineSimilarity.scala:24-33,
+    PearsonSimilarity.scala:24-37 — Pearson keeps the full-array-means
+    quirk: means divide by the total item count N, zeros included).
+    Both kernels are scalar formulas over the same (dot, co, sums)
+    pair-stats aggregate, so merging them costs one extra projection,
+    not a second quadratic join.  (Merged from the former
+    user_sim_cosine + user_sim_pearson registry entries.)"""
+    return _pair_query(spark, sf_dir, "user", ("cosine", "pearson"))
 
 
-@register("user_sim_pearson", oracle=_pair_query_sql("user", "pearson", MIN_CO))
-def user_sim_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K2 Pearson with the reference's full-array means quirk
-    (similarity/PearsonSimilarity.scala:24-37): means divide by the
-    total item count N, zeros included."""
-    return _pair_query(spark, sf_dir, "user", "pearson")
-
-
-@register("item_sim_jaccard", oracle=_pair_query_sql("item", "jaccard", MIN_CO))
-def item_sim_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K4 Jaccard over rater sets (similarity/JaccardSimilarity.scala:22-29,
-    set form)."""
-    return _pair_query(spark, sf_dir, "item", "jaccard")
-
-
-@register("item_sim_euclidean", oracle=_pair_query_sql("item", "euclidean", MIN_CO))
-def item_sim_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K3 inverted Euclidean 1/(√Σ(a−b)²+1)
-    (similarity/EuclideanSimilarity.scala:24-28)."""
-    return _pair_query(spark, sf_dir, "item", "euclidean")
+@register(
+    "item_sims", oracle=_pair_query_sql("item", ("jaccard", "euclidean"), MIN_CO)
+)
+def item_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 Jaccard over rater sets + K3 inverted Euclidean
+    1/(√Σ(a−b)²+1), one co-rated self-join (reference
+    JaccardSimilarity.scala:22-29 set form,
+    EuclideanSimilarity.scala:24-28).  (Merged from the former
+    item_sim_jaccard + item_sim_euclidean registry entries.)"""
+    return _pair_query(spark, sf_dir, "item", ("jaccard", "euclidean"))
 
 
 def _pair_query(
-    spark: SparkSession, sf_dir: str, axis: str, kernel: str
+    spark: SparkSession, sf_dir: str, axis: str, kernels: tuple[str, ...]
 ) -> DataFrame:
     ratings = _cached_ratings(spark, sf_dir)
     sims = pairwise_similarity(
         ratings,
-        kernel=kernel,
+        kernel=kernels,
         axis=axis,
         directed=False,
         with_co=True,
@@ -322,9 +352,14 @@ def _pair_query(
     # 4 dp output: these queries list ~10⁶ pairs, and cross-engine float
     # noise (worst for the cancelling Pearson numerator, ~1e-12) must
     # stay far from the rounding bucket for the value-hash to be stable
-    return (
-        sims.where(F.col("co") >= MIN_CO)
-        .select(a, b, qround(qround("sim", 7), 4).alias("sim"), "co")
+    return sims.where(F.col("co") >= MIN_CO).select(
+        a,
+        b,
+        *[
+            qround(qround(f"sim_{k}", 7), 4).alias(f"sim_{k}")
+            for k in kernels
+        ],
+        "co",
     )
 
 
@@ -524,18 +559,8 @@ def content_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("content_cf_predictions", oracle=_content_predict_sql(K_NEIGHBORS))
-def content_cf_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M7: content-kNN predicted rating for held-out pairs."""
-    from ..recommenders.content import part_features, predict_content_based
-
-    train, test = _split(spark, sf_dir)
-    return predict_content_based(
-        train,
-        part_features(spark, sf_dir),
-        test.select("user_id", "item_id"),
-        k_neighbors=K_NEIGHBORS,
-    )
+# M7 rating prediction is registered as the 'content' branch of
+# cf_predictions (below) — one union query value-checks M2+M4+M7.
 
 
 # ---------------------------------------------------------------------------
@@ -664,29 +689,64 @@ def _split(spark: SparkSession, sf_dir: str):
     return split_ratings(_cached_ratings(spark, sf_dir))
 
 
-@register("user_cf_predictions", oracle=_user_predict_sql("cosine", K_NEIGHBORS))
-def user_cf_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M2: predicted rating for every held-out (user, item) pair."""
-    from ..recommenders.neighborhood import predict_user_based
-
-    train, test = _split(spark, sf_dir)
-    return predict_user_based(
-        train, test.select("user_id", "item_id"), k_neighbors=K_NEIGHBORS
-    )
-
-
-@register("item_cf_predictions", oracle=_item_predict_sql("cosine", K_NEIGHBORS))
-def item_cf_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M4: item-kNN predicted rating for every held-out pair."""
-    from ..recommenders.neighborhood import predict_item_based
-
-    train, test = _split(spark, sf_dir)
-    return predict_item_based(
-        train, test.select("user_id", "item_id"), k_neighbors=K_NEIGHBORS
-    )
-
-
 @register(
+    "cf_predictions",
+    oracle=f"""
+SELECT 'user' AS model, * FROM (
+{_user_predict_sql("cosine", K_NEIGHBORS)}
+)
+UNION ALL
+SELECT 'item' AS model, * FROM (
+{_item_predict_sql("cosine", K_NEIGHBORS)}
+)
+UNION ALL
+SELECT 'content' AS model, * FROM (
+{_content_predict_sql(K_NEIGHBORS)}
+)
+""",
+)
+def cf_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 + M4 + M7: predicted rating for every held-out (user, item)
+    pair from all three rating predictors — user-kNN (mean-centered
+    weighted average), item-kNN and content-kNN (Σ sim·r / Σ|sim|) —
+    as one union tagged by ``model``.  Each branch is exactly the
+    former standalone registry entry (user_cf_predictions /
+    item_cf_predictions / content_cf_predictions); the union
+    value-checks all three in one driver row.  The branches share the
+    cached ratings subtree; each carries the MAX_RATERS_PER_ITEM skew
+    guard (a provable no-op at oracle scale — max raters-per-item is
+    49 at sf0.01)."""
+    from ..recommenders.content import part_features, predict_content_based
+    from ..recommenders.neighborhood import (
+        predict_item_based,
+        predict_user_based,
+    )
+
+    train, test = _split(spark, sf_dir)
+    pairs = test.select("user_id", "item_id")
+    u = predict_user_based(
+        train,
+        pairs,
+        k_neighbors=K_NEIGHBORS,
+        max_raters_per_item=MAX_RATERS_PER_ITEM,
+    )
+    i = predict_item_based(
+        train,
+        pairs,
+        k_neighbors=K_NEIGHBORS,
+        max_raters_per_item=MAX_RATERS_PER_ITEM,
+    )
+    c = predict_content_based(
+        train, part_features(spark, sf_dir), pairs, k_neighbors=K_NEIGHBORS
+    )
+    return (
+        u.select(F.lit("user").alias("model"), "*")
+        .unionByName(i.select(F.lit("item").alias("model"), "*"))
+        .unionByName(c.select(F.lit("content").alias("model"), "*"))
+    )
+
+
+@register_demoted(
     "user_cf_rmse_mae",
     oracle=f"""
 WITH pred AS (
@@ -704,7 +764,9 @@ FROM pred p JOIN actual a USING (user_id, item_id)
 )
 def user_cf_rmse_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4/X5 over M2 predictions on the held-out fold — the reference's
-    cross-validation step (Main.scala:304-331) as one plan."""
+    cross-validation step (Main.scala:304-331) as one plan.  Demoted
+    tier: numerically identical to fold 0 of the registered
+    user_cf_cv5_rmse, so the driver row would be redundant evidence."""
     from ..metrics.evaluation import prediction_metrics
     from ..recommenders.neighborhood import predict_user_based
 
@@ -793,6 +855,7 @@ def user_cf_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_items=K_ITEMS,
         kernel="cosine",
         prefilter_neighbors=PREFILTER,
+        max_raters_per_item=MAX_RATERS_PER_ITEM,
     )
     relevant = test.where(F.col("rating") >= RELEVANT_THRESHOLD).select(
         "user_id", "item_id"
@@ -807,11 +870,18 @@ def user_cf_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: fit-stage wall-clock of the LAST sequential_topk run (cluster /
+#: sequences / rules / votes) — read by bench.py into the "stages"
+#: field of its JSON line
+last_sequential_timings: dict | None = None
+
+
 @register("sequential_topk", bench=True)
 def sequential_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M10/M11: cluster-sequence rule recommendations.  No DuckDB
     oracle (KMeans + FPGrowth are not SQL-expressible); correctness is
     covered by property tests in tests/test_sequential.py."""
+    global last_sequential_timings
     from ..recommenders.sequential import SequentialTopK
     from ..sources.readers import table
 
@@ -825,6 +895,7 @@ def sequential_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").alias("ts"),
     )
     model = SequentialTopK(k_items=K_ITEMS).fit(interactions)
+    last_sequential_timings = model.timings_
     return model.recommend()
 
 
@@ -850,11 +921,13 @@ def rating_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("als_topk")
+@register_demoted("als_topk")
 def als_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS factorization top-5 (no DuckDB oracle — iterative ML, like
     sequential_topk; quality and shape are asserted in
-    tests/test_als.py against the item-mean baseline)."""
+    tests/test_als.py against the item-mean baseline).  Demoted tier:
+    a no-oracle row spends one of the driver's 50 correctness slots on
+    a rows-only check that tests/test_als.py already covers."""
     from ..recommenders.als import als_topk
 
     return als_topk(_cached_ratings(spark, sf_dir), k_items=K_ITEMS)

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import qround
 
 from ..sources.readers import table
-from .registry import register
+from .registry import register, register_demoted
 
 R6 = 6  # float output rounding (both engines) for stable hashing
 
@@ -195,26 +195,56 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- anti join (E1/J5) -----------------------------------------------------
+# --- semi + anti joins (E1/J5) ---------------------------------------------
 @register(
-    "customers_without_orders",
+    "customer_semi_anti_joins",
     oracle="""
-SELECT c_custkey, c_name
+SELECT 'no_orders_since_1998' AS set_name, c_custkey
 FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+UNION ALL
+SELECT 'building_with_orders' AS set_name, c_custkey
+FROM customer c
+WHERE c.c_mktsegment = 'BUILDING'
+  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """,
 )
+def customer_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti + left-semi joins in one tagged union (merged from the
+    former customers_without_orders + building_customers_with_orders
+    registry entries).
+
+    Anti: the relational form of the reference's 'unrated items'
+    driver scans (BaseRecommender.scala:64-71).  Bounded to 'no orders
+    since 1998' because every customer in the synthetic corpus has at
+    least one order ever — the unbounded anti-join returns 0 rows,
+    which is vacuous oracle evidence; the date filter is pushed below
+    the anti-join (filter-then-anti beats anti-then-filter: the build
+    side shrinks before the shuffle).
+
+    Semi: the 'rated candidates' split (SURVEY J5)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    anti = (
+        c.join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .select(F.lit("no_orders_since_1998").alias("set_name"), "c_custkey")
+    )
+    building = c.where(F.col("c_mktsegment") == "BUILDING")
+    semi = (
+        building.join(o, building.c_custkey == o.o_custkey, "left_semi")
+        .select(F.lit("building_with_orders").alias("set_name"), "c_custkey")
+    )
+    return anti.unionByName(semi)
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join — the relational form of the reference's
-    'unrated items' driver scans (BaseRecommender.scala:64-71).
-    Bounded to 'no orders since 1998' because every customer in the
-    synthetic corpus has at least one order ever — the unbounded
-    anti-join returns 0 rows, which is vacuous oracle evidence; the
-    date-bounded form returns a real survivor set.  The date filter
-    is pushed below the anti-join (filter-then-anti beats
-    anti-then-filter: the build side shrinks before the shuffle)."""
+    """Standalone anti-join view (library form; registered as the
+    anti branch of customer_semi_anti_joins)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
@@ -224,25 +254,16 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- semi join (J5) --------------------------------------------------------
-@register(
-    "building_customers_with_orders",
-    oracle="""
-SELECT c_custkey
-FROM customer c
-WHERE c.c_mktsegment = 'BUILDING'
-  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-""",
-)
 def building_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join: the 'rated candidates' split (SURVEY J5)."""
+    """Standalone semi-join view (library form; registered as the semi
+    branch of customer_semi_anti_joins)."""
     c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
 
 
 # --- rollup (§2.4 extension) ----------------------------------------------
-@register(
+@register_demoted(
     "sales_rollup",
     oracle="""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
@@ -255,7 +276,9 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 )
 def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals via ROLLUP — free in Catalyst, absent in the
-    reference (SURVEY §2.4 'not present')."""
+    reference (SURVEY §2.4 'not present').  Demoted tier: sales_cube
+    (windows_extra) registers the strictly-larger grouping-set family;
+    ROLLUP stays pytest-parity-checked."""
     l = table(spark, sf_dir, "lineitem")
     return (
         l.rollup("l_returnflag", "l_linestatus")
@@ -359,7 +382,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- lag / event gaps (as-of building block) -------------------------------
-@register(
+@register_demoted(
     "events_prev_gap",
     oracle="""
 SELECT event_id, user_id,
@@ -372,16 +395,23 @@ FROM events
 def events_prev_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seconds since the user's previous event — lag() window, the
     building block for as-of joins and sessionization (SURVEY §2.3
-    'not present in reference')."""
+    'not present in reference').  Demoted tier: events_sessions
+    composes this exact lag+diff expression and is registered;
+    the standalone gap listing stays pytest-parity-checked."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return e.select(
-        "event_id",
-        "user_id",
-        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)).alias(
-            "gap_s"
-        ),
+    # timestamp_diff is pure local-datetime arithmetic — unlike
+    # unix_timestamp / cast("long") it neither depends on the session
+    # timezone nor is rejected for TIMESTAMP_NTZ inputs (Spark 4
+    # disallows NTZ→BIGINT casts).  date_trunc first: SQL engines count
+    # second-BOUNDARY crossings (x.9→y.1 is 1 s), timestamp_diff counts
+    # full elapsed seconds — truncation reconciles the two.
+    gap = F.timestamp_diff(
+        "SECOND",
+        F.date_trunc("second", F.lag("ts").over(w)),
+        F.date_trunc("second", F.col("ts")),
     )
+    return e.select("event_id", "user_id", gap.alias("gap_s"))
 
 
 # --- sessionization --------------------------------------------------------
@@ -409,10 +439,13 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of streaming session_window (streaming/windows.py)."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag(F.col("ts").cast("long")).over(w)
-    is_new = F.when(
-        prev.isNull() | ((F.col("ts").cast("long") - prev) > 1800), 1
-    ).otherwise(0)
+    prev = F.lag("ts").over(w)
+    # timestamp_diff over second-truncated values: tz-independent,
+    # NTZ-safe, boundary-crossing semantics (see events_prev_gap)
+    gap = F.timestamp_diff(
+        "SECOND", F.date_trunc("second", prev), F.date_trunc("second", F.col("ts"))
+    )
+    is_new = F.when(prev.isNull() | (gap > 1800), 1).otherwise(0)
     return (
         e.withColumn("is_new", is_new)
         .groupBy("user_id")
@@ -481,7 +514,7 @@ def order_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return no_f.unionByName(both)
 
 
-@register(
+@register_demoted(
     "event_ratings_projection",
     oracle="""
 SELECT CAST(user_id AS INTEGER) AS user_id, event_type AS item_id,
@@ -492,7 +525,9 @@ FROM events
 def event_ratings_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events-as-implicit-feedback interactions frame
     (sources.readers.ratings_from_events) — string item ids, per-event
-    grain, the timestamped input shape SequentialTopK consumes."""
+    grain, the timestamped input shape SequentialTopK consumes.
+    Demoted tier: a bare projection (no operator logic beyond casts);
+    stays pytest-parity-checked."""
     from ..sources.readers import ratings_from_events
 
     return ratings_from_events(spark, sf_dir)

@@ -87,19 +87,44 @@ def _basket_sig() -> F.Column:
 
 
 @register(
-    "seq_baskets",
+    "seq_baskets_periods",
     oracle=f"""
 WITH {INTER_CTE},
-{BASKETS_CTE}
+{BASKETS_CTE},
+{PERIODS_CTE}
 SELECT user_id, ts, CAST(len(items) AS INTEGER) AS n_items,
-       md5(array_to_string(items, ',')) AS basket_sig
-FROM b
+       md5(array_to_string(items, ',')) AS basket_sig,
+       period_id
+FROM p
 """,
 )
+def seq_baskets_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 + W2/W4 in one row set (merged from the former seq_baskets +
+    seq_periods registry entries — same (user, ts) grain):
+
+    - one basket per (user, ts) — the reference's transaction table
+      build (SequentialTopKRecommender.scala:243-245), sparse string
+      arrays instead of the dense binary vector (U1); contents
+      value-checked via (n_items, md5 of the sorted item list);
+    - n equal periods over the observed span, overflow clamped into
+      the last period (SequentialTopKRecommender.scala:349-386) —
+      pure column math replacing the reference's
+      orderBy+monotonically_increasing_id hazard (W3) and the
+      string-parsing UDF (U2)."""
+    model = SequentialTopK(n_periods=N_PERIODS)
+    p = model._with_periods(model._baskets(_interactions(spark, sf_dir)))
+    return p.select(
+        "user_id",
+        "ts",
+        F.size("items").alias("n_items"),
+        _basket_sig().alias("basket_sig"),
+        "period_id",
+    )
+
+
 def seq_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: one basket per (user, ts) — the reference's transaction
-    table build (SequentialTopKRecommender.scala:243-245), sparse
-    string arrays instead of the dense binary vector (U1)."""
+    """Basket-stage view (library form; registered via
+    seq_baskets_periods)."""
     b = SequentialTopK()._baskets(_interactions(spark, sf_dir))
     return b.select(
         "user_id",
@@ -107,26 +132,6 @@ def seq_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("items").alias("n_items"),
         _basket_sig().alias("basket_sig"),
     )
-
-
-@register(
-    "seq_periods",
-    oracle=f"""
-WITH {INTER_CTE},
-{BASKETS_CTE},
-{PERIODS_CTE}
-SELECT user_id, ts, period_id FROM p
-""",
-)
-def seq_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2/W4: n equal periods over the observed span, overflow clamped
-    into the last period (SequentialTopKRecommender.scala:349-386);
-    pure column math replaces the reference's
-    orderBy+monotonically_increasing_id hazard (W3) and the
-    string-parsing UDF (U2)."""
-    model = SequentialTopK(n_periods=N_PERIODS)
-    p = model._with_periods(model._baskets(_interactions(spark, sf_dir)))
-    return p.select("user_id", "ts", "period_id")
 
 
 @register(

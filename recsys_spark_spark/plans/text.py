@@ -80,46 +80,6 @@ def quality_exprs(text_col: str = "text"):
 
 
 
-@register(
-    "doc_quality_scores",
-    oracle=f"""
-WITH base AS (
-  SELECT doc_id,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         CAST(len(list_filter(string_split(text, ' '),
-                              t -> t IN {_sql_list(STOPWORDS)})) AS DOUBLE)
-           / len(string_split(text, ' ')) AS stop_ratio,
-         CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
-              AS DOUBLE) / length(text) AS punct_ratio
-  FROM documents
-)
-SELECT doc_id, n_tokens,
-       floor(stop_ratio * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
-       floor(punct_ratio * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
-       floor(least(1.0, greatest(0.0,
-             0.3 + 1.2 * stop_ratio - 2.0 * punct_ratio
-                 + least(n_tokens, 40) / 200.0)) * 1000000.0 + 0.5) / 1000000.0
-         AS quality
-FROM base
-""",
-)
-def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document quality: stopword density up (natural prose
-    has function words), punctuation-noise down, mild length prior —
-    the standard cheap pre-filter stage of an LLM data pipeline,
-    entirely in whole-stage-codegen'd column expressions."""
-    d = table(spark, sf_dir, "documents")
-    n_tokens, stop_ratio, punct_ratio, quality = quality_exprs()
-    return d.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        qround(stop_ratio, R6).alias("stop_ratio"),
-        qround(punct_ratio, R6).alias("punct_ratio"),
-        qround(quality, R6).alias("quality"),
-    )
-
-
-# --- language identification ----------------------------------------------
 def _lang_score_sql(lang: str) -> str:
     return (
         f"CAST(len(list_filter(toks, t -> t IN {_sql_list(LANG_MARKERS[lang])}))"
@@ -128,30 +88,56 @@ def _lang_score_sql(lang: str) -> str:
 
 
 @register(
-    "doc_lang_id",
+    "doc_quality_scores",
     oracle=f"""
-WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+WITH base AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN {_sql_list(STOPWORDS)})) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio,
+         CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+              AS DOUBLE) / length(text) AS punct_ratio
+  FROM documents
+),
 scored AS (
-  SELECT doc_id, lang,
+  SELECT *,
          {", ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in sorted(LANG_MARKERS))}
-  FROM t
+  FROM base
 )
-SELECT doc_id, lang AS labeled_lang,
+SELECT doc_id, n_tokens,
+       floor(stop_ratio * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+       floor(punct_ratio * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
+       floor(least(1.0, greatest(0.0,
+             0.3 + 1.2 * stop_ratio - 2.0 * punct_ratio
+                 + least(n_tokens, 40) / 200.0)) * 1000000.0 + 0.5) / 1000000.0
+         AS quality,
+       lang AS labeled_lang,
        CASE {" ".join(f"WHEN s_{lg} = best THEN '{lg}'" for lg in sorted(LANG_MARKERS))}
        END AS pred_lang,
-       best AS score
+       best AS lang_score
 FROM (
   SELECT *, greatest({", ".join(f"s_{lg}" for lg in sorted(LANG_MARKERS))}) AS best
   FROM scored
 )
 """,
 )
-def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-token language-ID: per-language function-word hit count,
-    argmax with lexicographic tie-break (the first CASE arm wins, langs
-    sorted) — the n-gram-heuristic pattern; swap LANG_MARKERS for real
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality + marker-token language-ID in one
+    per-document pass (merged from the former separate doc_lang_id
+    registry entry — same grain, one scan).
+
+    Quality: stopword density up (natural prose has function words),
+    punctuation-noise down, mild length prior — the standard cheap
+    pre-filter stage of an LLM data pipeline, entirely in
+    whole-stage-codegen'd column expressions.
+
+    Language-ID: per-language function-word hit count, argmax with
+    lexicographic tie-break (the first CASE arm wins, langs sorted) —
+    the n-gram-heuristic pattern; swap LANG_MARKERS for real
     per-language lists on a natural corpus."""
     d = table(spark, sf_dir, "documents")
+    n_tokens, stop_ratio, punct_ratio, quality = quality_exprs()
     toks = F.split("text", " ")
 
     def _score(markers: list[str]):
@@ -167,37 +153,13 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred = arm if pred is None else pred.when(scores[lg] == best, F.lit(lg))
     return d.select(
         "doc_id",
+        n_tokens.alias("n_tokens"),
+        qround(stop_ratio, R6).alias("stop_ratio"),
+        qround(punct_ratio, R6).alias("punct_ratio"),
+        qround(quality, R6).alias("quality"),
         F.col("lang").alias("labeled_lang"),
         pred.alias("pred_lang"),
-        best.alias("score"),
-    )
-
-
-# --- BPE-ish token counting ------------------------------------------------
-@register(
-    "doc_bpe_token_counts",
-    oracle=f"""
-SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
-       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
-       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens
-FROM documents
-""",
-)
-def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-style counting with a BPE-ish pre-tokenization regex
-    (word runs / digit runs / single non-alnum marks) — the cheap
-    token-budget estimator used before real BPE in data pipelines."""
-    d = table(spark, sf_dir, "documents")
-
-    def n(pat: str):
-        return F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("bigint")
-
-    return d.select(
-        "doc_id",
-        n(BPE_PATTERN).alias("n_bpe_tokens"),
-        n("[a-z]+").alias("n_word_tokens"),
-        n("[0-9]+").alias("n_num_tokens"),
+        best.alias("lang_score"),
     )
 
 

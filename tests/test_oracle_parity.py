@@ -1,23 +1,36 @@
 """Every registered query with an oracle must hash-match DuckDB —
-the local twin of the driver's t2 correctness gate."""
+the local twin of the driver's t2 correctness gate.  The DEMOTED tier
+(kept out of the driver's 50-entry correctness window, registry.py)
+is parity-checked here with exactly the same harness."""
 
 from __future__ import annotations
 
 import pytest
 
-from recsys_spark_spark.plans.registry import QUERIES, _load_all
+from recsys_spark_spark.plans.registry import DEMOTED, QUERIES, _load_all
 
 from conftest import assert_df_matches_oracle
 
 _load_all()
-ORACLE_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
+_ALL = {**QUERIES, **DEMOTED}
+ORACLE_QUERIES = sorted(n for n, s in _ALL.items() if s.oracle is not None)
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, duck, sf_dir, name):
-    spec = QUERIES[name]
+    spec = _ALL[name]
     df = spec.fn(spark, sf_dir)
     assert_df_matches_oracle(df, duck, spec.oracle)
+
+
+def test_driver_registry_within_correctness_window():
+    """The driver's correctness harness checks at most 50 registry
+    entries per round (CORRECTNESS_r02 covered exactly the first 50 of
+    67) — everything registered must fit inside that window."""
+    assert len(QUERIES) <= 50, (
+        f"{len(QUERIES)} registered queries exceed the driver's 50-row "
+        "correctness window; demote or merge (registry.DEMOTED)"
+    )
 
 
 def test_entry_smoke(spark):
