@@ -35,6 +35,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
+    stages: dict[str, dict] = {}
     for name, spec in sorted(bench.items()):
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
@@ -42,6 +43,11 @@ def main() -> None:
         # aggregate a hash of every column (bit_xor cannot overflow)
         df.selectExpr("bit_xor(xxhash64(*)) AS h").collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        if name == "sequential_topk":
+            from recsys_spark_spark.plans import recsys as _recsys
+
+            if _recsys.last_sequential_timings:
+                stages[name] = _recsys.last_sequential_timings
 
     total = round(sum(timings.values()), 3)
     print(
@@ -51,6 +57,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stages": stages,
                 "sf": sf,
             }
         )

@@ -225,8 +225,8 @@ def knn_lsh_oracle_sql(
     band_width: int = BAND_WIDTH,
 ) -> str:
     """DuckDB twin of ``cosine_knn_lsh`` over the ``embeddings`` view:
-    regenerates the LCG planes with generate_series and replays
-    signature → banding → candidates → exact rerank."""
+    regenerates the md5-derived hyperplanes with generate_series and
+    replays signature → banding → candidates → exact rerank."""
     return f"""
 WITH planes AS (
   SELECT pp.p AS p, jj.j AS j,

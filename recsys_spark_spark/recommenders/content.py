@@ -84,10 +84,21 @@ def content_similarities(
     features_long: DataFrame,
     kernel: str = "cosine",
     n_cols: int | None = None,
+    max_items_per_feature: int | None = None,
 ) -> DataFrame:
     """Directed item-item similarity in feature space with the K5
     Euclidean fallback, ready for the shared scoring cores.
-    Returns ``(item_id, neighbor_item, sim)``."""
+    Returns ``(item_id, neighbor_item, sim)``.
+
+    ``max_items_per_feature`` is the hot-key cutoff on the feature join
+    key.  NOTE it is intentionally NOT defaulted on: unlike rating data
+    (where only pathological viral items are hot), a *dense* feature —
+    one every item carries, e.g. the scaled ``size``/``price`` columns
+    of part_features — is hot by construction, and dropping it changes
+    the kernel.  For catalogs where dense numeric features dominate the
+    pair blowup, the scale path is sign-LSH over the assembled vectors
+    (operators/knn.py), not this cutoff; the cutoff is for the sparse
+    one-hot tail (a 'brand' shared by half the catalog)."""
     sims = pairwise_similarity(
         features_long.select(
             F.col("item_id").alias("user_id"),
@@ -99,6 +110,7 @@ def content_similarities(
         n_cols=n_cols,
         directed=True,
         euclidean_fallback=True,
+        max_raters_per_item=max_items_per_feature,
     )
     return sims.select(
         F.col("user_a").alias("item_id"),

@@ -53,6 +53,20 @@ SIM_ROUND = 7
 SCORE_ROUND = 6
 
 
+def _materialize(model: DataFrame) -> DataFrame:
+    """Eagerly compute a cached neighbor model (cheap: O(entities·N) rows).
+
+    ``cache()`` only *registers* the plan — blocks become reusable when
+    first computed.  A single action that composes TWO models (the
+    hybrid blend) would otherwise execute both quadratic pair joins
+    from scratch inside one job with zero reuse (measured 58-98 s vs
+    ~9+12 s for the children alone).  Forcing materialization here
+    makes every subsequent action — the other hybrid child, standalone
+    top-K, ranking eval — a cache read."""
+    model.count()
+    return model
+
+
 def _user_means(ratings: DataFrame) -> DataFrame:
     """Per-user mean over *rated* entries (UserBasedRating...scala:41-45)."""
     return ratings.groupBy("user_id").agg(F.avg("rating").alias("mean_r"))
@@ -115,6 +129,7 @@ def user_based_topk(
             # re-running it
             .cache()
         )
+        sims = _materialize(sims)
 
     neigh_r = ratings.select(
         F.col("user_id").alias("neighbor"),
@@ -225,6 +240,7 @@ def topk_from_item_sims(
             # O(items·N)-row model
             .cache()
         )
+        sims = _materialize(sims)
 
     user_r = ratings.select(
         "user_id", F.col("item_id").alias("neighbor_item"), F.col("rating").alias("r_u")
@@ -265,6 +281,7 @@ def predict_user_based(
     k_neighbors: int = 25,
     kernel: str = "cosine",
     n_cols: int | None = None,
+    max_raters_per_item: int | None = None,
 ) -> DataFrame:
     """Predict ratings for explicit (user_id, item_id) pairs (reference M2).
 
@@ -272,9 +289,19 @@ def predict_user_based(
     similar users who rated the item
     (UserBasedRatingRecommender.scala:34-77).
     Returns ``(user_id, item_id, prediction)``.
+
+    ``max_raters_per_item`` is the same hot-key cutoff the top-K path
+    carries (see plans/recsys.py::MAX_RATERS_PER_ITEM) — without it the
+    prediction family keeps the uncapped quadratic pair join the top-K
+    family already guards against.
     """
     sims = pairwise_similarity(
-        ratings, kernel=kernel, axis="user", n_cols=n_cols, directed=True
+        ratings,
+        kernel=kernel,
+        axis="user",
+        n_cols=n_cols,
+        directed=True,
+        max_raters_per_item=max_raters_per_item,
     ).select(
         F.col("user_a").alias("user_id"),
         F.col("user_b").alias("neighbor"),
@@ -322,15 +349,22 @@ def predict_item_based(
     k_neighbors: int = 25,
     kernel: str = "cosine",
     n_cols: int | None = None,
+    max_raters_per_item: int | None = None,
 ) -> DataFrame:
     """Predict ratings for explicit pairs via item k-NN (reference M4).
 
     ``pred = Σ sim·r_u / Σ |sim|`` over the k items most similar to the
     target among the user's rated items
     (ItemBasedRatingRecommender.scala:36-72).
+    ``max_raters_per_item``: same skew guard as predict_user_based.
     """
     sims = pairwise_similarity(
-        ratings, kernel=kernel, axis="item", n_cols=n_cols, directed=True
+        ratings,
+        kernel=kernel,
+        axis="item",
+        n_cols=n_cols,
+        directed=True,
+        max_raters_per_item=max_raters_per_item,
     ).select(
         F.col("item_a").alias("item_id"),
         F.col("item_b").alias("neighbor_item"),

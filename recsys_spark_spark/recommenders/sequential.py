@@ -232,6 +232,10 @@ class SequentialTopK:
     sequences_: DataFrame | None = field(default=None, repr=False)
     cluster_votes_: DataFrame | None = field(default=None, repr=False)
     seen_: DataFrame | None = field(default=None, repr=False)
+    #: wall-clock seconds per fit stage (cluster / sequences / rules /
+    #: votes) — populated by fit(); bench.py reports it so stage-level
+    #: regressions are visible round-over-round
+    timings_: dict | None = field(default=None, repr=False)
 
     # ---------------- fit stages ----------------
 
@@ -405,7 +409,8 @@ class SequentialTopK:
                 "confidence", F.lit(0.0)
             )
 
-        # J6: subset test as array_except-empty over broadcast rules
+        # J6: subset test via bitmask containment / tag-join fallback
+        # (rule_counts) over broadcast rules
         counts = rule_counts(sequences, rules, self.bitmask_max_tags)
         scored = (
             rules.join(counts, "rule_id")
@@ -425,7 +430,27 @@ class SequentialTopK:
         return scored
 
     def fit(self, interactions: DataFrame) -> "SequentialTopK":
-        """Fit on ``(user_id, item_id, ts)`` interactions."""
+        """Fit on ``(user_id, item_id, ts)`` interactions.
+
+        Each cached stage is materialized eagerly (a count() on a
+        bounded result: cluster assignments = |baskets| small rows,
+        sequences = |users|, rules ≤ max_rules, votes ≤
+        clusters×vote_prefilter) — so (a) the final recommend() action
+        composes cache READS instead of re-deriving every stage inside
+        one job, and (b) per-stage wall-clock lands in ``timings_``,
+        giving bench.py the stage breakdown the 28-40 s run-to-run
+        spread needs for diagnosis."""
+        import time as _time
+
+        timings: dict[str, float] = {}
+        _t0 = _time.perf_counter()
+
+        def _lap(stage: str) -> None:
+            nonlocal _t0
+            now = _time.perf_counter()
+            timings[stage] = round(now - _t0, 3)
+            _t0 = now
+
         # persist: _with_periods consumes baskets twice (the 1-row
         # span-bounds aggregate + the main branch), which would re-run
         # the upstream interactions join + basket groupBy
@@ -433,10 +458,18 @@ class SequentialTopK:
         with_periods = self._with_periods(baskets)
         clustered, _ = self._cluster(with_periods)
         clustered = clustered.cache()
+        _lap("cluster")  # SOM codebook fit (eager); assignment stays lazy
 
         self.baskets_ = clustered
         self.sequences_ = self._sequences(clustered).cache()
+        # materializing sequences ALSO writes clustered's cache blocks
+        # (first scan of a cached plan materializes it) — no separate
+        # clustered.count() pass needed
+        self.sequences_.count()  # O(users) rows
+        _lap("sequences")
         self.rules_ = self._mine_rules(self.sequences_).cache()
+        self.rules_.count()  # ≤ max_rules rows
+        _lap("rules")
 
         # candidate pool: items of last-period transactions, voted per
         # cluster (reference transform :126-149, A9); pre-ranked to the
@@ -460,9 +493,12 @@ class SequentialTopK:
             .drop("_vr")
             .cache()
         )
+        self.cluster_votes_.count()  # ≤ clusters × vote_prefilter rows
+        _lap("votes")
         self.seen_ = interactions.select(
             "user_id", F.col("item_id").cast("string").alias("item_id")
         ).distinct()
+        self.timings_ = timings
         return self
 
     # ---------------- recommend ----------------
