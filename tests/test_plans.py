@@ -106,3 +106,51 @@ def test_directed_sims_single_pair_join_subtree(spark):
     # both directions still come out
     rows = {(x["user_a"], x["user_b"]) for x in sims.collect()}
     assert rows == {(1, 2), (2, 1)}
+
+
+def tree_of(df) -> str:
+    """Executed-plan tree string — each node printed once (the
+    formatted explain repeats nodes in its details section)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_multi_kernel_sims_add_no_plan_nodes(spark):
+    """The kernel merge (user_sims/item_sims compute 2 kernels from one
+    pair-join aggregate) must NOT change the plan shape: adding a
+    kernel is a projection, so join/aggregate/exchange counts must be
+    IDENTICAL to the single-kernel plan."""
+    from recsys_spark_spark.functions.similarity import pairwise_similarity
+
+    r = spark.createDataFrame(
+        [(u, i, float(u + i)) for u in range(4) for i in range(3)],
+        "user_id int, item_id int, rating double",
+    )
+    single = tree_of(
+        pairwise_similarity(r, "pearson", "user", directed=False, with_co=True)
+    )
+    both = tree_of(
+        pairwise_similarity(
+            r, ("cosine", "pearson"), "user", directed=False, with_co=True
+        )
+    )
+    for op in ("Join", "HashAggregate", "Exchange"):
+        assert single.count(op) == both.count(op), (
+            f"{op} count changed: {single.count(op)} -> {both.count(op)}"
+        )
+    assert "sim_cosine" in both and "sim_pearson" in both
+
+
+def test_cf_predictions_reuses_cached_ratings(spark, sf_dir, queries):
+    """The 3-model union must read the ratings subtree from cache
+    (InMemoryTableScan), not re-run orders x lineitem per branch."""
+    p = plan_of(queries["cf_predictions"].fn(spark, sf_dir))
+    assert "InMemoryTableScan" in p, "ratings cache not used"
+    assert "CartesianProduct" not in p
+
+
+def test_merged_dedup_docs_single_scan(spark, sf_dir, queries):
+    """dedup_docs (exact + normalized keeper mappings) must stay one
+    documents scan feeding two hash-partitioned windows."""
+    t = tree_of(queries["dedup_docs"].fn(spark, sf_dir))
+    assert t.count("Scan parquet") == 1, "documents scanned more than once"
+    assert t.count("Window") == 2
