@@ -86,6 +86,25 @@ def daily_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFram
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming twin of events_sliding_1h: 1-hour windows sliding
+    every 30 minutes — every event lands in exactly two windows.
+    State is one row per (window, event_type) within the watermark
+    horizon; the 2× row amplification happens at aggregation (each
+    event updates two window rows), never by duplicating input."""
+    return (
+        events.withColumn("ts", F.date_trunc("second", "ts"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+
+
 def session_rows_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day"
 ) -> DataFrame:

@@ -8,11 +8,13 @@ from pyspark.sql import functions as F
 
 from recsys_spark_spark.plans.relational import events_daily, events_sessions
 from recsys_spark_spark.sources.readers import table
+from recsys_spark_spark.plans.windows_extra import events_sliding_1h
 from recsys_spark_spark.streaming.windows import (
     daily_counts_stream,
     read_events_stream,
     run_stream_once,
     session_rows_stream,
+    sliding_counts_stream,
 )
 
 
@@ -57,6 +59,14 @@ def test_session_stream_matches_batch_session_counts(spark, sf_dir):
     )
     want = _rows(events_sessions(spark, sf_dir), ["user_id", "n_sessions", "n_events"])
     assert got == want
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir):
+    stream = sliding_counts_stream(read_events_stream(spark, sf_dir))
+    got = run_stream_once(stream, "sliding_stream_test")
+    want = events_sliding_1h(spark, sf_dir)
+    cols = ["window_start", "event_type", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
 
 
 def test_stream_incremental_micro_batches(spark, sf_dir):
