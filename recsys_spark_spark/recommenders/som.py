@@ -47,6 +47,7 @@ class BatchSOM:
         seed: int = 42,
         sigma0: float | None = None,
         fit_sample_rows: int | None = 100_000,
+        local_fit_budget: int = 1 << 24,
     ) -> None:
         self.height, self.width = height, width
         self.k = height * width
@@ -60,6 +61,15 @@ class BatchSOM:
         # at 100 TB the per-iteration cost is bounded by the cap, not
         # the corpus.  None = always train on everything.
         self.fit_sample_rows = fit_sample_rows
+        # when the training set (rows × dim doubles) fits this budget
+        # (default 2^24 values ≈ 134 MB), collect it ONCE and run all
+        # iterations in local numpy: the distributed loop ships the
+        # same sample through Arrow max_iter times for a k×dim result.
+        # The collect is bounded by fit_sample_rows (model-fitting
+        # state, not data) — same class of bounded collect as the IVF
+        # codebook.  Above the budget the per-iteration distributed
+        # path runs instead (identical math; equivalence pytest).
+        self.local_fit_budget = local_fit_budget
         self.codebook_: np.ndarray | None = None
         # grid coordinates of each unit, row-major
         self._grid = np.array(
@@ -90,14 +100,30 @@ class BatchSOM:
 
     # -- API ---------------------------------------------------------------
 
+    def _apply_update(self, counts: np.ndarray, sums: np.ndarray, sigma: float):
+        """Batch Kohonen codebook update from per-BMU counts/sums —
+        shared by the local and distributed iteration paths."""
+        H = self._neighborhood(sigma)  # k×k
+        num = H @ sums  # each unit pulls every BMU's mass
+        den = (H @ counts)[:, None]
+        nonzero = den[:, 0] > 0
+        new_cb = self.codebook_.copy()
+        new_cb[nonzero] = num[nonzero] / den[nonzero]
+        self.codebook_ = new_cb
+
+    def _sigma(self, it: int) -> float:
+        return max(self.sigma0 * (1.0 - it / self.max_iter), 0.3)
+
     def fit(self, df: DataFrame, feature_col: str = "features") -> "BatchSOM":
         dim = df.select(F.size(feature_col).alias("d")).first()["d"]
         # codebook-training sample (deterministic hash filter, so the
         # same rows are chosen under any partitioning / re-execution);
         # persisted because every Lloyd iteration scans it
         sampled = False
+        n_est = None
         if self.fit_sample_rows is not None:
             n = df.count()
+            n_est = min(n, self.fit_sample_rows)
             if n > self.fit_sample_rows:
                 denom = 1 << 30
                 thresh = int(denom * self.fit_sample_rows / n)
@@ -134,8 +160,35 @@ class BatchSOM:
         )
 
         k = self.k
+        if n_est is not None and n_est * dim <= self.local_fit_budget:
+            # LOCAL iteration path: the training set is bounded
+            # (≤ fit_sample_rows rows — model-fitting state, O(1) in
+            # corpus size), so collect it ONCE and iterate in numpy
+            # instead of shipping the same rows through Arrow
+            # max_iter times.  Same math as the distributed loop
+            # (equivalence asserted in tests/test_som.py).
+            spark = df.sparkSession
+            arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+            old_arrow = spark.conf.get(arrow_key, "false")
+            spark.conf.set(arrow_key, "true")
+            try:
+                pdf = df.select(F.col(feature_col).alias("f")).toPandas()
+            finally:
+                spark.conf.set(arrow_key, old_arrow)
+            X = np.stack(pdf["f"].to_numpy()).astype(np.float64)
+            for it in range(self.max_iter):
+                C = self.codebook_
+                c_sq = (C * C).sum(1)
+                b = np.argmin(c_sq[None, :] - 2.0 * (X @ C.T), axis=1)
+                counts = np.bincount(b, minlength=k).astype(float)
+                sums = np.zeros((k, dim))
+                np.add.at(sums, b, X)
+                self._apply_update(counts, sums, self._sigma(it))
+            if sampled:
+                df.unpersist()
+            return self
+
         for it in range(self.max_iter):
-            sigma = max(self.sigma0 * (1.0 - it / self.max_iter), 0.3)
             # one fused Arrow stage per iteration: BMU argmin AND the
             # per-BMU partial sums in a single mapInPandas (a separate
             # BMU pandas_udf stage would ship the 64-dim vectors
@@ -170,13 +223,7 @@ class BatchSOM:
                 counts[r["bmu"]] += r["n"]
                 sums[r["bmu"]] += np.array(r["s"])
 
-            H = self._neighborhood(sigma)  # k×k
-            num = H @ sums  # each unit pulls every BMU's mass
-            den = (H @ counts)[:, None]
-            nonzero = den[:, 0] > 0
-            new_cb = self.codebook_.copy()
-            new_cb[nonzero] = num[nonzero] / den[nonzero]
-            self.codebook_ = new_cb
+            self._apply_update(counts, sums, self._sigma(it))
         if sampled:
             df.unpersist()
         return self

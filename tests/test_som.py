@@ -69,3 +69,24 @@ def test_dense_hash_features_shape(spark):
     # counts preserved: row 1 has 3 item occurrences
     sums = {r["user_id"]: sum(r["features"]) for r in out}
     assert sums == {1: 3.0, 2: 1.0}
+
+
+def test_som_local_and_distributed_fit_paths_equivalent(spark):
+    """fit() collects the (bounded) training sample and iterates
+    locally when rows x dim fits local_fit_budget; above it, the
+    per-iteration distributed loop runs.  Same data + seed must give
+    the same codebook either way (float tolerance: partial sums
+    accumulate in different orders)."""
+    df = _clustered_points(spark)
+    local = BatchSOM(2, 2, max_iter=4, seed=42).fit(df)
+    dist = BatchSOM(2, 2, max_iter=4, seed=42, fit_sample_rows=None).fit(df)
+    np.testing.assert_allclose(
+        local.codebook_, dist.codebook_, rtol=1e-9, atol=1e-12
+    )
+    ra = sorted(
+        (r["id"], r["transaction_cluster"]) for r in local.transform(df).collect()
+    )
+    rb = sorted(
+        (r["id"], r["transaction_cluster"]) for r in dist.transform(df).collect()
+    )
+    assert ra == rb
