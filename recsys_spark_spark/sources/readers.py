@@ -21,6 +21,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -126,6 +127,47 @@ def read_features_csv(spark: SparkSession, path: str) -> DataFrame:
     remaining column as a numeric feature (ContentRecommender.scala:36-48).
     """
     return spark.read.options(header=True, inferSchema=True).csv(path)
+
+
+#: documents-table schema for line-delimited JSON corpora (the
+#: standard LLM-training-data interchange format).  Explicit — never
+#: let a 100 TB JSONL scan infer its schema (a full extra pass, and
+#: one malformed line can flip a column to string).
+DOCUMENTS_JSONL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("source", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("text", StringType(), True),
+        StructField("n_chars", LongType(), True),
+    ]
+)
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Read a documents corpus from JSONL (optionally gzip — Spark
+    decompresses by file extension).  PERMISSIVE mode with a
+    ``_corrupt_record`` column: at 100 TB a handful of malformed lines
+    must quarantine, not kill the job; filter
+    ``_corrupt_record IS NOT NULL`` into a dead-letter sink.  NOTE:
+    Spark refuses a query that references ONLY the corrupt column on a
+    raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache() the
+    frame (or select data columns alongside) before splitting it."""
+    ensure_session_confs(spark)
+    base = schema if schema is not None else DOCUMENTS_JSONL_SCHEMA
+    with_corrupt = StructType(
+        list(base.fields) + [StructField("_corrupt_record", StringType(), True)]
+    )
+    return (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
 
 
 def ratings_from_sales(spark: SparkSession, sf_dir: str) -> DataFrame:

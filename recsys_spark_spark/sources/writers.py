@@ -54,3 +54,20 @@ def write_bucketed_table(
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str | None = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """Write line-delimited JSON (the LLM-corpus interchange format).
+    gzip by default: JSONL is the hand-off format, and text JSON
+    compresses ~10×; pass ``compression=None`` for plain text.  Reads
+    back via ``sources.readers.read_documents_jsonl`` (schema-explicit,
+    corrupt-line quarantine)."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
