@@ -27,8 +27,10 @@ from pyspark.sql import functions as F
 from recsys_spark_spark.recommenders.sequential import SequentialTopK
 from recsys_spark_spark.recommenders.som import BatchSOM
 
-T0 = dt.datetime(2024, 1, 1)   # period 0 of 2 (span 10 days, width 5)
-T1 = dt.datetime(2024, 1, 11)  # exact max ts → clamps into period 1
+T0 = dt.datetime(2024, 1, 1)    # period 0 of 2 (span 10 days, width 5)
+T1 = dt.datetime(2024, 1, 11)   # exact max ts → clamps into period 1
+T1A = dt.datetime(2024, 1, 8)   # period 1 (≥ Jan 6 boundary)
+T1B = dt.datetime(2024, 1, 10)  # period 1
 
 
 class _FixedClusterSeq(SequentialTopK):
@@ -55,6 +57,8 @@ def _interactions(spark):
         rows += [(u, 5, T0), (u, 6, T1)]
     rows += [(6, 7, T1)]         # last-period only (c1) — no antecedent
     rows += [(7, 8, T1)]         # last-period only (c0) — fresh item 8
+    for u in (8, 9, 10):         # pattern E: c0 @ p-1 → BOTH clusters @ p0
+        rows += [(u, 2, T0), (u, 3, T1A), (u, 6, T1B)]
     return spark.createDataFrame(rows, "user_id int, item_id int, ts timestamp")
 
 
@@ -77,9 +81,14 @@ def test_sequential_golden_end_to_end(spark):
         want_clusters[(u, T1)] = 0   # item 6
     want_clusters[(6, T1)] = 1       # item 7
     want_clusters[(7, T1)] = 0       # item 8
+    for u in (8, 9, 10):
+        want_clusters[(u, T0)] = 0   # item 2
+        want_clusters[(u, T1A)] = 1  # item 3
+        want_clusters[(u, T1B)] = 0  # item 6
     assert got_clusters == want_clusters
 
-    # --- period-tagged sequences (U3 grammar: {cluster}_{relperiod}) --
+    # --- period-tagged sequences (U3 grammar: {cluster}_{relperiod};
+    #     clusters within a period sorted ascending) ------------------
     got_seqs = {
         r["user_id"]: tuple(r["items"]) for r in model.sequences_.collect()
     }
@@ -91,29 +100,43 @@ def test_sequential_golden_end_to_end(spark):
         5: ("1_-1", "0_0"),
         6: ("1_0",),
         7: ("0_0",),
+        8: ("0_-1", "0_0", "1_0"),
+        9: ("0_-1", "0_0", "1_0"),
+        10: ("0_-1", "0_0", "1_0"),
     }
 
     # --- mined + re-scored rules (M13 + M14, hand enumeration) --------
-    # FPGrowth at eff_support=1/7, minConfidence=0.2 emits 4 rules;
-    # M14 keeps the two whose consequent is current-period:
-    #   {0_-1} → {1_0}: n_xy=3 of 7 sequences, n_ant=3 → conf 1.0
-    #   {1_-1} → {0_0}: n_xy=2, n_ant=2 → conf 1.0
+    # FPGrowth at eff_support=1/10, minConfidence=0.2 emits 11 rules
+    # over the 4-tag alphabet.  M14 then:
+    # - keeps the 7 with a current-period ("_0") consequent;
+    # - strips "_0" tags from antecedents (U4): {0_-1,0_0}→{1_0}
+    #   collapses onto {0_-1}→{1_0}, and {0_-1,1_0}→{0_0} onto
+    #   {0_-1}→{0_0} (dedupe);
+    # - drops rules whose antecedent became empty (P4):
+    #   {0_0}→{1_0} and {1_0}→{0_0};
+    # - recounts support/confidence over all 10 sequences (U6/J6):
+    #   {0_-1}→{1_0}: n_xy=6 (A+E), n_ant=6 → s=0.6, c=1.0
+    #   {0_-1}→{0_0}: n_xy=3 (E),   n_ant=6 → s=0.3, c=0.5
+    #   {1_-1}→{0_0}: n_xy=2 (B),   n_ant=2 → s=0.2, c=1.0
     got_rules = {
         (tuple(r["antecedent"]), tuple(r["consequent"])): (
-            Fraction(r["support"]).limit_denominator(7),
+            Fraction(r["support"]).limit_denominator(10),
             r["confidence"],
         )
         for r in model.rules_.collect()
     }
     assert got_rules == {
-        (("0_-1",), ("1_0",)): (Fraction(3, 7), 1.0),
-        (("1_-1",), ("0_0",)): (Fraction(2, 7), 1.0),
+        (("0_-1",), ("1_0",)): (Fraction(6, 10), 1.0),
+        (("0_-1",), ("0_0",)): (Fraction(3, 10), 0.5),
+        (("1_-1",), ("0_0",)): (Fraction(2, 10), 1.0),
     }
 
     # --- recommendations (M11, hand enumeration) ----------------------
-    # users 1-3 match rule 1 → cluster 1; last-period cluster-1 votes:
-    # item 3 (×3, seen by 1-3) and item 7 (×1) → recommend "7".
-    # users 4,5 match rule 2 → cluster 0; votes: item 6 (×2, seen) and
+    # Rule scores = |antecedent ∩ sequence| · support · confidence:
+    # users 1-3 and 8-10: rule1 0.6 beats rule2 0.15 → cluster 1;
+    # last-period cluster-1 votes: item 3 (×6, seen by all of them)
+    # and item 7 (×1) → recommend "7".
+    # users 4,5: rule3 0.2 → cluster 0; votes: item 6 (×5, seen) and
     # item 8 (×1) → recommend "8".
     # users 6,7 match no rule (their tags appear in no antecedent).
     got = sorted(
@@ -126,6 +149,9 @@ def test_sequential_golden_end_to_end(spark):
         (3, "7", 1.0, 1),
         (4, "8", 1.0, 1),
         (5, "8", 1.0, 1),
+        (8, "7", 1.0, 1),
+        (9, "7", 1.0, 1),
+        (10, "7", 1.0, 1),
     ]
 
 
