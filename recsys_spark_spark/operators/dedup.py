@@ -522,3 +522,95 @@ SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
 FROM cand
 WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Train/eval decontamination
+# --------------------------------------------------------------------------
+
+#: decontamination n-gram length — the standard contamination checks
+#: match longer runs than near-dup shingling (8-13 grams in published
+#: pipelines); the synthetic-corpus demo query passes 4
+DECONTAM_NGRAM = 8
+
+
+def decontaminate_pairs(
+    train: DataFrame,
+    evals: DataFrame,
+    n: int = DECONTAM_NGRAM,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_evals: bool = True,
+) -> DataFrame:
+    """Train/eval contamination check: every train document sharing at
+    least ``min_shared`` distinct token n-grams with any eval document
+    (the GPT-3-style benchmark-decontamination pass an LLM data
+    pipeline runs before training).  Returns
+    ``(train_id, eval_id, shared_shingles)``.
+
+    Scale shape: inverted-index join on the shingle — the eval corpus
+    is tiny next to 100 TB of train data, so its shingle set broadcasts
+    (``broadcast_evals``) and the train side streams map-side with NO
+    shuffle of train shingles; the only exchange is the per-pair count
+    aggregate, bounded by actually-overlapping pairs.  For an eval set
+    too big to broadcast, pass False for a shuffle join on the shingle
+    (add a stop-shingle cap as in ngram_jaccard_pairs if df skew
+    appears).  Joining on the raw shingle keeps the count exact; at
+    extreme scale swap the key for hash60(s) to shrink the broadcast
+    (collision odds ~|shingles|²/2⁶¹)."""
+    t = shingle_rows(train, id_col, text_col, n).select(
+        F.col("id").alias("train_id"), "s"
+    )
+    e = shingle_rows(evals, id_col, text_col, n).select(
+        F.col("id").alias("eval_id"), "s"
+    )
+    if broadcast_evals:
+        e = F.broadcast(e)
+    return (
+        t.join(e, "s")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= min_shared)
+    )
+
+
+def remove_contaminated(
+    train: DataFrame,
+    evals: DataFrame,
+    n: int = DECONTAM_NGRAM,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train corpus with contaminated documents removed (anti-join on
+    the flagged train ids)."""
+    flagged = decontaminate_pairs(
+        train, evals, n=n, min_shared=min_shared, id_col=id_col, text_col=text_col
+    ).select(F.col("train_id").alias(id_col)).distinct()
+    return train.join(flagged, id_col, "left_anti")
+
+
+def decontaminate_sql(
+    eval_pred: str,
+    n: int = DECONTAM_NGRAM,
+    min_shared: int = 1,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of decontaminate_pairs where the eval split is
+    defined by a predicate over the same table (demo/oracle form)."""
+    return f"""
+WITH sh AS (
+{shingles_sql(table, n)}
+),
+ev AS (SELECT * FROM sh WHERE {eval_pred}),
+tr AS (SELECT * FROM sh WHERE NOT ({eval_pred})),
+pairs AS (
+  SELECT tr.id AS train_id, ev.id AS eval_id,
+         count(*) AS shared_shingles
+  FROM tr JOIN ev ON tr.s = ev.s
+  GROUP BY 1, 2
+)
+SELECT train_id, eval_id, shared_shingles
+FROM pairs WHERE shared_shingles >= {min_shared}
+""".strip()

@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    decontaminate_pairs,
+    decontaminate_sql,
     minhash_neardup_pairs,
     minhash_neardup_sql,
     ngram_jaccard_pairs,
@@ -51,6 +53,36 @@ def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth the LSH variant approximates."""
     return ngram_jaccard_pairs(
         table(spark, sf_dir, "documents"), threshold=NEARDUP_THRESHOLD
+    )
+
+
+#: demo eval split for the decontamination query: every 97th doc
+#: plays the held-out benchmark; 4-grams (not the production 8) because
+#: the synthetic corpus is short-doc — at sf0.01 the check flags 8
+#: genuinely-overlapping train/eval pairs (non-vacuous)
+DECONTAM_EVAL_MOD = 97
+DECONTAM_N = 4
+
+
+@register_demoted(
+    "decontaminate_docs",
+    oracle=decontaminate_sql(
+        f"id % {DECONTAM_EVAL_MOD} = 0", n=DECONTAM_N, min_shared=1
+    ),
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination pairs (GPT-3-style n-gram
+    decontamination) with every 97th doc as the pretend benchmark.
+    Demoted tier (the registry's 50 driver slots are full); oracle
+    parity enforced by pytest, plus an injected-contamination test in
+    tests/test_dedup.py."""
+    docs = table(spark, sf_dir, "documents")
+    evals = docs.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+    train = docs.where(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+    return decontaminate_pairs(train, evals, n=DECONTAM_N, min_shared=1).select(
+        "train_id", "eval_id", F.col("shared_shingles").cast("bigint").alias(
+            "shared_shingles"
+        )
     )
 
 

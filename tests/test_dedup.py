@@ -154,3 +154,40 @@ def test_simhash_fingerprint_deterministic(spark, sf_dir):
     b = {r["id"]: r["simhash"] for r in simhash_signatures(d).collect()}
     assert a == b
     assert all(0 <= v < (1 << 60) for v in a.values())
+
+
+def test_decontamination_flags_injected_overlap(spark, sf_dir):
+    """A train doc cloned from an eval doc must be flagged with a high
+    shared-shingle count and removed by remove_contaminated; clean
+    train docs survive."""
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.operators.dedup import (
+        decontaminate_pairs,
+        remove_contaminated,
+    )
+    from recsys_spark_spark.sources.readers import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    evals = docs.where(F.col("doc_id") < 5)
+    clean_train = docs.where(F.col("doc_id") >= 5)
+    # inject: clone eval doc texts into train under new ids
+    clones = evals.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    train = clean_train.unionByName(clones)
+
+    pairs = decontaminate_pairs(train, evals, n=8, min_shared=1).cache()
+    flagged = {r["train_id"] for r in pairs.collect()}
+    clone_ids = {r["doc_id"] for r in clones.collect()}
+    assert clone_ids <= flagged, "an injected clone escaped the check"
+    # a clone shares (almost) all its eval twin's 8-grams
+    top = {
+        r["train_id"]: r["shared_shingles"]
+        for r in pairs.where(F.col("eval_id") + 1_000_000 == F.col("train_id")).collect()
+    }
+    assert all(v >= 10 for v in top.values())
+
+    survivors = {
+        r["doc_id"] for r in remove_contaminated(train, evals, n=8).collect()
+    }
+    assert not (clone_ids & survivors), "a contaminated doc survived removal"
+    pairs.unpersist()
