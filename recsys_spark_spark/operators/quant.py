@@ -1,0 +1,166 @@
+"""Int8 scalar quantization for embedding search (L3 scale path #3).
+
+At 100 TB the ANN working set is memory/IO-bound: per-vector absmax
+int8 quantization cuts vector bytes 4× (float32 → int8) at a ~1e-2
+relative dot-product error — the standard first step before IVF/PQ in
+production vector stores.  Everything here is JVM column math:
+
+- ``quantize_embeddings``: per-vector scale s = max|x_i| (one
+  row-local pass), q_i = floor(127·x_i/s + 0.5) ∈ [−127, 127].  The
+  explicit floor(·+0.5) half-up rounding (not engine round()) makes
+  the quantization bit-identical across Spark and DuckDB, so the
+  whole pipeline is oracle-replayable.
+- ``knn_bruteforce_int8``: cosine top-k over the quantized vectors —
+  same dimension-exploded join as the float baseline
+  (plans/llm.py::embedding_knn_bruteforce), but the dot product runs
+  on integers and rescales by sa·sb/127² at the end.  cos(a,b) is
+  scale-invariant, so the per-vector scales cancel in the ranking up
+  to quantization noise (recall vs the float baseline asserted in
+  tests/test_quant.py).
+
+Zero-vector guard: a vector of all zeros keeps scale 1.0 (quantizes
+to zeros, similarity 0 — never selected), avoiding 0/0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import qround
+
+Q_MAX = 127
+
+
+def quantize_embeddings(
+    embs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, scale DOUBLE, qvec ARRAY<INT>) — per-vector absmax int8."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(x, lambda v: F.abs(v))), F.lit(1e-30)
+    )
+    q = F.transform(
+        x, lambda v: F.floor(v * Q_MAX / scale + 0.5).cast("int")
+    )
+    return embs.select(
+        F.col(id_col).alias("id"),
+        scale.alias("scale"),
+        q.alias("qvec"),
+    )
+
+
+def knn_bruteforce_int8(
+    embs: DataFrame,
+    n_queries: int,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Cosine top-k of the first ``n_queries`` ids against the rest,
+    computed on int8-quantized vectors.
+
+    Scale shape = the float baseline's: queries broadcast after the
+    dimension explode, base streams once, integer dot products get
+    map-side partial aggregation; only the per-query rank window
+    shuffles (WindowGroupLimit-pruned).  The int dot stays < 2⁶³
+    (127² · dim) — exact integer math in both engines."""
+    qz = quantize_embeddings(embs, vec_col, id_col)
+    flat = qz.select(
+        "id",
+        "scale",
+        F.posexplode("qvec").alias("pos", "qv"),
+    )
+    norms = flat.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("qv").cast("bigint") * F.col("qv"))).alias("qnrm")
+    )
+
+    qside = flat.where(F.col("id") < n_queries).select(
+        F.col("id").alias("query_id"), "pos", F.col("qv").alias("q_qv")
+    )
+    dots = (
+        F.broadcast(qside)
+        .join(flat.alias("b"), "pos")
+        .where(F.col("b.id") != F.col("query_id"))
+        .groupBy("query_id", F.col("b.id").alias("match_id"))
+        .agg(
+            F.sum(
+                F.col("q_qv").cast("bigint") * F.col("b.qv").cast("bigint")
+            ).alias("qdot")
+        )
+    )
+    nq = norms.select(F.col("id").alias("query_id"), F.col("qnrm").alias("nq"))
+    nb = norms.select(F.col("id").alias("match_id"), F.col("qnrm").alias("nb"))
+    sims = (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(nb, "match_id")
+        .select(
+            "query_id",
+            "match_id",
+            qround(F.col("qdot") / (F.col("nq") * F.col("nb")), 7).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "match_id", qround("sim", round_to).alias("sim"), "rank"
+        )
+    )
+
+
+def knn_int8_sql(n_queries: int, k: int, table: str = "embeddings") -> str:
+    """DuckDB twin: replays quantization (identical floor half-up
+    rounding) → integer dots → rank."""
+    return f"""
+WITH x AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+  FROM {table}
+),
+scaled AS (
+  SELECT id,
+         greatest(list_max(list_transform(xs, v -> abs(v))), 1e-30) AS scale,
+         xs
+  FROM x
+),
+qz AS (
+  SELECT id,
+         list_transform(xs, v -> CAST(floor(v * {Q_MAX} / scale + 0.5) AS BIGINT))
+           AS qvec
+  FROM scaled
+),
+flat AS (
+  SELECT id, generate_subscripts(qvec, 1) AS pos, unnest(qvec) AS qv FROM qz
+),
+norms AS (
+  SELECT id, sqrt(CAST(sum(qv * qv) AS DOUBLE)) AS qnrm FROM flat GROUP BY 1
+),
+dots AS (
+  SELECT q.id AS query_id, b.id AS match_id, sum(q.qv * b.qv) AS qdot
+  FROM flat q JOIN flat b ON q.pos = b.pos
+  WHERE q.id < {n_queries} AND b.id <> q.id
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.query_id, d.match_id,
+         floor((CAST(d.qdot AS DOUBLE) / (nq.qnrm * nb.qnrm)) * 10000000.0 + 0.5)
+           / 10000000.0 AS sim
+  FROM dots d
+  JOIN norms nq ON nq.id = d.query_id
+  JOIN norms nb ON nb.id = d.match_id
+)
+SELECT query_id, match_id,
+       floor((sim) * 1000000.0 + 0.5) / 1000000.0 AS sim,
+       CAST(rk AS INTEGER) AS rank
+FROM (
+  SELECT query_id, match_id, sim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, match_id ASC) AS rk
+  FROM sims
+) WHERE rk <= {k}
+""".strip()

@@ -19,8 +19,9 @@ from pyspark.sql import functions as F
 from ..operators.ivf import cosine_knn_ivf, knn_ivf_oracle_sql
 from ..operators.knn import cosine_knn_lsh, knn_lsh_oracle_sql
 from ..sources.readers import table
+from ..operators.quant import knn_bruteforce_int8, knn_int8_sql
 from .llm import KNN_K, KNN_QUERIES
-from .registry import register
+from .registry import register, register_demoted
 
 #: testdata embeddings are 64-dim (TESTDATA.md); the Spark side infers
 #: the dim from the data, the oracle needs it statically.
@@ -130,3 +131,20 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < KNN_QUERIES)
     return cosine_knn_ivf(e, q, KNN_K)
+
+
+@register_demoted(
+    "embedding_knn_int8",
+    oracle=knn_int8_sql(KNN_QUERIES, KNN_K),
+)
+def embedding_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path #3: cosine top-k on per-vector absmax INT8
+    quantized embeddings — 4x less vector memory/IO than float32, the
+    standard first compression step before IVF/PQ at 100 TB.  The
+    quantization uses explicit floor-half-up rounding so the DuckDB
+    oracle replays it bit-for-bit.  Demoted tier (50 driver slots
+    full); recall vs the float baseline asserted in
+    tests/test_quant.py."""
+    return knn_bruteforce_int8(
+        table(spark, sf_dir, "embeddings"), KNN_QUERIES, KNN_K
+    )
