@@ -221,3 +221,13 @@ def test_batchsom_matches_numpy_twin(spark):
     }
     want_bmu = ((X[:, None, :] - want_cb[None, :, :]) ** 2).sum(-1).argmin(1)
     assert got_bmu == {i: int(b) for i, b in enumerate(want_bmu)}
+
+
+def test_fit_records_stage_timings(spark):
+    """bench.py's 'stages' field depends on fit() populating timings_ —
+    guard the contract."""
+    model = _FixedClusterSeq(n_periods=2, min_support_count=1).fit(
+        _interactions(spark)
+    )
+    assert set(model.timings_) == {"cluster", "sequences", "rules", "votes"}
+    assert all(v >= 0 for v in model.timings_.values())
