@@ -67,6 +67,27 @@ def _materialize(model: DataFrame) -> DataFrame:
     return model
 
 
+def _share_scored(scored: DataFrame, materialize: bool) -> DataFrame:
+    """Cache the pre-rank scored-candidate DF — the expensive part of
+    every top-K plan (candidate join → neighbor window → aggregate).
+
+    The scored subtree does NOT depend on ``k_items``: the hybrid blend
+    builds it with CHILD_K=20 and each standalone child with K=5, an
+    identical analyzed plan up to the final rank filter.  Caching at
+    this level makes the hybrid ≈ two materializations + a cheap blend
+    and turns the standalone children into rank-only cache reads
+    (round-3 bench: each child re-ran the full candidate subtree,
+    ~8-9 s apiece at sf0.1, on top of hybrid's 44.9 s).
+
+    ``materialize=False`` registers the cache but stays lazy — for
+    callers that only inspect or compose the plan (plan tests, dry
+    planning) and must not pay an eager Spark job at call time."""
+    scored = scored.cache()
+    if materialize:
+        _materialize(scored)
+    return scored
+
+
 def _user_means(ratings: DataFrame) -> DataFrame:
     """Per-user mean over *rated* entries (UserBasedRating...scala:41-45)."""
     return ratings.groupBy("user_id").agg(F.avg("rating").alias("mean_r"))
@@ -81,27 +102,20 @@ def _rank_items(scored: DataFrame, k_items: int) -> DataFrame:
     )
 
 
-def user_based_topk(
+def user_based_scored(
     ratings: DataFrame,
     k_neighbors: int = 25,
-    k_items: int = 5,
     kernel: str = "cosine",
     n_cols: int | None = None,
     max_raters_per_item: int | None = None,
     prefilter_neighbors: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
-    """Top-K unrated items per user via user k-NN (reference M3).
-
-    Returns ``(user_id, item_id, score, rank)`` for every user.
-
-    ``prefilter_neighbors``: keep only each user's N globally
-    most-similar neighbors before the candidate join.  The reference
-    ranks neighbors per candidate item over ALL raters
-    (UserBasedRatingRecommender.scala:34-53); pre-pruning bounds the
-    candidate explosion to O(users·N·ratings-per-neighbor) — the knob
-    that keeps this plan feasible at 100 TB.  Exact reference semantics
-    = ``prefilter_neighbors=None``.
-    """
+    """Pre-rank scored candidates ``(user_id, item_id, score)`` for
+    user k-NN — everything in :func:`user_based_topk` except the final
+    per-user rank filter.  Cached when ``prefilter_neighbors`` is set
+    (the model path) so the hybrid blend and the standalone top-K share
+    one materialization (see _share_scored)."""
     sims = pairwise_similarity(
         ratings,
         kernel=kernel,
@@ -129,7 +143,6 @@ def user_based_topk(
             # re-running it
             .cache()
         )
-        sims = _materialize(sims)
 
     neigh_r = ratings.select(
         F.col("user_id").alias("neighbor"),
@@ -173,6 +186,45 @@ def user_based_topk(
             qround(F.col("mean_r") + F.col("delta"), SCORE_ROUND).alias("score"),
         )
     )
+    if prefilter_neighbors is not None:
+        scored = _share_scored(scored, materialize)
+    return scored
+
+
+def user_based_topk(
+    ratings: DataFrame,
+    k_neighbors: int = 25,
+    k_items: int = 5,
+    kernel: str = "cosine",
+    n_cols: int | None = None,
+    max_raters_per_item: int | None = None,
+    prefilter_neighbors: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Top-K unrated items per user via user k-NN (reference M3).
+
+    Returns ``(user_id, item_id, score, rank)`` for every user.
+
+    ``prefilter_neighbors``: keep only each user's N globally
+    most-similar neighbors before the candidate join.  The reference
+    ranks neighbors per candidate item over ALL raters
+    (UserBasedRatingRecommender.scala:34-53); pre-pruning bounds the
+    candidate explosion to O(users·N·ratings-per-neighbor) — the knob
+    that keeps this plan feasible at 100 TB.  Exact reference semantics
+    = ``prefilter_neighbors=None``.
+
+    ``materialize=False`` builds the plan without running any eager
+    Spark job (see _share_scored).
+    """
+    scored = user_based_scored(
+        ratings,
+        k_neighbors=k_neighbors,
+        kernel=kernel,
+        n_cols=n_cols,
+        max_raters_per_item=max_raters_per_item,
+        prefilter_neighbors=prefilter_neighbors,
+        materialize=materialize,
+    )
     return _rank_items(scored, k_items)
 
 
@@ -184,6 +236,7 @@ def item_based_topk(
     n_cols: int | None = None,
     max_raters_per_item: int | None = None,
     prefilter_neighbors: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-K unrated items per user via item k-NN (reference M5).
 
@@ -205,25 +258,21 @@ def item_based_topk(
     )
 
     return topk_from_item_sims(
-        sims, ratings, k_neighbors, k_items, prefilter_neighbors
+        sims, ratings, k_neighbors, k_items, prefilter_neighbors, materialize
     )
 
 
-def topk_from_item_sims(
+def scored_from_item_sims(
     sims: DataFrame,
     ratings: DataFrame,
     k_neighbors: int,
-    k_items: int,
     prefilter_neighbors: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
-    """Item-neighbor scoring core: top-K per user from a directed
-    item-similarity DataFrame ``(item_id, neighbor_item, sim)``.
-
-    Shared by item-based CF (M5, rating-space sims) and content-based
-    (M8, feature-space sims) — the reference implements these twice
-    with identical scoring (ItemBasedTopKRecommender.scala:62-70,
-    ContentBasedTopKRecommender.scala:71-79: Σ sim·r / Σ|sim|).
-    """
+    """Pre-rank scored candidates ``(user_id, item_id, score)`` from a
+    directed item-similarity DataFrame — :func:`topk_from_item_sims`
+    minus the final per-user rank filter; cached when
+    ``prefilter_neighbors`` is set (see _share_scored)."""
     if prefilter_neighbors is not None:
         # the classic item-CF model shape: each item keeps its N most
         # similar items; bounds the candidate join at scale
@@ -235,12 +284,11 @@ def topk_from_item_sims(
             .where(F.col("prn") <= prefilter_neighbors)
             .drop("prn")
             # cached for the same plan-identity reuse as the user-axis
-            # model (see user_based_topk): item top-K, the hybrid
+            # model (see user_based_scored): item top-K, the hybrid
             # child, and content-based top-K each rebuild this exact
             # O(items·N)-row model
             .cache()
         )
-        sims = _materialize(sims)
 
     user_r = ratings.select(
         "user_id", F.col("item_id").alias("neighbor_item"), F.col("rating").alias("r_u")
@@ -271,6 +319,30 @@ def topk_from_item_sims(
             "item_id",
             qround(F.col("num") / F.col("den"), SCORE_ROUND).alias("score"),
         )
+    )
+    if prefilter_neighbors is not None:
+        scored = _share_scored(scored, materialize)
+    return scored
+
+
+def topk_from_item_sims(
+    sims: DataFrame,
+    ratings: DataFrame,
+    k_neighbors: int,
+    k_items: int,
+    prefilter_neighbors: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Item-neighbor scoring core: top-K per user from a directed
+    item-similarity DataFrame ``(item_id, neighbor_item, sim)``.
+
+    Shared by item-based CF (M5, rating-space sims) and content-based
+    (M8, feature-space sims) — the reference implements these twice
+    with identical scoring (ItemBasedTopKRecommender.scala:62-70,
+    ContentBasedTopKRecommender.scala:71-79: Σ sim·r / Σ|sim|).
+    """
+    scored = scored_from_item_sims(
+        sims, ratings, k_neighbors, prefilter_neighbors, materialize
     )
     return _rank_items(scored, k_items)
 
