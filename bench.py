@@ -16,7 +16,7 @@ import json
 import os
 import time
 
-from recsys_spark_spark.plans.registry import QUERIES, _load_all
+from recsys_spark_spark.plans.registry import DEMOTED, QUERIES, _load_all
 from recsys_spark_spark.session import get_spark
 
 
@@ -29,7 +29,11 @@ def main() -> None:
 
     spark = get_spark(app_name="recsys-spark-bench")
     _load_all()
-    bench = {n: s for n, s in QUERIES.items() if s.bench}
+    # the bench set spans both correctness tiers (registry.DEMOTED
+    # rotates round-to-round; the bench set must not)
+    bench = {
+        n: s for t in (QUERIES, DEMOTED) for n, s in t.items() if s.bench
+    }
 
     # warm the JVM + parquet footers once with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()

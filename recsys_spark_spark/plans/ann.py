@@ -133,7 +133,7 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_knn_ivf(e, q, KNN_K)
 
 
-@register_demoted(
+@register(
     "embedding_knn_int8",
     oracle=knn_int8_sql(KNN_QUERIES, KNN_K),
 )
@@ -142,8 +142,8 @@ def embedding_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized embeddings — 4x less vector memory/IO than float32, the
     standard first compression step before IVF/PQ at 100 TB.  The
     quantization uses explicit floor-half-up rounding so the DuckDB
-    oracle replays it bit-for-bit.  Demoted tier (50 driver slots
-    full); recall vs the float baseline asserted in
+    oracle replays it bit-for-bit.  Promoted into the round-4 driver
+    window (rotation); recall vs the float baseline asserted in
     tests/test_quant.py."""
     return knn_bruteforce_int8(
         table(spark, sf_dir, "embeddings"), KNN_QUERIES, KNN_K

@@ -64,7 +64,7 @@ DECONTAM_EVAL_MOD = 97
 DECONTAM_N = 4
 
 
-@register_demoted(
+@register(
     "decontaminate_docs",
     oracle=decontaminate_sql(
         f"id % {DECONTAM_EVAL_MOD} = 0", n=DECONTAM_N, min_shared=1
@@ -73,8 +73,8 @@ DECONTAM_N = 4
 def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination pairs (GPT-3-style n-gram
     decontamination) with every 97th doc as the pretend benchmark.
-    Demoted tier (the registry's 50 driver slots are full); oracle
-    parity enforced by pytest, plus an injected-contamination test in
+    Promoted into the round-4 driver window (rotation); oracle parity
+    also enforced by pytest, plus an injected-contamination test in
     tests/test_dedup.py."""
     docs = table(spark, sf_dir, "documents")
     evals = docs.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
@@ -86,13 +86,13 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_demoted("doc_simhash", oracle=simhash_fingerprints_sql())
+@register("doc_simhash", oracle=simhash_fingerprints_sql())
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprint per document (document
-    fingerprinting; the Hamming-space dual of MinHash).  Demoted tier:
-    neardup_simhash replays the same fingerprints inside its pigeonhole
-    join, so the registered row already covers this path; the exact
-    fingerprint values stay pytest-parity-checked."""
+    fingerprinting; the Hamming-space dual of MinHash).  Promoted into
+    the round-4 driver window (rotation) so the exact fingerprint
+    values earn a driver-green row; neardup_simhash replays the same
+    fingerprints inside its pigeonhole join."""
     return simhash_signatures(table(spark, sf_dir, "documents")).select(
         F.col("id").alias("doc_id"), "simhash", "n_tokens"
     )

@@ -746,7 +746,7 @@ def cf_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_demoted(
+@register(
     "user_cf_rmse_mae",
     oracle=f"""
 WITH pred AS (
@@ -764,9 +764,9 @@ FROM pred p JOIN actual a USING (user_id, item_id)
 )
 def user_cf_rmse_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4/X5 over M2 predictions on the held-out fold — the reference's
-    cross-validation step (Main.scala:304-331) as one plan.  Demoted
-    tier: numerically identical to fold 0 of the registered
-    user_cf_cv5_rmse, so the driver row would be redundant evidence."""
+    cross-validation step (Main.scala:304-331) as one plan.
+    Numerically identical to fold 0 of user_cf_cv5_rmse; carries its
+    own driver row since the round-4 rotation."""
     from ..metrics.evaluation import prediction_metrics
     from ..recommenders.neighborhood import predict_user_based
 
@@ -775,6 +775,11 @@ def user_cf_rmse_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         train, test.select("user_id", "item_id"), k_neighbors=K_NEIGHBORS
     )
     return prediction_metrics(preds.join(test, ["user_id", "item_id"]))
+
+
+# (rotation note: promoted to the driver window in round 4 — the fold-0
+# redundancy argument cut the other way once every other query had a
+# driver row; the swapped-out relational rows keep pytest parity.)
 
 
 @register(
@@ -921,13 +926,13 @@ def rating_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_demoted("als_topk")
+@register("als_topk", bench=True)
 def als_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS factorization top-5 (no DuckDB oracle — iterative ML, like
     sequential_topk; quality and shape are asserted in
-    tests/test_als.py against the item-mean baseline).  Demoted tier:
-    a no-oracle row spends one of the driver's 50 correctness slots on
-    a rows-only check that tests/test_als.py already covers."""
+    tests/test_als.py against the item-mean baseline).  Promoted into
+    the round-4 driver window (rows-only check) and the bench set so
+    the one MLlib-native model family is perf-tracked too."""
     from ..recommenders.als import als_topk
 
     return als_topk(_cached_ratings(spark, sf_dir), k_items=K_ITEMS)

@@ -24,7 +24,7 @@ R6 = 6  # float output rounding (both engines) for stable hashing
 
 
 # --- TPC-H-style aggregation: filters (P3) + group agg (A1/A10) ------------
-@register(
+@register_demoted(
     "q1_pricing_summary",
     bench=True,
     oracle="""
@@ -68,7 +68,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- 3-table join + top-k (J1 + T3) ----------------------------------------
-@register(
+@register_demoted(
     "q3_top_revenue_orders",
     bench=True,
     oracle="""
@@ -119,7 +119,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- 6-table snowflake join (J1-J3) ----------------------------------------
-@register(
+@register_demoted(
     "q5_region_revenue",
     bench=True,
     oracle="""
@@ -166,7 +166,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- SQL window functions: per-group top-k (T2/T3 relational form) ---------
-@register(
+@register_demoted(
     "top_orders_per_customer",
     oracle="""
 SELECT o_custkey, o_orderkey, o_totalprice, rn
@@ -196,7 +196,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- semi + anti joins (E1/J5) ---------------------------------------------
-@register(
+@register_demoted(
     "customer_semi_anti_joins",
     oracle="""
 SELECT 'no_orders_since_1998' AS set_name, c_custkey
@@ -263,7 +263,7 @@ def building_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # --- rollup (§2.4 extension) ----------------------------------------------
-@register_demoted(
+@register(
     "sales_rollup",
     oracle="""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
@@ -296,7 +296,7 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- pivot -----------------------------------------------------------------
-@register(
+@register_demoted(
     "order_priority_pivot",
     oracle="""
 SELECT o_orderstatus,
@@ -382,7 +382,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- lag / event gaps (as-of building block) -------------------------------
-@register_demoted(
+@register(
     "events_prev_gap",
     oracle="""
 SELECT event_id, user_id,
@@ -457,7 +457,7 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- exact median / quantiles ---------------------------------------------
-@register(
+@register_demoted(
     "part_price_median_by_brand",
     oracle="""
 SELECT p_brand,
@@ -481,7 +481,7 @@ def part_price_median_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- set operations (E1-E5) ------------------------------------------------
-@register(
+@register_demoted(
     "order_customer_set_ops",
     oracle="""
 SELECT 'with_orders_no_f' AS set_name, count(*) AS n FROM (
@@ -514,7 +514,7 @@ def order_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return no_f.unionByName(both)
 
 
-@register_demoted(
+@register(
     "event_ratings_projection",
     oracle="""
 SELECT CAST(user_id AS INTEGER) AS user_id, event_type AS item_id,
