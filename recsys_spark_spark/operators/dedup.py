@@ -549,6 +549,13 @@ def decontaminate_pairs(
     pipeline runs before training).  Returns
     ``(train_id, eval_id, shared_shingles)``.
 
+    SET SEMANTICS: shingle_rows emits per-document DISTINCT n-grams, so
+    ``shared_shingles`` counts distinct shared n-grams — an n-gram
+    repeated within a document counts once.  ``min_shared`` is
+    therefore a distinct-overlap threshold; thresholds calibrated on
+    raw token-occurrence counts from the literature do not transfer
+    directly.
+
     Scale shape: inverted-index join on the shingle — the eval corpus
     is tiny next to 100 TB of train data, so its shingle set broadcasts
     (``broadcast_evals``) and the train side streams map-side with NO

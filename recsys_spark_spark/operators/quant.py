@@ -18,8 +18,13 @@ production vector stores.  Everything here is JVM column math:
   to quantization noise (recall vs the float baseline asserted in
   tests/test_quant.py).
 
-Zero-vector guard: a vector of all zeros keeps scale 1.0 (quantizes
-to zeros, similarity 0 — never selected), avoiding 0/0.
+Zero-vector guard: an all-zero vector's absmax scale is clamped to
+1e-30 (so the q_i division is well-defined) and it quantizes to all
+zeros with norm 0; the similarity expression guards the 0·0
+denominator explicitly — ``when(nq·nb = 0, 0.0)`` in Spark and the
+matching CASE in the DuckDB twin — so a zero vector scores exactly
+0.0 in BOTH engines (never NULL/NaN, never selected) instead of
+relying on engine-specific 0/0 and NULL-ordering behavior.
 """
 
 from __future__ import annotations
@@ -94,13 +99,17 @@ def knn_bruteforce_int8(
     )
     nq = norms.select(F.col("id").alias("query_id"), F.col("qnrm").alias("nq"))
     nb = norms.select(F.col("id").alias("match_id"), F.col("qnrm").alias("nb"))
+    # zero-norm guard: see module docstring — 0.0, not 0/0
+    den = F.col("nq") * F.col("nb")
     sims = (
         dots.join(F.broadcast(nq), "query_id")
         .join(nb, "match_id")
         .select(
             "query_id",
             "match_id",
-            qround(F.col("qdot") / (F.col("nq") * F.col("nb")), 7).alias("sim"),
+            qround(
+                F.when(den == 0, F.lit(0.0)).otherwise(F.col("qdot") / den), 7
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
@@ -148,7 +157,9 @@ dots AS (
 ),
 sims AS (
   SELECT d.query_id, d.match_id,
-         floor((CAST(d.qdot AS DOUBLE) / (nq.qnrm * nb.qnrm)) * 10000000.0 + 0.5)
+         floor((CASE WHEN nq.qnrm * nb.qnrm = 0 THEN 0.0
+                     ELSE CAST(d.qdot AS DOUBLE) / (nq.qnrm * nb.qnrm)
+                END) * 10000000.0 + 0.5)
            / 10000000.0 AS sim
   FROM dots d
   JOIN norms nq ON nq.id = d.query_id

@@ -37,6 +37,15 @@ def read_events_stream(
     TIMESTAMP_NTZ and must pass through untouched.  Sniff the footer
     once with a batch read — exactly what the batch reader keys on —
     instead of hardcoding either shape.
+
+    SINGLE-SNIFF ASSUMPTION: the encoding is sniffed once at stream
+    construction from the files present at that moment, so every file
+    the directory ever receives must share ONE physical ts encoding
+    (true for any one generator version writing the landing dir).  A
+    producer that changes encoding mid-stream requires a stream restart
+    to re-sniff — files with a different encoding than the first-seen
+    one would otherwise be mis-decoded; per-batch validation is not
+    possible because the streaming source fixes its schema up front.
     """
     ensure_session_confs(spark)
     batch_schema = (
