@@ -43,15 +43,23 @@ def main() -> None:
     for name, spec in sorted(bench.items()):
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
+        t_build = time.perf_counter() - t0
         # force full execution; count() alone can skip projections, so
         # aggregate a hash of every column (bit_xor cannot overflow)
         df.selectExpr("bit_xor(xxhash64(*)) AS h").collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        t_total = time.perf_counter() - t0
+        timings[name] = round(t_total, 3)
         if name == "sequential_topk":
             from recsys_spark_spark.plans import recsys as _recsys
 
-            if _recsys.last_sequential_timings:
-                stages[name] = _recsys.last_sequential_timings
+            fit = dict(_recsys.last_sequential_timings or {})
+            # full attribution: 'fit_other' = fn-call time not covered
+            # by a timed fit stage (baskets/periods build, plan
+            # assembly); 'recommend' = executing the recommend() DAG +
+            # the result hash.  Stages now sum to the query wall time.
+            fit["fit_other"] = round(t_build - sum(fit.values()), 3)
+            fit["recommend"] = round(t_total - t_build, 3)
+            stages[name] = fit
 
     total = round(sum(timings.values()), 3)
     print(

@@ -350,7 +350,19 @@ class SequentialTopK:
         """M13 + M14: FPGrowth, keep current-period consequents, strip
         current-period items from antecedents, dedupe, re-score
         support/confidence over full sequences via a broadcast join
-        (replaces getSupport's collected-array closure, :492-504)."""
+        (replaces getSupport's collected-array closure, :492-504).
+
+        Rule generation runs directly over ``freqItemsets`` instead of
+        ``model.associationRules``: Spark's AssociationRules emits one
+        candidate per (itemset, member) pair and we then discard every
+        rule whose single-item consequent is not a current-period
+        ("_0") tag — only ~1/n_periods of the members qualify, so
+        generating from the itemsets with the consequent filter pushed
+        INTO the explode does ~n_periods× less candidate-join work for
+        a byte-identical rule set (same freq(Z)/freq(X) confidence,
+        same ≥ minConfidence gate, same canonical item order — X is
+        Z minus the consequent with relative order preserved, exactly
+        what AssociationRules produces)."""
         from pyspark.ml.fpm import FPGrowth
 
         # clamp to 1.0: on a corpus smaller than the count floor the
@@ -368,19 +380,54 @@ class SequentialTopK:
             minConfidence=self.min_confidence,
         )
         model = fp.fit(sequences)
+        # cache + eager count: the antecedent-frequency join scans the
+        # itemset lattice twice in ONE action; without materialized
+        # blocks both scans would re-run the FPGrowth mining
+        freq = model.freqItemsets.cache()
+        freq.count()
+        # one candidate per (itemset Z, current-period member y):
+        # antecedent X = Z \ {y} keeping Z's canonical order, joined
+        # back on the (order-normalized) lattice for freq(X)
+        cand = (
+            freq.select(
+                "items",
+                F.col("freq").alias("freq_z"),
+                F.explode(
+                    F.filter("items", lambda x: x.endswith("_0"))
+                ).alias("y"),
+            )
+            .withColumn("antecedent_pre", F.expr("array_remove(items, y)"))
+            .where(F.size("antecedent_pre") > 0)
+        )
+        lookup = freq.select(
+            F.sort_array("items").alias("_xkey"),
+            F.col("freq").alias("freq_x"),
+        )
+        rules_pre = (
+            cand.withColumn("_xkey", F.sort_array("antecedent_pre"))
+            .join(lookup, "_xkey")
+            .where(
+                F.col("freq_z") / F.col("freq_x") >= F.lit(self.min_confidence)
+            )
+            .select(
+                "antecedent_pre",
+                F.array("y").alias("consequent"),
+                (
+                    (F.col("freq_z") / F.lit(float(max(n_seq, 1))))
+                    * (F.col("freq_z") / F.col("freq_x"))
+                ).alias("_sc"),
+            )
+        )
         stripped = (
-            model.associationRules
-            # consequent's head is in the current period (P4, :481-487)
-            .where(F.element_at("consequent", 1).endswith("_0"))
-            .withColumn(
+            rules_pre.withColumn(
                 "antecedent",
-                F.filter("antecedent", lambda x: ~x.endswith("_0")),
+                F.filter("antecedent_pre", lambda x: ~x.endswith("_0")),
             )
             .where(F.size("antecedent") > 0)
             # distinct pairs, keeping the strongest pre-strip metrics
             # as the capping key
             .groupBy("antecedent", "consequent")
-            .agg(F.max(F.col("support") * F.col("confidence")).alias("_pre"))
+            .agg(F.max(F.col("_sc")).alias("_pre"))
         )
         if self.max_rules is not None:
             # top-N by FPGrowth strength, content-based tie-break →
