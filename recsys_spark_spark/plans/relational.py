@@ -276,9 +276,9 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 )
 def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals via ROLLUP — free in Catalyst, absent in the
-    reference (SURVEY §2.4 'not present').  Demoted tier: sales_cube
-    (windows_extra) registers the strictly-larger grouping-set family;
-    ROLLUP stays pytest-parity-checked."""
+    reference (SURVEY §2.4 'not present').  Promoted into the round-4
+    driver window (rotation) so ROLLUP earns its own driver row
+    alongside sales_cube's grouping-set family."""
     l = table(spark, sf_dir, "lineitem")
     return (
         l.rollup("l_returnflag", "l_linestatus")
@@ -395,9 +395,9 @@ FROM events
 def events_prev_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seconds since the user's previous event — lag() window, the
     building block for as-of joins and sessionization (SURVEY §2.3
-    'not present in reference').  Demoted tier: events_sessions
-    composes this exact lag+diff expression and is registered;
-    the standalone gap listing stays pytest-parity-checked."""
+    'not present in reference').  Promoted into the round-4 driver
+    window (rotation); events_sessions composes this exact lag+diff
+    expression."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # timestamp_diff is pure local-datetime arithmetic — unlike
@@ -526,8 +526,7 @@ def event_ratings_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events-as-implicit-feedback interactions frame
     (sources.readers.ratings_from_events) — string item ids, per-event
     grain, the timestamped input shape SequentialTopK consumes.
-    Demoted tier: a bare projection (no operator logic beyond casts);
-    stays pytest-parity-checked."""
+    Promoted into the round-4 driver window (rotation)."""
     from ..sources.readers import ratings_from_events
 
     return ratings_from_events(spark, sf_dir)

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import pytest
 
-from recsys_spark_spark.plans.registry import QUERIES, _load_all
+from recsys_spark_spark.plans.registry import DEMOTED, QUERIES, _load_all
 
 
 def plan_of(df) -> str:
@@ -27,7 +27,9 @@ def plan_of(df) -> str:
 @pytest.fixture(scope="module")
 def queries():
     _load_all()
-    return QUERIES
+    # plan guards cover BOTH correctness tiers — the registered/demoted
+    # split rotates round-to-round but plan shape must not regress
+    return {**QUERIES, **DEMOTED}
 
 
 def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir, queries):
