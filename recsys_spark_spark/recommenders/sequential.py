@@ -183,12 +183,16 @@ class SequentialTopK:
     #: clustering iteration budget — the reference's SOM runs
     #: setMaxIter(5) (SequentialTopKRecommender.scala:403-416)
     max_iter: int = 5
-    #: keep only each cluster's top-N voted candidate items before the
-    #: per-user join.  EXACT as long as no user has seen more than
-    #: (vote_prefilter − k_items) of their cluster's top list — a user
-    #: with S seen items can displace at most S candidates.  Without
-    #: this cap the join is |users| × |cluster items| (measured 300M
-    #: rows / 52 s at sf0.1; 6 s with it).
+    #: UPPER BOUND on how many of each cluster's top-voted candidate
+    #: items survive before the per-user join.  A user with S seen
+    #: items can displace at most S candidates from their top-K, so
+    #: keeping ``k_items + max(distinct items per user)`` per cluster
+    #: is EXACT — fit() computes that bound from the data (one cheap
+    #: aggregate) and uses ``min(vote_prefilter, k_items + bound)``;
+    #: this field only caps the adaptive value for pathological users.
+    #: Without any cap the join is |users| × |cluster items| (measured
+    #: 300M rows / 52 s at sf0.1; 6 s capped at 512; the adaptive bound
+    #: — 110 at sf0.1 — shrinks the candidate join a further ~4×).
     vote_prefilter: int = 512
     #: rule scoring strategy switch: when the tag alphabet (distinct
     #: cluster_period values, ≤ grid cells × periods) fits in a long,
@@ -520,9 +524,18 @@ class SequentialTopK:
 
         # candidate pool: items of last-period transactions, voted per
         # cluster (reference transform :126-149, A9); pre-ranked to the
-        # top vote_prefilter per cluster (see field docstring — exact
-        # for any realistic seen-set size, and the rank order equals
+        # top k_items + max(items/user) per cluster (see field
+        # docstring — provably exact: a user can displace at most their
+        # own seen count from the top list, and the rank order equals
         # the final ranking order so truncation never reorders)
+        max_user_items = (
+            interactions.groupBy("user_id")
+            .agg(F.count_distinct("item_id").alias("n"))
+            .agg(F.max("n"))
+            .collect()[0][0]
+            or 0
+        )  # one scalar — O(1) driver state
+        eff_prefilter = min(self.vote_prefilter, self.k_items + max_user_items)
         last = clustered.where(F.col("period_id") == self.n_periods - 1)
         votes = (
             last.select(
@@ -536,7 +549,7 @@ class SequentialTopK:
         )
         self.cluster_votes_ = (
             votes.withColumn("_vr", F.row_number().over(wv))
-            .where(F.col("_vr") <= self.vote_prefilter)
+            .where(F.col("_vr") <= eff_prefilter)
             .drop("_vr")
             .cache()
         )
