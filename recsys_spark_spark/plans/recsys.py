@@ -408,24 +408,45 @@ def item_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9 weighted hybrid: max-normalized 0.6·user + 0.4·item blend
-    (HybridRecommenderTopK.scala:69-79,116-120)."""
+    (HybridRecommenderTopK.scala:69-79,116-120).
+
+    The two axis models are independent DAGs, so their one-off
+    materializations are submitted from two driver threads — Spark's
+    scheduler interleaves the jobs and each axis' straggler stages
+    overlap the other's compute instead of serializing behind it (the
+    blend itself then composes cache reads).  Ratings materialize
+    first so the axes race on a warm cache, not on computing the
+    shared subtree twice."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..recommenders.neighborhood import (
+        _rank_items,
+        item_based_scored,
+        user_based_scored,
+    )
+
     ratings = _cached_ratings(spark, sf_dir)
-    u = user_based_topk(
+    ratings.count()
+    u_scored = user_based_scored(
         ratings,
         K_NEIGHBORS,
-        CHILD_K,
         "cosine",
-        prefilter_neighbors=PREFILTER,
         max_raters_per_item=MAX_RATERS_PER_ITEM,
+        prefilter_neighbors=PREFILTER,
+        materialize=False,
     )
-    i = item_based_topk(
+    i_scored = item_based_scored(
         ratings,
         K_NEIGHBORS,
-        CHILD_K,
         "cosine",
-        prefilter_neighbors=PREFILTER,
         max_raters_per_item=MAX_RATERS_PER_ITEM,
+        prefilter_neighbors=PREFILTER,
+        materialize=False,
     )
+    with ThreadPoolExecutor(2) as ex:
+        list(ex.map(lambda d: d.count(), (u_scored, i_scored)))
+    u = _rank_items(u_scored, CHILD_K)
+    i = _rank_items(i_scored, CHILD_K)
     return hybrid_topk(u, i, weight_a=0.6, weight_b=0.4, k_items=K_ITEMS)
 
 

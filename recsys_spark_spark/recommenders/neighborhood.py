@@ -228,6 +228,34 @@ def user_based_topk(
     return _rank_items(scored, k_items)
 
 
+def item_based_scored(
+    ratings: DataFrame,
+    k_neighbors: int = 25,
+    kernel: str = "cosine",
+    n_cols: int | None = None,
+    max_raters_per_item: int | None = None,
+    prefilter_neighbors: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Pre-rank scored candidates for item k-NN — :func:`item_based_topk`
+    minus the final rank filter (see _share_scored)."""
+    sims = pairwise_similarity(
+        ratings,
+        kernel=kernel,
+        axis="item",
+        n_cols=n_cols,
+        directed=True,
+        max_raters_per_item=max_raters_per_item,
+    ).select(
+        F.col("item_a").alias("item_id"),
+        F.col("item_b").alias("neighbor_item"),
+        qround("sim", SIM_ROUND).alias("sim"),
+    )
+    return scored_from_item_sims(
+        sims, ratings, k_neighbors, prefilter_neighbors, materialize
+    )
+
+
 def item_based_topk(
     ratings: DataFrame,
     k_neighbors: int = 25,
@@ -244,22 +272,16 @@ def item_based_topk(
     similar items *among the items the user rated*
     (ItemBasedTopKRecommender.scala:44-94).
     """
-    sims = pairwise_similarity(
+    scored = item_based_scored(
         ratings,
+        k_neighbors=k_neighbors,
         kernel=kernel,
-        axis="item",
         n_cols=n_cols,
-        directed=True,
         max_raters_per_item=max_raters_per_item,
-    ).select(
-        F.col("item_a").alias("item_id"),
-        F.col("item_b").alias("neighbor_item"),
-        qround("sim", SIM_ROUND).alias("sim"),
+        prefilter_neighbors=prefilter_neighbors,
+        materialize=materialize,
     )
-
-    return topk_from_item_sims(
-        sims, ratings, k_neighbors, k_items, prefilter_neighbors, materialize
-    )
+    return _rank_items(scored, k_items)
 
 
 def scored_from_item_sims(
