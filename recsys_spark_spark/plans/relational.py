@@ -414,6 +414,33 @@ def events_prev_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_id", "user_id", gap.alias("gap_s"))
 
 
+@register_demoted(
+    "events_purchase_view_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+       CAST(date_diff('second', date_trunc('second', v.ts),
+                      date_trunc('second', p.ts)) AS BIGINT) AS gap_s
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+""",
+)
+def events_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: each purchase with the same user's views
+    from the preceding hour (the attribution join; SURVEY §2.3 'not
+    present in reference').  The SAME expression runs as a
+    stream-stream join — streaming/joins.py::purchase_view_join_stream
+    is this plan over readStream (withWatermark is a batch no-op), so
+    stream/batch parity is a property of the plan, not two
+    implementations.  Catalyst plans the equi-key (user_id) hash join
+    with the time range as a join filter — no cartesian product."""
+    from ..streaming.joins import purchase_view_join_stream
+
+    return purchase_view_join_stream(table(spark, sf_dir, "events"))
+
+
 # --- sessionization --------------------------------------------------------
 @register(
     "events_sessions",

@@ -8,6 +8,7 @@ windows, file-source tested against the batch results.
 """
 
 from .dedup import dedup_docs_stream
+from .joins import purchase_view_join_stream
 from .stateful import running_user_totals_stream
 from .windows import (
     daily_counts_stream,
@@ -23,4 +24,5 @@ __all__ = [
     "run_stream_once",
     "running_user_totals_stream",
     "dedup_docs_stream",
+    "purchase_view_join_stream",
 ]

@@ -69,6 +69,20 @@ def test_sliding_stream_matches_batch(spark, sf_dir):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_purchase_view_join_stream_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (purchases ⋈ same-user views within
+    1 h) drains to exactly the batch twin's rows."""
+    from recsys_spark_spark.plans.relational import events_purchase_view_join
+    from recsys_spark_spark.streaming.joins import purchase_view_join_stream
+
+    stream = purchase_view_join_stream(read_events_stream(spark, sf_dir))
+    got = run_stream_once(stream, "pv_join_stream_test", output_mode="append")
+    want = events_purchase_view_join(spark, sf_dir)
+    cols = ["purchase_id", "view_id", "user_id", "gap_s"]
+    assert got.count() > 0  # non-vacuous
+    assert _rows(got, cols) == _rows(want, cols)
+
+
 def test_stream_incremental_micro_batches(spark, sf_dir):
     """maxFilesPerTrigger drives the source in bounded micro-batches;
     the final answer is unchanged."""
