@@ -156,3 +156,39 @@ def test_merged_dedup_docs_single_scan(spark, sf_dir, queries):
     t = tree_of(queries["dedup_docs"].fn(spark, sf_dir))
     assert t.count("Scan parquet") == 1, "documents scanned more than once"
     assert t.count("Window") == 2
+
+
+def test_child_topk_plans_read_scored_cache(spark, sf_dir, queries):
+    """Round-4 perf contract: the standalone CF children rank over the
+    CACHED pre-rank scored-candidate DF (shared with hybrid via plan
+    identity) — removing _share_scored would silently re-run the whole
+    candidate subtree per query (8-9 s apiece at sf0.1)."""
+    for name in ("user_topk_cosine", "item_topk_cosine"):
+        p = plan_of(queries[name].fn(spark, sf_dir))
+        assert "InMemoryTableScan" in p, f"{name}: scored cache not in plan"
+
+
+def test_bench_set_is_stable():
+    """The bench set must not drift when the registered/demoted split
+    rotates — round-over-round timing comparability depends on it.
+    Additions are deliberate acts: update this list WITH the PERF.md
+    note explaining the total change (als_topk joined in round 4)."""
+    from recsys_spark_spark.plans.registry import bench_queries
+
+    assert sorted(bench_queries()) == [
+        "als_topk",
+        "corpus_clean",
+        "corpus_vocab",
+        "doc_chunks",
+        "embedding_knn_bruteforce",
+        "embedding_knn_ivf",
+        "embedding_knn_lsh",
+        "hybrid_topk",
+        "item_topk_cosine",
+        "neardup_minhash_lsh",
+        "q1_pricing_summary",
+        "q3_top_revenue_orders",
+        "q5_region_revenue",
+        "sequential_topk",
+        "user_topk_cosine",
+    ]
