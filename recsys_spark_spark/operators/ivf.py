@@ -254,24 +254,29 @@ def knn_ivf_oracle_sql(
     dim: int,
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
+    table: str = "embeddings",
+    prelude_ctes: str = "",
 ) -> str:
-    """DuckDB twin of ``cosine_knn_ivf`` over the ``embeddings``
-    view: replays hash-seeded init → one Lloyd step → probe →
-    exact rerank with the identical 7dp quantization at every
-    ranking decision."""
+    """DuckDB twin of ``cosine_knn_ivf`` over the ``table`` view
+    (default ``embeddings``): replays hash-seeded init → one Lloyd
+    step → probe → exact rerank with the identical 7dp quantization at
+    every ranking decision.  ``prelude_ctes`` (e.g. the int8
+    dequantization CTE) is spliced ahead of the pipeline so composed
+    sources replay inside the same WITH chain."""
     q7 = lambda e: qround_sql(e, 7)  # noqa: E731
+    prelude = f"{prelude_ctes},\n" if prelude_ctes else ""
     return f"""
-WITH flat AS (
+WITH {prelude}flat AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
          CAST(unnest(embedding) AS DOUBLE) AS v
-  FROM embeddings
+  FROM {table}
 ),
 norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY 1),
 seeds AS (
   SELECT vec_id AS sid, row_number() OVER (
            ORDER BY {hash60_sql("CAST(vec_id AS VARCHAR)")}, vec_id
          ) - 1 AS cell
-  FROM embeddings
+  FROM {table}
   ORDER BY {hash60_sql("CAST(vec_id AS VARCHAR)")}, vec_id
   LIMIT {n_cells}
 ),

@@ -57,6 +57,53 @@ def quantize_embeddings(
     )
 
 
+def dequantized_embeddings(
+    embs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, embedding ARRAY<DOUBLE>) reconstructed from the int8
+    codes: v̂_i = q_i · scale / 127.
+
+    This is the storage-layer composition point: downstream index
+    builds (IVF, LSH) run UNCHANGED on the reconstructed vectors, so a
+    100 TB deployment stores 4×-smaller int8 vectors and pays only the
+    ~1e-2 relative reconstruction error.  The reconstruction is the
+    same IEEE op sequence in both engines (DEQUANT_EMBEDDINGS_CTE), so
+    composed pipelines stay oracle-replayable bit-for-bit."""
+    qz = quantize_embeddings(embs, vec_col, id_col)
+    return qz.select(
+        F.col("id").alias(id_col),
+        F.transform(
+            "qvec", lambda q: q.cast("double") * F.col("scale") / float(Q_MAX)
+        ).alias(vec_col),
+    )
+
+
+#: DuckDB twin of ``dequantized_embeddings`` over the ``embeddings``
+#: view — quantization replay (identical floor half-up) + q·scale/127
+#: reconstruction, exposed as a CTE body named ``embeddings_q``.
+DEQUANT_EMBEDDINGS_CTE = f"""
+embeddings_q AS (
+  SELECT id AS vec_id,
+         list_transform(qvec, q -> CAST(q AS DOUBLE) * scale / {float(Q_MAX)})
+           AS embedding
+  FROM (
+    SELECT id, scale,
+           list_transform(xs, v -> CAST(floor(v * {Q_MAX} / scale + 0.5) AS BIGINT))
+             AS qvec
+    FROM (
+      SELECT vec_id AS id,
+             greatest(list_max(list_transform(embedding,
+                      v -> abs(CAST(v AS DOUBLE)))), 1e-30) AS scale,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+      FROM embeddings
+    )
+  )
+)
+""".strip()
+
+
 def knn_bruteforce_int8(
     embs: DataFrame,
     n_queries: int,

@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 from ..operators.ivf import cosine_knn_ivf, knn_ivf_oracle_sql
 from ..operators.knn import cosine_knn_lsh, knn_lsh_oracle_sql
 from ..sources.readers import table
-from ..operators.quant import knn_bruteforce_int8, knn_int8_sql
+from ..operators.quant import (
+    DEQUANT_EMBEDDINGS_CTE,
+    dequantized_embeddings,
+    knn_bruteforce_int8,
+    knn_int8_sql,
+)
 from .llm import KNN_K, KNN_QUERIES
 from .registry import register, register_demoted
 
@@ -148,3 +153,27 @@ def embedding_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce_int8(
         table(spark, sf_dir, "embeddings"), KNN_QUERIES, KNN_K
     )
+
+
+@register_demoted(
+    "embedding_knn_ivf_int8",
+    oracle=knn_ivf_oracle_sql(
+        KNN_QUERIES,
+        KNN_K,
+        EMB_DIM,
+        table="embeddings_q",
+        prelude_ctes=DEQUANT_EMBEDDINGS_CTE,
+    ),
+)
+def embedding_knn_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 composed scale path: int8 storage × IVF index — the shape a
+    100 TB vector store actually runs (4× smaller vectors on disk/RAM,
+    O(|base|·n_probe/n_cells) candidates per query).  The int8 codes
+    are reconstructed (q·scale/127, bit-identical in both engines) and
+    the UNCHANGED IVF pipeline — seeding, Lloyd step, probing, exact
+    rerank — runs on the reconstructed vectors, so the whole composed
+    pipeline keeps a value-hash DuckDB oracle.  Demoted tier (driver
+    window full); parity via tests/test_oracle_parity.py."""
+    e = dequantized_embeddings(table(spark, sf_dir, "embeddings"))
+    q = e.where(F.col("vec_id") < KNN_QUERIES)
+    return cosine_knn_ivf(e, q, KNN_K)

@@ -93,3 +93,35 @@ def test_ivf_oracle_parity_smoke(spark, sf_dir, duck):
         duck,
         knn_ivf_oracle_sql(KNN_QUERIES, KNN_K, 64),
     )
+
+
+@pytest.mark.slow
+def test_ivf_int8_composed_recall_and_agreement(spark):
+    """int8 storage must not degrade the IVF index: the composed
+    int8→dequantize→IVF pipeline's recall vs the exact baseline stays
+    within 0.05 of the float IVF's, and the two IVF variants agree on
+    the overwhelming majority of pairs (quantization moves only
+    boundary-tied candidates)."""
+    from recsys_spark_spark.operators.quant import dequantized_embeddings
+
+    exact = {
+        (r["query_id"], r["match_id"])
+        for r in embedding_knn_bruteforce(spark, SF_001).collect()
+    }
+    e = table(spark, SF_001, "embeddings")
+    q = e.where(F.col("vec_id") < KNN_QUERIES)
+    f32 = {
+        (r["query_id"], r["match_id"])
+        for r in cosine_knn_ivf(e, q, KNN_K).collect()
+    }
+    eq = dequantized_embeddings(e)
+    qq = eq.where(F.col("vec_id") < KNN_QUERIES)
+    i8 = {
+        (r["query_id"], r["match_id"])
+        for r in cosine_knn_ivf(eq, qq, KNN_K).collect()
+    }
+    r_f32 = len(exact & f32) / len(exact)
+    r_i8 = len(exact & i8) / len(exact)
+    assert r_i8 >= r_f32 - 0.05, (r_i8, r_f32)
+    agree = len(f32 & i8) / len(f32)
+    assert agree >= 0.9, f"int8 IVF agrees on only {agree:.3f} of pairs"
