@@ -555,8 +555,13 @@ class SequentialTopK:
         )
         self.cluster_votes_.count()  # ≤ clusters × vote_prefilter rows
         _lap("votes")
-        self.seen_ = interactions.select(
-            "user_id", F.col("item_id").cast("string").alias("item_id")
+        # seen = distinct (user, item): derive it from the CACHED
+        # clustered baskets (they hold every interaction's item string,
+        # grouped per basket) instead of re-running the raw
+        # interactions join inside the recommend action — the parquet
+        # rescan was the recommend stage's dominant run-to-run swing
+        self.seen_ = clustered.select(
+            "user_id", F.explode("items").alias("item_id")
         ).distinct()
         self.timings_ = timings
         return self
