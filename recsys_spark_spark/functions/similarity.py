@@ -60,13 +60,33 @@ def with_kernel_column(
     ``n_cols_expr`` is the full vector length N (total distinct items /
     users), needed only by the Pearson full-array-mean quirk.
     """
+    # Zero denominators are real inputs, not just fp edge cases: a
+    # zero-variance entity (rates everything identically) gives Pearson
+    # 0/0, and Spark 4's ANSI mode turns that into a DIVIDE_BY_ZERO
+    # error instead of NaN.  Both div-by-zero kernels guard with
+    # when(den != 0) → NULL sim (mirrored by NULLIF in the oracle SQL,
+    # plans/recsys.py::KERNEL_SQL); NULL ranks last under DESC ordering
+    # in both engines, which matches the reference's NaN-never-selected
+    # behavior.  The variance is clamped at 0 before sqrt because the
+    # full-array-mean form can leave a tiny negative fp residue (and
+    # DuckDB errors on sqrt of a negative).
     if kernel == "cosine":
-        sim = F.col("dot") / (F.sqrt("sumsq_a") * F.sqrt("sumsq_b"))
+        den = F.sqrt("sumsq_a") * F.sqrt("sumsq_b")
+        sim = F.when(den != 0.0, F.col("dot") / den)
     elif kernel == "pearson":
         num = F.col("dot") - F.col("sum_a") * F.col("sum_b") / n_cols_expr
-        den_a = F.sqrt(F.col("sumsq_a") - F.pow("sum_a", 2) / n_cols_expr)
-        den_b = F.sqrt(F.col("sumsq_b") - F.pow("sum_b", 2) / n_cols_expr)
-        sim = num / (den_a * den_b)
+        den_a = F.sqrt(
+            F.greatest(
+                F.col("sumsq_a") - F.pow("sum_a", 2) / n_cols_expr, F.lit(0.0)
+            )
+        )
+        den_b = F.sqrt(
+            F.greatest(
+                F.col("sumsq_b") - F.pow("sum_b", 2) / n_cols_expr, F.lit(0.0)
+            )
+        )
+        den = den_a * den_b
+        sim = F.when(den != 0.0, num / den)
     elif kernel == "euclidean":
         sq_dist = F.col("sumsq_a") + F.col("sumsq_b") - 2 * F.col("dot")
         # guard tiny negative fp residue before sqrt

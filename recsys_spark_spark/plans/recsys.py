@@ -38,11 +38,15 @@ ratings AS (
 
 #: kernel → SQL formula over pair stats (sa/sb = per-entity stats rows)
 KERNEL_SQL = {
-    "cosine": "dot / (sqrt(sa.ss) * sqrt(sb.ss))",
+    # NULLIF guards mirror functions/similarity.py::with_kernel_column:
+    # zero-variance entities make Pearson 0/0 (ANSI Spark would error,
+    # DuckDB would error on sqrt of a tiny negative variance residue) —
+    # both engines emit NULL instead, which ranks last on DESC.
+    "cosine": "dot / NULLIF(sqrt(sa.ss) * sqrt(sb.ss), 0.0)",
     "pearson": (
         "(dot - sa.s * sb.s / ncols.n) / "
-        "(sqrt(sa.ss - sa.s * sa.s / ncols.n) * "
-        "sqrt(sb.ss - sb.s * sb.s / ncols.n))"
+        "NULLIF(sqrt(greatest(sa.ss - sa.s * sa.s / ncols.n, 0.0)) * "
+        "sqrt(greatest(sb.ss - sb.s * sb.s / ncols.n, 0.0)), 0.0)"
     ),
     "euclidean": "1.0 / (sqrt(greatest(sa.ss + sb.ss - 2 * dot, 0.0)) + 1.0)",
     "jaccard": "CAST(co AS DOUBLE) / (sa.n + sb.n - co)",
@@ -481,9 +485,9 @@ fpairs AS (
 ),
 fhalf AS (
   SELECT ea, eb,
-         CASE WHEN dot / (sqrt(sa.ss) * sqrt(sb.ss)) = 0.0
+         CASE WHEN dot / NULLIF(sqrt(sa.ss) * sqrt(sb.ss), 0.0) = 0.0
               THEN 1.0 / (sqrt(greatest(sa.ss + sb.ss - 2 * dot, 0.0)) + 1.0)
-              ELSE dot / (sqrt(sa.ss) * sqrt(sb.ss)) END AS sim
+              ELSE dot / NULLIF(sqrt(sa.ss) * sqrt(sb.ss), 0.0) END AS sim
   FROM fpairs
   JOIN fstats sa ON sa.ent = ea
   JOIN fstats sb ON sb.ent = eb

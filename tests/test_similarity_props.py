@@ -91,3 +91,17 @@ def test_hot_key_cap_equals_prefiltered_input(spark, rat, cap):
         (r["user_a"], r["user_b"], round(r["sim"], 9)) for r in rows
     )
     assert norm(capped) == norm(manual)
+
+
+def test_pearson_zero_variance_is_null_not_error(spark):
+    """Regression (round 4): a zero-variance entity (rates everything
+    identically) makes the Pearson denominator exactly 0; Spark 4's
+    ANSI mode turned that into a DIVIDE_BY_ZERO job failure.  The
+    kernel must emit NULL (never-selected under DESC rank) instead —
+    hypothesis found this with rat={(1,1):1,(1,2):1,(1,3):1,(2,1):1}."""
+    rat = {(1, 1): 1.0, (1, 2): 1.0, (1, 3): 1.0, (2, 1): 1.0}
+    rows = pairwise_similarity(
+        _df(spark, rat), kernel="pearson", axis="user"
+    ).collect()
+    assert len(rows) == 2  # directed pair (1,2)/(2,1), co-rated item 1
+    assert all(r["sim"] is None for r in rows)
