@@ -1,0 +1,162 @@
+"""Distributed connected components over pair edges — the step that
+turns near-duplicate PAIRS into duplicate GROUPS.
+
+Every near-dedup operator in operators/dedup.py emits pairs
+``(id_a, id_b)``; a production dedup pipeline must then pick ONE
+keeper per transitive group (A~B, B~C ⇒ {A,B,C} share a keeper even
+though A,C were never directly compared).  The reference has no
+near-dedup at all (this whole family is driver-mandated extension
+surface), so the semantics anchor is the standard definition:
+``component(x) = min(id over everything reachable from x)``.
+
+Algorithm: iterative min-label propagation with a pointer-jumping
+(path-halving) step each round:
+
+1. neighbor step — every node takes the min of its own label and its
+   graph-neighbors' labels (one join + min-aggregate on the edge list);
+2. pointer-jump step — every node replaces its label by its label's
+   label (one self-join on the label relation), which halves the depth
+   of label-chains and turns worst-case convergence from O(diameter)
+   rounds into O(log diameter) — the same doubling trick as
+   Kiveris et al.'s two-phase map-reduce CC algorithms.
+
+Each round is two key-partitioned joins Catalyst plans as ordinary
+shuffles; the driver's only role is the convergence test (a count of
+changed labels — O(1) result, not a data collect).  Near-dup graphs
+are unions of small cliques/stars (diameter ~1-2), so the loop
+typically runs 2 rounds; the cap is a runaway backstop for adversarial
+chain graphs and raises instead of returning a wrong answer.
+
+At 100 TB the edge list is the near-dup pair output — orders of
+magnitude smaller than the corpus — and the label relation is O(nodes
+in any pair); both shuffle on id keys, nothing is quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: convergence backstop: pointer-jumping converges in O(log diameter)
+#: rounds, so 25 rounds covers diameters beyond 2^25 — any real input
+#: converges far earlier; hitting the cap means a logic error, not a
+#: big graph, and raises.
+MAX_ROUNDS = 25
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = MAX_ROUNDS,
+) -> DataFrame:
+    """``(id, component)`` for every node appearing in ``edges``, where
+    ``component`` is the minimum node id reachable via undirected
+    edges.  Ids must be orderable (the min-id convention doubles as
+    the deterministic keeper rule: keeper ⇔ id == component)."""
+    # undirected: one generator explode, not a union of two plans of
+    # the (possibly expensive) edge subtree
+    und = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.*")
+        .distinct()
+        .cache()
+    )
+
+    # Iterative plans MUST truncate lineage each round: the pointer
+    # jump self-joins the round's label relation, so the logical plan
+    # would DOUBLE per round (2^rounds nodes — Catalyst OOMs on a
+    # 24-node chain graph long before the data is big).  cache() does
+    # not help (it materializes blocks but keeps the full plan);
+    # localCheckpoint(eager) cuts the plan to the computed partitions.
+    # On a cluster with executor churn, set a checkpoint dir and use
+    # .checkpoint() instead — same contract, fault-tolerant storage.
+    labels = (
+        und.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_rounds):
+        # 1) neighbor step: min label over {self} ∪ neighbors
+        nbr_min = (
+            und.join(labels.select(F.col("id").alias("v"), "comp"), "v")
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        # 2) pointer jump: comp ← comp's comp (path halving)
+        jumped = (
+            stepped.alias("s")
+            .join(
+                stepped.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("comp2")
+                ).alias("j"),
+                "comp",
+                "left",
+            )
+            .select(
+                F.col("id"),
+                F.coalesce(F.col("comp2"), F.col("comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.join(
+                labels.select("id", F.col("comp").alias("old")), "id"
+            )
+            .where(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    und.unpersist()
+    return labels.select("id", "comp")
+
+
+def components_sql(pairs_sql: str, id_a: str = "id_a", id_b: str = "id_b") -> str:
+    """DuckDB twin of :func:`connected_components` over the pair query
+    ``pairs_sql``: a recursive CTE computes the full reachability
+    relation and takes ``min(root)`` per node — the textbook
+    SQL-standard form of min-id connected components.  (The recursive
+    form materializes O(Σ component²) reach rows, fine for an oracle
+    at sf0.01; the Spark side's pointer-jumping loop is the scale
+    path.)  Returns columns ``(id, comp)``."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT {id_a} AS id_a, {id_b} AS id_b FROM ({pairs_sql}) _pairs_q
+),
+nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id, min(r) AS comp FROM reach GROUP BY id
+""".strip()

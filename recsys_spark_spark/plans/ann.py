@@ -155,7 +155,8 @@ def embedding_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_demoted(
+@register(
+    # promoted r5: registered for its first driver correctness row
     "embedding_knn_ivf_int8",
     oracle=knn_ivf_oracle_sql(
         KNN_QUERIES,

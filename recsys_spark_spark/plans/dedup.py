@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.components import components_sql, connected_components
 from ..operators.dedup import (
     decontaminate_pairs,
     decontaminate_sql,
@@ -104,4 +105,35 @@ def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 4×15-bit pigeonhole join."""
     return simhash_neardup_pairs(
         table(spark, sf_dir, "documents"), max_hamming=MAX_HAMMING
+    )
+
+
+@register(
+    "neardup_components",
+    oracle=f"""
+SELECT id AS doc_id,
+       CAST(comp AS BIGINT) AS component,
+       CAST(CASE WHEN id = comp THEN 1 ELSE 0 END AS BIGINT) AS keeper
+FROM ({components_sql(minhash_neardup_sql(NEARDUP_THRESHOLD))}) c
+""",
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate GROUPS from the MinHash near-dup pairs —
+    the missing last step of a production dedup pipeline (pairs alone
+    can't drive deletion: A~B, B~C must share one keeper even though
+    A,C were never directly compared).  Spark side: pointer-jumping
+    min-label propagation (operators/components.py); oracle: recursive
+    CTE reachability.  ``keeper`` = 1 on the component's min doc_id —
+    the deterministic survivor."""
+    pairs = minhash_neardup_pairs(
+        table(spark, sf_dir, "documents"), threshold=NEARDUP_THRESHOLD
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").cast("bigint").alias("component"),
+        F.when(F.col("id") == F.col("comp"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("keeper"),
     )

@@ -313,7 +313,8 @@ def _cached_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ratings_from_sales(spark, sf_dir).cache()
 
 
-@register(
+@register_demoted(
+    # rotation r5: driver-green r1-r4; slot freed for never-checked queries
     "user_sims", oracle=_pair_query_sql("user", ("cosine", "pearson"), MIN_CO)
 )
 def user_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,7 +329,8 @@ def user_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_query(spark, sf_dir, "user", ("cosine", "pearson"))
 
 
-@register(
+@register_demoted(
+    # rotation r5: driver-green r1-r4; slot freed for never-checked queries
     "item_sims", oracle=_pair_query_sql("item", ("jaccard", "euclidean"), MIN_CO)
 )
 def item_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -929,7 +931,8 @@ def sequential_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.recommend()
 
 
-@register(
+@register_demoted(
+    # rotation r5: driver-green r1-r4; slot freed for never-checked queries
     "rating_stats_per_user",
     oracle=f"""
 WITH {RATINGS_CTE}

@@ -123,6 +123,7 @@ def _load_all() -> None:
         pipeline,
         recsys,
         relational,
+        retrieval,
         seq,
         text,
         windows_extra,

@@ -364,7 +364,8 @@ def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- JSON extraction (L5) --------------------------------------------------
-@register(
+@register_demoted(
+    # rotation r5: driver-green r1-r4; slot freed for never-checked queries
     "events_json_props",
     oracle="""
 SELECT event_id,
@@ -414,7 +415,8 @@ def events_prev_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_id", "user_id", gap.alias("gap_s"))
 
 
-@register_demoted(
+@register(
+    # promoted r5: registered for its first driver correctness row
     "events_purchase_view_join",
     oracle="""
 SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import qround
 from ..operators.dedup import hash60, hash60_sql
 from ..sources.readers import table
-from .registry import register
+from .registry import register, register_demoted
 
 R6 = 6
 
@@ -164,7 +164,8 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- winnowing fingerprints ------------------------------------------------
-@register(
+@register_demoted(
+    # rotation r5: driver-green r1-r4; slot freed for never-checked queries
     "doc_winnow_fingerprints",
     oracle=f"""
 WITH grams AS (
