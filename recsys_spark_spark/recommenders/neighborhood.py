@@ -149,8 +149,20 @@ def user_based_scored(
         "item_id",
         F.col("rating").alias("r_n"),
     )
-    # candidate (user, item): some neighbor rated it...
-    cand = sims.join(neigh_r, "neighbor")
+    means = _user_means(ratings)
+    n_means = means.select(
+        F.col("user_id").alias("neighbor"), F.col("mean_r").alias("mean_n")
+    )
+    # candidate (user, item): some neighbor rated it...  The neighbor
+    # MEAN is attached here, in the same join stage, NOT after the
+    # top-k window: the candidate join leaves the O(model·ratings)
+    # relation hash-partitioned on `neighbor`, so this second
+    # neighbor-keyed join reuses that partitioning (only the O(users)
+    # means relation shuffles); joining after the window — which is
+    # (user,item)-partitioned — would re-exchange the full candidate
+    # relation by neighbor, a third full-size shuffle (measured ~25M
+    # rows at sf0.1, the single biggest cost in the axis build).
+    cand = sims.join(neigh_r, "neighbor").join(n_means, "neighbor")
     # ...and the user did not (anti-join replaces the reference's
     # filter(_._1 == 0) unrated scan, UserBasedTopKRecommender.scala:78)
     cand = cand.join(
@@ -164,13 +176,8 @@ def user_based_scored(
         F.col("nrank") <= k_neighbors
     )
 
-    means = _user_means(ratings)
-    n_means = means.select(
-        F.col("user_id").alias("neighbor"), F.col("mean_r").alias("mean_n")
-    )
     scored = (
-        top.join(n_means, "neighbor")
-        .groupBy("user_id", "item_id")
+        top.groupBy("user_id", "item_id")
         .agg(
             (
                 F.sum(F.col("sim") * (F.col("r_n") - F.col("mean_n")))
