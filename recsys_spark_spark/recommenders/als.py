@@ -90,7 +90,7 @@ def als_topk(
     reg: float = 5.0,
     max_iter: int = 5,
     seed: int = 42,
-    headroom: int = 128,
+    headroom: int | None = None,
 ) -> DataFrame:
     """Top-K UNRATED items per user via ALS.
 
@@ -98,7 +98,13 @@ def als_topk(
     request ``k_items + headroom`` candidates, anti-join the user's
     rated set, and re-rank — exact w.r.t. seen-item removal as long
     as no user has more than ``headroom`` rated items inside their
-    ALS top list (cheap to guarantee: headroom ≥ max ratings/user).
+    ALS top list.  ``headroom=None`` (default) computes the exact
+    bound from the data — ``max(ratings per user)`` via one cheap
+    aggregate — so the guarantee holds at ANY corpus size instead of
+    silently degrading once some user out-rates a fixed constant
+    (at sf0.1 the bound is 105; the old static 128 would have become
+    an undocumented approximation on the first corpus that crossed
+    it).
     Note: the candidate pool is ranked by the factorized RESIDUAL;
     the final score re-adds the bias terms, so an item outside the
     residual top-(k+headroom) with an exceptional bias could be
@@ -107,6 +113,13 @@ def als_topk(
 
     Returns ``(user_id, item_id, score, rank)``.
     """
+    if headroom is None:
+        headroom = (
+            ratings.groupBy("user_id")
+            .agg(F.count("*").alias("c"))
+            .agg(F.max("c"))
+            .collect()[0][0]
+        )  # O(1) driver result, not a data collect
     model, mu, bi, bu = als_fit(ratings, rank, reg, max_iter, seed)
     rec = model.recommendForAllUsers(k_items + headroom)
     flat = (
