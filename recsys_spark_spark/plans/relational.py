@@ -559,3 +559,86 @@ def event_ratings_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.readers import ratings_from_events
 
     return ratings_from_events(spark, sf_dir)
+
+
+# --- data-quality audit ----------------------------------------------------
+#: the event-type vocabulary the audit validates against
+KNOWN_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_KNOWN_SQL = "(" + ", ".join(f"'{t}'" for t in KNOWN_EVENT_TYPES) + ")"
+
+
+@register_demoted(
+    "events_dq_audit",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_event_ids,
+       CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS dup_event_ids,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_user,
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_type,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_value,
+       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_props,
+       CAST(sum(CASE WHEN event_type NOT IN {_KNOWN_SQL} THEN 1 ELSE 0 END)
+            AS BIGINT) AS unknown_type,
+       CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS negative_value,
+       CAST(sum(CASE WHEN props IS NOT NULL AND props NOT LIKE '{{%'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS malformed_props,
+       date_trunc('second', min(ts)) AS min_ts,
+       date_trunc('second', max(ts)) AS max_ts
+FROM events
+""",
+)
+def events_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality audit of the events stream — the
+    continuous-validation query a production ingest pipeline runs per
+    batch/partition: volume, key uniqueness, null counts per column,
+    vocabulary conformance, value-range violations, JSON-shape checks,
+    and the covered time span.
+
+    Shape at scale: ONE aggregation over one scan — every check is a
+    conditional-sum expression fused into the same partial aggregate,
+    so auditing N checks costs the same scan as auditing one.  The two
+    count(DISTINCT) make it a two-expand aggregate; Catalyst plans
+    them with partial aggregation per distinct column (no extra scan).
+    Demoted tier (driver window full); oracle parity via pytest."""
+    return dq_audit(table(spark, sf_dir, "events"))
+
+
+def dq_audit(e: DataFrame) -> DataFrame:
+    """The audit aggregate over any events-shaped DataFrame (factored
+    out so tests can feed an in-memory frame with injected
+    violations — the zero counts on the clean corpus are then proven
+    non-vacuous by tests/test_dq.py)."""
+
+    def flag(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return e.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_id").alias("n_event_ids"),
+        (F.count("*") - F.countDistinct("event_id"))
+        .cast("bigint")
+        .alias("dup_event_ids"),
+        F.countDistinct("user_id").alias("n_users"),
+        flag(F.col("ts").isNull()).alias("null_ts"),
+        flag(F.col("user_id").isNull()).alias("null_user"),
+        flag(F.col("event_type").isNull()).alias("null_type"),
+        flag(F.col("value").isNull()).alias("null_value"),
+        flag(F.col("props").isNull()).alias("null_props"),
+        flag(~F.col("event_type").isin(KNOWN_EVENT_TYPES)).alias(
+            "unknown_type"
+        ),
+        flag(F.col("value") < 0).alias("negative_value"),
+        flag(
+            F.col("props").isNotNull() & ~F.col("props").startswith("{")
+        ).alias("malformed_props"),
+        F.date_trunc("second", F.min("ts")).alias("min_ts"),
+        F.date_trunc("second", F.max("ts")).alias("max_ts"),
+    )
