@@ -57,9 +57,10 @@ WITH scored AS (
                + 1.2 * (CAST(len(list_filter(string_split(text, ' '),
                          t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
                          AS DOUBLE) / len(string_split(text, ' ')))
-               - 2.0 * (CAST(length(text) -
+               - 2.0 * (CASE WHEN length(text) > 0 THEN
+                         CAST(length(text) -
                          length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
-                         AS DOUBLE) / length(text))
+                         AS DOUBLE) / length(text) ELSE 0.0 END)
                + least(n_tokens, 40) / 200.0)) * 1000000.0 + 0.5) / 1000000.0
            AS quality
   FROM documents

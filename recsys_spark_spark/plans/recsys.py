@@ -258,12 +258,12 @@ WITH u_rec AS ({user_sql}),
 i_rec AS ({item_sql}),
 u_norm AS (
   SELECT user_id, item_id,
-         0.6 * score / max(score) OVER (PARTITION BY user_id) AS wscore
+         0.6 * score / NULLIF(max(score) OVER (PARTITION BY user_id), 0.0) AS wscore
   FROM u_rec
 ),
 i_norm AS (
   SELECT user_id, item_id,
-         0.4 * score / max(score) OVER (PARTITION BY user_id) AS wscore
+         0.4 * score / NULLIF(max(score) OVER (PARTITION BY user_id), 0.0) AS wscore
   FROM i_rec
 ),
 blended AS (

@@ -59,13 +59,19 @@ def quality_exprs(text_col: str = "text"):
         F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
         / F.size(toks)
     )
-    punct_ratio = (
+    # Empty text is a real production input and makes length(text) a
+    # zero denominator — Spark 4's ANSI mode escalates that to a
+    # DIVIDE_BY_ZERO job failure (same hazard class as the Pearson
+    # zero-variance guard in functions/similarity.py).  Define
+    # punct_ratio = 0 for empty text in BOTH engines.
+    punct_ratio = F.when(
+        F.length(text_col) > 0,
         (
             F.length(text_col)
             - F.length(F.regexp_replace(F.col(text_col), "[^a-z0-9 ]", ""))
         ).cast("double")
-        / F.length(text_col)
-    )
+        / F.length(text_col),
+    ).otherwise(0.0)
     quality = F.least(
         F.lit(1.0),
         F.greatest(
@@ -96,8 +102,10 @@ WITH base AS (
          CAST(len(list_filter(string_split(text, ' '),
                               t -> t IN {_sql_list(STOPWORDS)})) AS DOUBLE)
            / len(string_split(text, ' ')) AS stop_ratio,
-         CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
-              AS DOUBLE) / length(text) AS punct_ratio
+         CASE WHEN length(text) > 0 THEN
+           CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+                AS DOUBLE) / length(text)
+         ELSE 0.0 END AS punct_ratio
   FROM documents
 ),
 scored AS (

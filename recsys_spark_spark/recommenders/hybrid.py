@@ -22,10 +22,16 @@ def _normalize(rec: DataFrame, weight: float) -> DataFrame:
     """score → weight · score / max(score) per user
     (HybridRecommenderTopK.scala:69-79)."""
     w = Window.partitionBy("user_id")
+    mx = F.max("score").over(w)
+    # A user whose entire child list scores exactly 0 makes max(score)
+    # a zero denominator — ANSI Spark errors where the reference's
+    # Scala doubles gave NaN.  Emit NULL instead (mirrored by NULLIF
+    # in the oracle SQL): sum() ignores it, so the other child's
+    # weighted score still counts, and an all-NULL user ranks last.
     return rec.select(
         "user_id",
         "item_id",
-        (F.lit(weight) * F.col("score") / F.max("score").over(w)).alias("wscore"),
+        F.when(mx != 0.0, F.lit(weight) * F.col("score") / mx).alias("wscore"),
     )
 
 

@@ -43,3 +43,44 @@ def test_dq_audit_counts_injected_violations(spark):
     assert got["malformed_props"] == 1
     assert got["min_ts"] == ts
     assert got["max_ts"] == ts + datetime.timedelta(hours=1)
+
+
+def test_quality_exprs_empty_text_is_zero_not_error(spark):
+    """Regression (round 4): empty text makes length(text) a zero
+    denominator in punct_ratio — ANSI Spark turned that into a
+    DIVIDE_BY_ZERO job failure; must yield punct_ratio 0.0."""
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.plans.text import quality_exprs
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "plain text here")], "doc_id bigint, text string"
+    )
+    n_tokens, stop_ratio, punct_ratio, quality = quality_exprs("text")
+    rows = {
+        r["doc_id"]: r["p"]
+        for r in df.select("doc_id", punct_ratio.alias("p")).collect()
+    }
+    assert rows[1] == 0.0
+    assert rows[2] == 0.0
+
+
+def test_hybrid_normalize_zero_max_is_null_not_error(spark):
+    """Regression (round 4): a user whose child scores are all exactly
+    0 makes max(score) a zero denominator in the hybrid blend; must
+    yield NULL wscore (other child still counts), not an ANSI error."""
+    from recsys_spark_spark.recommenders.hybrid import hybrid_topk
+
+    a = spark.createDataFrame(
+        [(1, 10, 0.0), (1, 11, 0.0)], "user_id int, item_id int, score double"
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 2.0), (1, 12, 1.0)], "user_id int, item_id int, score double"
+    )
+    rows = hybrid_topk(a, b, 0.6, 0.4, k_items=5).collect()
+    got = {r["item_id"]: r["score"] for r in rows}
+    # item 10: user-axis wscore NULL (max=0), item-axis 0.4*2/2 = 0.4
+    assert got[10] == 0.4
+    assert got[12] == 0.2
+    # the all-zero axis contributes nothing; item 11 has only NULL -> sum NULL
+    assert 11 in got and rows != []
