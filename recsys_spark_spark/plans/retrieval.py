@@ -90,7 +90,19 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     df and the corpus stats are 1-row/broadcast joins; the final top-N
     is TakeOrderedAndProject (no global sort materialization).
     """
-    docs = table(spark, sf_dir, "documents")
+    return bm25_search(table(spark, sf_dir, "documents"), QUERY_TERMS)
+
+
+def bm25_search(
+    docs: DataFrame,
+    terms: list[str],
+    top_n: int = TOP_N,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """The BM25 plan over any ``(doc_id, text)`` DataFrame — factored
+    from the registered query so property tests can drive it against a
+    driver-side Python twin on randomized corpora."""
     toks = F.split("text", " ")
     base = docs.select(
         "doc_id",
@@ -105,7 +117,7 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "dl",
         F.explode(
-            F.filter("toks", lambda t: t.isin(*QUERY_TERMS))
+            F.filter("toks", lambda t: t.isin(*terms))
         ).alias("tok"),
     )
     tf = hits.groupBy("doc_id", "dl", "tok").agg(
@@ -116,11 +128,10 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-        * (F.col("tf") * (BM25_K1 + 1.0))
+        * (F.col("tf") * (k1 + 1.0))
         / (
             F.col("tf")
-            + BM25_K1
-            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
         )
     )
     scored = (
@@ -132,7 +143,7 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(F.sum(w), R6).alias("score"),
         )
     )
-    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOP_N)
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_n)
     rw = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.withColumn(
         "rank", F.row_number().over(rw).cast("bigint")
@@ -169,7 +180,9 @@ fracs AS (
                * 1000000.0 + 0.5) / 1000000.0 AS distinct_frac,
          floor((CAST(max_tok AS DOUBLE) / n_tokens)
                * 1000000.0 + 0.5) / 1000000.0 AS top_token_frac,
-         floor(coalesce(CAST(max_bg AS DOUBLE) * 2.0 / n_tokens, 0.0)
+         floor(CASE WHEN coalesce(max_bg, 0) >= 2
+                    THEN CAST(max_bg AS DOUBLE) * 2.0 / n_tokens
+                    ELSE 0.0 END
                * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_frac
   FROM base b
   JOIN tokc USING (doc_id)
@@ -185,6 +198,12 @@ FROM fracs
 
 @register("doc_repetition_scores", oracle=_REPETITION_SQL)
 def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See :func:`repetition_scores`; registered over the documents
+    table."""
+    return repetition_scores(table(spark, sf_dir, "documents"))
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition quality signals per document: distinct-
     token fraction, most-frequent-token fraction, most-frequent-bigram
     token fraction (count×2 / n_tokens), and a ``repetitive`` flag on
@@ -197,7 +216,6 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id.  The bigram array is built JVM-side with zip_with over two
     shifted slices; the oracle mirrors it with a subscript self-join.
     """
-    docs = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     base = docs.select(
         "doc_id",
@@ -237,11 +255,14 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(
                 F.col("max_tok").cast("double") / F.col("n_tokens"), R6
             ).alias("top_token_frac"),
+            # a bigram that occurs ONCE is not repetition — without
+            # the >=2 floor every short document trips the flag (any
+            # unique bigram has fraction 2/n > 0.18 for n < 12)
             qround(
-                F.coalesce(
+                F.when(
+                    F.coalesce(F.col("max_bg"), F.lit(0)) >= 2,
                     F.col("max_bg").cast("double") * 2.0 / F.col("n_tokens"),
-                    F.lit(0.0),
-                ),
+                ).otherwise(0.0),
                 R6,
             ).alias("top_bigram_frac"),
         )

@@ -1,0 +1,127 @@
+"""BM25 search & repetition scores vs driver-side Python twins on
+randomized corpora (hypothesis), plus fixed-edge cases.  Oracle parity
+for the registered queries is covered by tests/test_oracle_parity.py;
+these pin the MATH against an independent implementation."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from recsys_spark_spark.plans.retrieval import (
+    BM25_B,
+    BM25_K1,
+    bm25_search,
+    repetition_scores,
+)
+
+VOCAB = ["join", "hash", "scan", "row", "col", "x"]
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, corpus):
+    return spark.createDataFrame(
+        [(i, " ".join(doc)) for i, doc in enumerate(corpus)],
+        "doc_id bigint, text string",
+    )
+
+
+def _bm25_python(corpus, terms, k1=BM25_K1, b=BM25_B):
+    n = len(corpus)
+    dls = [len(d) for d in corpus]
+    avgdl = sum(dls) / n
+    tf = [
+        {t: doc.count(t) for t in terms if t in doc} for doc in corpus
+    ]
+    df = {t: sum(1 for d in tf if t in d) for t in terms}
+    out = {}
+    for i, d in enumerate(tf):
+        if not d:
+            continue
+        score = 0.0
+        for t, f in d.items():
+            idf = (n - df[t] + 0.5) / (df[t] + 0.5)
+            score += idf * (f * (k1 + 1.0)) / (
+                f + k1 * (1.0 - b + b * dls[i] / avgdl)
+            )
+        out[i] = (len(d), score)
+    return out
+
+
+@given(corpus=corpus_strategy)
+@SETTINGS
+def test_bm25_matches_python_twin(spark, corpus):
+    terms = ["join", "hash", "scan"]
+    rows = bm25_search(_df(spark, corpus), terms, top_n=100).collect()
+    want = _bm25_python(corpus, terms)
+    assert {r["doc_id"] for r in rows} == set(want)
+    for r in rows:
+        n_terms, score = want[r["doc_id"]]
+        assert r["n_terms"] == n_terms
+        assert r["score"] == pytest.approx(score, abs=2e-6)
+    # ranks follow (score desc, doc_id asc)
+    ordered = sorted(rows, key=lambda r: r["rank"])
+    resorted = sorted(rows, key=lambda r: (-r["score"], r["doc_id"]))
+    assert [r["doc_id"] for r in ordered] == [r["doc_id"] for r in resorted]
+
+
+def _repetition_python(doc):
+    n = len(doc)
+    distinct_frac = len(set(doc)) / n
+    top_token = max(doc.count(t) for t in set(doc)) / n
+    bigrams = [f"{a} {b}" for a, b in zip(doc, doc[1:])]
+    mx = max((bigrams.count(g) for g in set(bigrams)), default=0)
+    top_bigram = mx * 2 / n if mx >= 2 else 0.0
+    return distinct_frac, top_token, top_bigram
+
+
+@given(corpus=corpus_strategy)
+@SETTINGS
+def test_repetition_matches_python_twin(spark, corpus):
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_scores(_df(spark, corpus)).collect()
+    }
+    assert set(rows) == set(range(len(corpus)))
+    for i, doc in enumerate(corpus):
+        d, t, g = _repetition_python(doc)
+        r = rows[i]
+        assert r["n_tokens"] == len(doc)
+        assert r["distinct_frac"] == pytest.approx(d, abs=2e-6)
+        assert r["top_token_frac"] == pytest.approx(t, abs=2e-6)
+        assert r["top_bigram_frac"] == pytest.approx(g, abs=2e-6)
+
+
+def test_repetition_flags_looping_text(spark):
+    """A generator stuck in a loop must trip the repetitive flag; plain
+    varied text must not."""
+    docs = _df(
+        spark,
+        [
+            ["spam", "spam", "spam", "spam", "spam", "spam"],
+            ["join", "hash", "scan", "row", "col", "x"],
+        ],
+    )
+    got = {r["doc_id"]: r["repetitive"] for r in repetition_scores(docs).collect()}
+    assert got[0] == 1 and got[1] == 0
+
+
+def test_bm25_single_token_docs(spark):
+    """1-token documents exercise dl=1 and the no-bigram path end to
+    end without error."""
+    rows = bm25_search(
+        _df(spark, [["join"], ["x"]]), ["join"], top_n=5
+    ).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 0 and rows[0]["rank"] == 1
