@@ -211,6 +211,13 @@ def cosine_knn_ivf(
     is the EXACT cosine of the probed candidates (like the LSH
     operator, approximation lives only in candidate generation —
     recall, not precision, is probabilistic)."""
+    # Index construction makes THREE passes over base (seed top-N,
+    # Lloyd partials, member assignment) — cache it so passes 2-3 read
+    # columnar blocks instead of re-scanning and re-decoding parquet
+    # arrays.  At 100 TB the equivalent is a persisted index build
+    # (the cache spills via MEMORY_AND_DISK; plan-identity keying
+    # shares it with any other query over the same base this session).
+    base = base.cache()
     c0 = seed_centroids(base, id_col, vec_col, n_cells)
     c1 = refine_centroids(base, c0, vec_col)
 
