@@ -161,6 +161,10 @@ def cosine_knn_lsh(
     signatures (e.g. all-zero vectors); a bucket that large carries no
     discriminative signal anyway.
     """
+    # base is consumed by the dim probe, the signature pass, and the
+    # exact-rerank vector join — cache once so the parquet arrays are
+    # decoded a single time (same rationale as cosine_knn_ivf)
+    base = base.cache()
     dim = base.select(F.size(vec_col).alias("d")).first()["d"]
     base_sigs = lsh_signatures(
         base, id_col, vec_col, n_planes, band_width, dim
