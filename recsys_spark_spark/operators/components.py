@@ -85,6 +85,7 @@ def connected_components(
         .localCheckpoint()
     )
 
+    label_sum = None
     for _ in range(max_rounds):
         # 1) neighbor step: min label over {self} ∪ neighbors
         nbr_min = (
@@ -118,16 +119,21 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            jumped.join(
-                labels.select("id", F.col("comp").alias("old")), "id"
-            )
-            .where(F.col("comp") != F.col("old"))
-            .count()
-        )
+        # Convergence via the monotone-sum invariant: every step can
+        # only DECREASE a label (min/least throughout), so the label
+        # sum is strictly decreasing until the fixpoint — an O(1)-
+        # result aggregate replaces a full join-and-compare against
+        # the previous round's labels (which re-shuffled both label
+        # relations every round).  decimal(38,0) because a sum of
+        # 64-bit ids can overflow long, which ANSI mode escalates to
+        # a job failure.
+        new_sum = jumped.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels = jumped
-        if changed == 0:
+        if new_sum == label_sum:
             break
+        label_sum = new_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
