@@ -241,8 +241,13 @@ def cosine_knn_ivf(
         .select(
             "query_id",
             "match_id",
+            # zero-vector cosine pinned to 0.0 in both engines (see
+            # operators/knn.py)
             qround(
-                _dot(F.col("qv"), F.col("bv")) / (F.col("nq") * F.col("nb")),
+                F.when(F.col("nq") * F.col("nb") == 0.0, 0.0).otherwise(
+                    _dot(F.col("qv"), F.col("bv"))
+                    / (F.col("nq") * F.col("nb"))
+                ),
                 SIM_ROUND,
             ).alias("sim"),
         )
@@ -355,7 +360,8 @@ pdots AS (
 ),
 sims AS (
   SELECT p.query_id, p.match_id,
-         {q7("p.dot / (nq.nrm * nb.nrm)")} AS sim
+         {q7("CASE WHEN nq.nrm * nb.nrm = 0.0 THEN 0.0 "
+             "ELSE p.dot / (nq.nrm * nb.nrm) END")} AS sim
   FROM pdots p
   JOIN norms nq ON nq.vec_id = p.query_id
   JOIN norms nb ON nb.vec_id = p.match_id

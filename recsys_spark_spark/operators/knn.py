@@ -207,8 +207,15 @@ def cosine_knn_lsh(
         .select(
             "query_id",
             "match_id",
+            # a zero vector has no direction: define its cosine as 0.0
+            # (ANSI Spark would error on the 0 denominator, DuckDB
+            # would yield NULL — both engines pin 0.0 instead, same
+            # convention as the int8 path, operators/quant.py)
             qround(
-                _dot(F.col("qv"), F.col("bv")) / (F.col("nq") * F.col("nb")),
+                F.when(F.col("nq") * F.col("nb") == 0.0, 0.0).otherwise(
+                    _dot(F.col("qv"), F.col("bv"))
+                    / (F.col("nq") * F.col("nb"))
+                ),
                 SIM_ROUND,
             ).alias("sim"),
         )
@@ -270,7 +277,9 @@ pdots AS (
 ),
 sims AS (
   SELECT p.query_id, p.match_id,
-         floor((p.dot / (nq.nrm * nb.nrm)) * 10000000.0 + 0.5) / 10000000.0 AS sim
+         floor((CASE WHEN nq.nrm * nb.nrm = 0.0 THEN 0.0
+                     ELSE p.dot / (nq.nrm * nb.nrm) END)
+               * 10000000.0 + 0.5) / 10000000.0 AS sim
   FROM pdots p
   JOIN norms nq ON nq.vec_id = p.query_id
   JOIN norms nb ON nb.vec_id = p.match_id

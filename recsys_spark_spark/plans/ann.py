@@ -55,12 +55,15 @@ dots AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-       floor((dot / (na.nrm * nb.nrm)) * 1000000.0 + 0.5) / 1000000.0 AS sim
+       floor((CASE WHEN na.nrm * nb.nrm = 0.0 THEN 0.0
+              ELSE dot / (na.nrm * nb.nrm) END) * 1000000.0 + 0.5)
+         / 1000000.0 AS sim
 FROM dots
 JOIN norms na ON na.vec_id = id_a
 JOIN norms nb ON nb.vec_id = id_b
-WHERE floor((dot / (na.nrm * nb.nrm)) * 1000000.0 + 0.5) / 1000000.0
-        >= {NEARDUP_COSINE}
+WHERE floor((CASE WHEN na.nrm * nb.nrm = 0.0 THEN 0.0
+             ELSE dot / (na.nrm * nb.nrm) END) * 1000000.0 + 0.5)
+        / 1000000.0 >= {NEARDUP_COSINE}
 """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,7 +97,14 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            qround(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("sim"),
+            # zero-vector cosine pinned to 0.0 in both engines (see
+            # operators/knn.py) — never crosses the threshold
+            qround(
+                F.when(F.col("na") * F.col("nb") == 0.0, 0.0).otherwise(
+                    F.col("dot") / (F.col("na") * F.col("nb"))
+                ),
+                6,
+            ).alias("sim"),
         )
         .where(F.col("sim") >= NEARDUP_COSINE)
     )

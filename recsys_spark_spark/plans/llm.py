@@ -260,7 +260,9 @@ dots AS (
 ),
 sims AS (
   SELECT d.query_id, d.match_id,
-         floor((d.dot / (nq.nrm * nb.nrm)) * 10000000.0 + 0.5) / 10000000.0 AS sim
+         floor((CASE WHEN nq.nrm * nb.nrm = 0.0 THEN 0.0
+                     ELSE d.dot / (nq.nrm * nb.nrm) END)
+               * 10000000.0 + 0.5) / 10000000.0 AS sim
   FROM dots d
   JOIN norms nq ON nq.vec_id = d.query_id
   JOIN norms nb ON nb.vec_id = d.match_id
@@ -305,7 +307,14 @@ def embedding_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "match_id",
-            qround(F.col("dot") / (F.col("nq") * F.col("nb")), 7).alias("sim"),
+            # zero-vector cosine pinned to 0.0 in both engines (see
+            # operators/knn.py)
+            qround(
+                F.when(F.col("nq") * F.col("nb") == 0.0, 0.0).otherwise(
+                    F.col("dot") / (F.col("nq") * F.col("nb"))
+                ),
+                7,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))

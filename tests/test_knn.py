@@ -84,3 +84,27 @@ def test_lsh_oracle_parity_smoke(spark, sf_dir, duck):
         duck,
         knn_lsh_oracle_sql(KNN_QUERIES, KNN_K, 64),
     )
+
+
+def test_zero_vector_cosine_is_zero_not_error(spark):
+    """Regression (round 4): a zero embedding makes the norm product a
+    zero denominator — ANSI Spark errored, DuckDB yielded NULL.  Both
+    engines now pin the cosine of a zero vector to 0.0 (never ranked
+    above any positive similarity, never crosses a threshold)."""
+    from recsys_spark_spark.operators.knn import cosine_knn_lsh
+    from recsys_spark_spark.operators.ivf import cosine_knn_ivf
+
+    import pyspark.sql.functions as F
+
+    n = 40
+    rows = [
+        (i, [0.0] * 8 if i == 7 else [float((i * 31 + j * 7) % 11) - 5.0 for j in range(8)])
+        for i in range(n)
+    ]
+    base = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = base.where(F.col("vec_id") < 3)
+    got = cosine_knn_lsh(base, queries, 5).collect()
+    assert got, "lsh should return candidates"
+    assert all(r["sim"] is not None for r in got)
+    got_ivf = cosine_knn_ivf(base, queries, 5, n_cells=4, n_probe=4).collect()
+    assert got_ivf and all(r["sim"] is not None for r in got_ivf)
