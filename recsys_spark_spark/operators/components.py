@@ -21,8 +21,8 @@ Algorithm: iterative min-label propagation with a pointer-jumping
    Kiveris et al.'s two-phase map-reduce CC algorithms.
 
 Each round is two key-partitioned joins Catalyst plans as ordinary
-shuffles; the driver's only role is the convergence test (a count of
-changed labels — O(1) result, not a data collect).  Near-dup graphs
+shuffles; the driver's only role is the convergence test (the monotone
+label-sum aggregate — O(1) result, not a data collect).  Near-dup graphs
 are unions of small cliques/stars (diameter ~1-2), so the loop
 typically runs 2 rounds; the cap is a runaway backstop for adversarial
 chain graphs and raises instead of returning a wrong answer.
@@ -38,9 +38,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: convergence backstop: pointer-jumping converges in O(log diameter)
-#: rounds, so 25 rounds covers diameters beyond 2^25 — any real input
-#: converges far earlier; hitting the cap means a logic error, not a
-#: big graph, and raises.
+#: PROPAGATION rounds, so 25 covers diameters beyond 2^25 — any real
+#: input converges far earlier; hitting the cap means a logic error,
+#: not a big graph, and raises.  The loop runs max_rounds + 1
+#: iterations because convergence is DETECTED one round after it
+#: happens (the sum-unchanged confirmation round).
 MAX_ROUNDS = 25
 
 
@@ -86,7 +88,10 @@ def connected_components(
     )
 
     label_sum = None
-    for _ in range(max_rounds):
+    # + 1: the sum-unchanged check confirms convergence one round
+    # AFTER the labels reach their fixpoint, so a graph that converges
+    # on exactly round max_rounds must not raise
+    for _ in range(max_rounds + 1):
         # 1) neighbor step: min label over {self} ∪ neighbors
         nbr_min = (
             und.join(labels.select(F.col("id").alias("v"), "comp"), "v")
@@ -135,6 +140,7 @@ def connected_components(
             break
         label_sum = new_sum
     else:
+        und.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
         )

@@ -104,11 +104,13 @@ def bm25_search(
     from the registered query so property tests can drive it against a
     driver-side Python twin on randomized corpora."""
     toks = F.split("text", " ")
+    # consumed by the stats aggregate AND the hits explode — cache so
+    # the corpus is tokenized once (same pattern as the ANN bases)
     base = docs.select(
         "doc_id",
         toks.alias("toks"),
         F.size(toks).cast("bigint").alias("dl"),
-    )
+    ).cache()
     stats = base.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -178,11 +180,14 @@ fracs AS (
   SELECT b.doc_id, b.n_tokens,
          floor((CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens)
                * 1000000.0 + 0.5) / 1000000.0 AS distinct_frac,
-         floor((CAST(max_tok AS DOUBLE) / n_tokens)
+         floor((CASE WHEN max_tok >= 2
+                     THEN CAST(max_tok AS DOUBLE) / n_tokens
+                     ELSE 0.0 END)
                * 1000000.0 + 0.5) / 1000000.0 AS top_token_frac,
-         floor(CASE WHEN coalesce(max_bg, 0) >= 2
-                    THEN CAST(max_bg AS DOUBLE) * 2.0 / n_tokens
-                    ELSE 0.0 END
+         floor(least(1.0,
+                    CASE WHEN coalesce(max_bg, 0) >= 2
+                         THEN CAST(max_bg AS DOUBLE) * 2.0 / n_tokens
+                         ELSE 0.0 END)
                * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_frac
   FROM base b
   JOIN tokc USING (doc_id)
@@ -217,11 +222,13 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
     shifted slices; the oracle mirrors it with a subscript self-join.
     """
     toks = F.split("text", " ")
+    # consumed three times (token counts, bigram counts, fractions) —
+    # cache so the corpus is tokenized once
     base = docs.select(
         "doc_id",
         toks.alias("toks"),
         F.size(toks).cast("bigint").alias("n_tokens"),
-    )
+    ).cache()
     tokc = (
         base.select("doc_id", F.explode("toks").alias("tok"))
         .groupBy("doc_id", "tok")
@@ -252,17 +259,33 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
                 / F.col("n_tokens"),
                 R6,
             ).alias("distinct_frac"),
+            # same >=2 floor as the bigram metric: a token that
+            # occurs once is not repetition (without it every doc
+            # shorter than 1/threshold tokens is auto-flagged)
             qround(
-                F.col("max_tok").cast("double") / F.col("n_tokens"), R6
+                F.when(
+                    F.col("max_tok") >= 2,
+                    F.col("max_tok").cast("double") / F.col("n_tokens"),
+                ).otherwise(0.0),
+                R6,
             ).alias("top_token_frac"),
             # a bigram that occurs ONCE is not repetition — without
             # the >=2 floor every short document trips the flag (any
             # unique bigram has fraction 2/n > 0.18 for n < 12)
+            # count*2/n over-counts OVERLAPPING occurrences ("hash
+            # hash hash" = 2 overlapping bigrams from 3 tokens), so
+            # cap at 1.0 to keep the column a true [0,1] coverage
+            # fraction
             qround(
-                F.when(
-                    F.coalesce(F.col("max_bg"), F.lit(0)) >= 2,
-                    F.col("max_bg").cast("double") * 2.0 / F.col("n_tokens"),
-                ).otherwise(0.0),
+                F.least(
+                    F.lit(1.0),
+                    F.when(
+                        F.coalesce(F.col("max_bg"), F.lit(0)) >= 2,
+                        F.col("max_bg").cast("double")
+                        * 2.0
+                        / F.col("n_tokens"),
+                    ).otherwise(0.0),
+                ),
                 R6,
             ).alias("top_bigram_frac"),
         )

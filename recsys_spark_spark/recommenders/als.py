@@ -114,12 +114,16 @@ def als_topk(
     Returns ``(user_id, item_id, score, rank)``.
     """
     if headroom is None:
+        # O(1) driver result, not a data collect.  NOTE: this makes
+        # als_topk eager at call time (like als_fit itself already
+        # is); `or 0` covers an empty ratings frame (max -> NULL).
         headroom = (
             ratings.groupBy("user_id")
             .agg(F.count("*").alias("c"))
             .agg(F.max("c"))
             .collect()[0][0]
-        )  # O(1) driver result, not a data collect
+            or 0
+        )
     model, mu, bi, bu = als_fit(ratings, rank, reg, max_iter, seed)
     rec = model.recommendForAllUsers(k_items + headroom)
     flat = (

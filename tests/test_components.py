@@ -32,18 +32,20 @@ def _union_find(edges):
     return {x: find(x) for x in parent}
 
 
-def _check(spark, edges):
+def _check(spark, edges, max_rounds=25):
     df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
     got = {
-        r["id"]: r["comp"] for r in connected_components(df).collect()
+        r["id"]: r["comp"]
+        for r in connected_components(df, max_rounds=max_rounds).collect()
     }
     assert got == _union_find(edges)
 
 
 def test_chain_exercises_pointer_jumping(spark):
     # a 24-node path has diameter 23: plain min-propagation needs 23
-    # rounds, pointer jumping must finish well under the 25-round cap
-    _check(spark, [(i, i + 1) for i in range(1, 24)])
+    # propagation rounds, so max_rounds=8 FAILS unless the pointer-jump
+    # halving actually works (it converges in ~5 + 1 confirm)
+    _check(spark, [(i, i + 1) for i in range(1, 24)], max_rounds=8)
 
 
 def test_star_and_cliques(spark):

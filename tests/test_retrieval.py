@@ -80,10 +80,11 @@ def test_bm25_matches_python_twin(spark, corpus):
 def _repetition_python(doc):
     n = len(doc)
     distinct_frac = len(set(doc)) / n
-    top_token = max(doc.count(t) for t in set(doc)) / n
+    mt = max(doc.count(t) for t in set(doc))
+    top_token = mt / n if mt >= 2 else 0.0
     bigrams = [f"{a} {b}" for a, b in zip(doc, doc[1:])]
     mx = max((bigrams.count(g) for g in set(bigrams)), default=0)
-    top_bigram = mx * 2 / n if mx >= 2 else 0.0
+    top_bigram = min(1.0, mx * 2 / n) if mx >= 2 else 0.0
     return distinct_frac, top_token, top_bigram
 
 
