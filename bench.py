@@ -60,6 +60,17 @@ def main() -> None:
             fit["fit_other"] = round(t_build - sum(fit.values()), 3)
             fit["recommend"] = round(t_total - t_build, 3)
             stages[name] = fit
+        elif name == "hybrid_topk":
+            from recsys_spark_spark.plans import recsys as _recsys
+
+            h = dict(_recsys.last_hybrid_timings or {})
+            # axis_user/axis_item overlap (two driver threads);
+            # axes_wall is their combined elapsed span, so
+            # ratings + axes_wall + blend == query wall time
+            h["blend"] = round(
+                t_total - h.get("ratings", 0.0) - h.get("axes_wall", 0.0), 3
+            )
+            stages[name] = h
 
     total = round(sum(timings.values()), 3)
 

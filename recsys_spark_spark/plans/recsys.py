@@ -423,6 +423,7 @@ def hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     blend itself then composes cache reads).  Ratings materialize
     first so the axes race on a warm cache, not on computing the
     shared subtree twice."""
+    import time as _time
     from concurrent.futures import ThreadPoolExecutor
 
     from ..recommenders.neighborhood import (
@@ -431,8 +432,12 @@ def hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_based_scored,
     )
 
+    global last_hybrid_timings
+    timings: dict[str, float] = {}
+    _t0 = _time.perf_counter()
     ratings = _cached_ratings(spark, sf_dir)
     ratings.count()
+    timings["ratings"] = round(_time.perf_counter() - _t0, 3)
     u_scored = user_based_scored(
         ratings,
         K_NEIGHBORS,
@@ -449,8 +454,18 @@ def hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefilter_neighbors=PREFILTER,
         materialize=False,
     )
+    def _timed(pair):
+        name, d = pair
+        t0 = _time.perf_counter()
+        d.count()
+        timings[name] = round(_time.perf_counter() - t0, 3)
+
+    _t0 = _time.perf_counter()
     with ThreadPoolExecutor(2) as ex:
-        list(ex.map(lambda d: d.count(), (u_scored, i_scored)))
+        list(ex.map(_timed, (("axis_user", u_scored), ("axis_item", i_scored))))
+    # the per-axis walls overlap; "axes_wall" is the actual elapsed span
+    timings["axes_wall"] = round(_time.perf_counter() - _t0, 3)
+    last_hybrid_timings = timings
     u = _rank_items(u_scored, CHILD_K)
     i = _rank_items(i_scored, CHILD_K)
     return hybrid_topk(u, i, weight_a=0.6, weight_b=0.4, k_items=K_ITEMS)
@@ -906,6 +921,11 @@ def user_cf_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: sequences / rules / votes) — read by bench.py into the "stages"
 #: field of its JSON line
 last_sequential_timings: dict | None = None
+
+#: bench.py reads this after timing hybrid_topk — per-axis
+#: materialization walls (overlapping driver threads) + the blend
+#: remainder; same contract as last_sequential_timings
+last_hybrid_timings: dict | None = None
 
 
 @register("sequential_topk", bench=True)
