@@ -559,10 +559,17 @@ class SequentialTopK:
         # clustered baskets (they hold every interaction's item string,
         # grouped per basket) instead of re-running the raw
         # interactions join inside the recommend action — the parquet
-        # rescan was the recommend stage's dominant run-to-run swing
+        # rescan was the recommend stage's dominant run-to-run swing.
+        # Cached + materialized HERE (O(users × distinct items/user)
+        # rows) so recommend() composes only cache reads: the explode
+        # + distinct shuffle otherwise re-ran inside every recommend
+        # action and was the residual source of the recommend-stage
+        # run-to-run swing.
         self.seen_ = clustered.select(
             "user_id", F.explode("items").alias("item_id")
-        ).distinct()
+        ).distinct().cache()
+        self.seen_.count()
+        _lap("seen")
         self.timings_ = timings
         return self
 

@@ -229,5 +229,7 @@ def test_fit_records_stage_timings(spark):
     model = _FixedClusterSeq(n_periods=2, min_support_count=1).fit(
         _interactions(spark)
     )
-    assert set(model.timings_) == {"cluster", "sequences", "rules", "votes"}
+    assert set(model.timings_) == {
+        "cluster", "sequences", "rules", "votes", "seen"
+    }
     assert all(v >= 0 for v in model.timings_.values())
