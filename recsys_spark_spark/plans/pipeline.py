@@ -108,7 +108,16 @@ def clean_corpus(
     neardup_threshold: float = NEARDUP_THRESHOLD,
 ) -> DataFrame:
     """Library form of corpus_clean (so tests can inject duplicates —
-    the shipped corpus has no exact dupes, round-1 vacuity lesson)."""
+    the shipped corpus has no exact dupes, round-1 vacuity lesson).
+
+    Near-dup deletion here is PAIR-based (drop the higher id of each
+    verified pair): cheap, one pass, but on a similarity CHAIN
+    A~B~C (A≁C directly) a node that is a local min of its direct
+    neighbors survives even though its transitive group has a smaller
+    keeper — bounded under-deletion.  When full transitive-group
+    resolution matters, run the pairs through
+    operators/components.connected_components (the registered
+    ``neardup_components`` query) and keep ``id == component``."""
     n_tokens, _, _, quality = quality_exprs()
     gate = (
         docs.select(
