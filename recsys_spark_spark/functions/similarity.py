@@ -192,12 +192,18 @@ def pairwise_similarity(
 
     if n_cols is not None:
         n_expr = F.lit(float(n_cols))
-    else:
+    elif "pearson" in kernels:
         n_df = ratings.select(
             F.countDistinct(key).cast("double").alias("_n_cols")
         )
         enriched = enriched.crossJoin(F.broadcast(n_df))
         n_expr = F.col("_n_cols")
+    else:
+        # only the Pearson full-array-mean quirk reads N; skipping the
+        # countDistinct + 1-row cross join for the other kernels saves
+        # an aggregate job Catalyst cannot prune (it can't prove the
+        # join is 1-row)
+        n_expr = F.lit(1.0)
 
     extra = ["co"] if with_co else []
     sim_cols: list[str] = []
