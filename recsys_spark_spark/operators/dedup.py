@@ -66,7 +66,11 @@ def hash60(col: Column, seed: int | str = 0, hash_mode: str = "md5") -> Column:
     """First 60 bits of md5(seed|value) as a non-negative BIGINT —
     the cross-engine hash primitive (DuckDB twin: `hash60_sql`).
     ``hash_mode="xxhash64"`` is the cheap Spark-only production path
-    (no oracle)."""
+    (no oracle); NOTE its values are full-range SIGNED 64-bit — only
+    the md5 mode honors the non-negative [0, 2^60) contract, so
+    downstream modular math must tolerate negative values in xxhash
+    mode (the Carter-Wegman % here yields values in (-p, p), still
+    deterministic)."""
     if hash_mode == "xxhash64":
         return F.xxhash64(F.lit(str(seed)), col)
     return F.conv(
@@ -110,14 +114,6 @@ def shingle_rows(
         F.col(id_col).alias("id"),
         F.explode(shingles_col(F.col(text_col), n)).alias("s"),
     )
-
-
-SHINGLES_SQL = """
-SELECT doc_id AS id,
-       DISTINCT ON (doc_id, s) array_to_string(list_slice(t, i, i + {last}), ' ') AS s
-FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {table}),
-     UNNEST(generate_series(1, greatest(len(t) - {last}, 1))) AS g(i)
-""".strip()
 
 
 def shingles_sql(table: str = "documents", n: int = SHINGLE) -> str:
@@ -181,7 +177,17 @@ def band_rows(
     n_hashes: int = N_HASHES,
 ) -> DataFrame:
     """(id, band, bsig): one compact string key per band — the LSH
-    bucketing key."""
+    bucketing key.
+
+    ``n_hashes`` must divide evenly into bands: a trailing partial
+    band would silently change the recall curve AND diverge from the
+    SQL twin (which banded the remainder hashes) — reject instead.
+    """
+    if n_hashes % rows_per_band != 0:
+        raise ValueError(
+            f"n_hashes={n_hashes} not divisible by rows_per_band="
+            f"{rows_per_band}; a partial band silently changes recall"
+        )
     n_bands = n_hashes // rows_per_band
     bands = F.array(
         *[
@@ -255,7 +261,12 @@ def minhash_neardup_pairs(
     1 − (1 − s^rows_per_band)^(n_hashes/rows_per_band); defaults
     (16 bands × 4) give ≈1−4·10⁻⁸ at s=0.9 and 0.64 at s=0.5 — tune
     rows_per_band down for lower-similarity regimes."""
-    sh = shingle_rows(docs, id_col, text_col, shingle)
+    # sh feeds FOUR subtrees (signatures, pair sizes, both verify join
+    # sides); persist so the text scan + shingle explode run once per
+    # action, not 4x (same discipline as ngram_jaccard_pairs — lazily
+    # consumed, so the cache lives for the session like every shared
+    # plan-identity cache in this package)
+    sh = shingle_rows(docs, id_col, text_col, shingle).persist()
     sigs = minhash_signatures(sh, n_hashes, hash_mode)
     cand = lsh_candidate_pairs(band_rows(sigs, rows_per_band, n_hashes))
     return verify_jaccard(cand, sh, threshold)
@@ -269,6 +280,11 @@ def minhash_neardup_sql(
     shingle: int = SHINGLE,
 ) -> str:
     """DuckDB twin of `minhash_neardup_pairs` (md5 hash mode)."""
+    if n_hashes % rows_per_band != 0:
+        raise ValueError(
+            f"n_hashes={n_hashes} not divisible by rows_per_band="
+            f"{rows_per_band} (see band_rows)"
+        )
     seeds_rows = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in enumerate(cw_params(n_hashes))
     )
@@ -605,13 +621,16 @@ def decontaminate_sql(
     table: str = "documents",
 ) -> str:
     """DuckDB twin of decontaminate_pairs where the eval split is
-    defined by a predicate over the same table (demo/oracle form)."""
+    defined by a predicate over the FULL ``table`` row (any column is
+    in scope — the ids CTE evaluates it against the table itself and
+    the shingle rows are semi-joined on id)."""
     return f"""
 WITH sh AS (
 {shingles_sql(table, n)}
 ),
-ev AS (SELECT * FROM sh WHERE {eval_pred}),
-tr AS (SELECT * FROM sh WHERE NOT ({eval_pred})),
+eval_ids AS (SELECT doc_id AS id FROM {table} WHERE {eval_pred}),
+ev AS (SELECT sh.* FROM sh JOIN eval_ids USING (id)),
+tr AS (SELECT sh.* FROM sh WHERE id NOT IN (SELECT id FROM eval_ids)),
 pairs AS (
   SELECT tr.id AS train_id, ev.id AS eval_id,
          count(*) AS shared_shingles

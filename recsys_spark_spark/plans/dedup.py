@@ -68,7 +68,7 @@ DECONTAM_N = 4
 @register(
     "decontaminate_docs",
     oracle=decontaminate_sql(
-        f"id % {DECONTAM_EVAL_MOD} = 0", n=DECONTAM_N, min_shared=1
+        f"doc_id % {DECONTAM_EVAL_MOD} = 0", n=DECONTAM_N, min_shared=1
     ),
 )
 def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

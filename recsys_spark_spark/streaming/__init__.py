@@ -15,12 +15,14 @@ from .windows import (
     read_events_stream,
     run_stream_once,
     session_rows_stream,
+    sliding_counts_stream,
 )
 
 __all__ = [
     "read_events_stream",
     "daily_counts_stream",
     "session_rows_stream",
+    "sliding_counts_stream",
     "run_stream_once",
     "running_user_totals_stream",
     "dedup_docs_stream",

@@ -26,6 +26,7 @@ def read_events_stream(
     sf_dir: str,
     max_files_per_trigger: int | None = None,
     glob: str = "events.parquet",
+    schema=None,
 ) -> DataFrame:
     """File-source stream of the events table with the same ts
     normalization as the batch reader (sources/readers.py::table).
@@ -46,11 +47,29 @@ def read_events_stream(
     to re-sniff — files with a different encoding than the first-seen
     one would otherwise be mis-decoded; per-batch validation is not
     possible because the streaming source fixes its schema up front.
+
+    BOOTSTRAP: the sniff needs at least one file present.  For a
+    landing directory that starts EMPTY, pass ``schema`` explicitly
+    (the batch reader's schema of a sibling dataset, or the known
+    ingest schema) — the stream then idles until files arrive instead
+    of failing the construction-time batch read.
     """
     ensure_session_confs(spark)
-    batch_schema = (
-        spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
-    )
+    if schema is not None:
+        batch_schema = schema
+    else:
+        try:
+            batch_schema = (
+                spark.read.option("pathGlobFilter", glob)
+                .parquet(sf_dir)
+                .schema
+            )
+        except Exception as exc:
+            raise ValueError(
+                f"read_events_stream: cannot sniff the ts encoding from "
+                f"{sf_dir!r} (no matching files yet?).  For an empty "
+                f"landing directory pass schema= explicitly."
+            ) from exc
     # the file source monitors a DIRECTORY; pathGlobFilter narrows it
     # to the events file(s) (a prod deployment would point at a landing
     # directory receiving new files)
