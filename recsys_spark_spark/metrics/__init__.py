@@ -1,5 +1,6 @@
 from .evaluation import (
     ap_coefficient,
+    crossval_prediction_metrics,
     prediction_metrics,
     ranking_metrics,
     ranking_metrics_summary,
@@ -8,6 +9,7 @@ from .evaluation import (
 
 __all__ = [
     "ap_coefficient",
+    "crossval_prediction_metrics",
     "prediction_metrics",
     "ranking_metrics",
     "ranking_metrics_summary",

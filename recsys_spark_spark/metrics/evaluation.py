@@ -33,9 +33,16 @@ R6 = 6
 
 
 def split_ratings(ratings: DataFrame, fold: int = 0, n_folds: int = 5):
-    """Deterministic hash split: (user_id + item_id) % n_folds == fold
-    is the test fold — reproducible in any engine, no RNG state.
-    Returns (train, test)."""
+    """Deterministic ARITHMETIC split: (user_id + item_id) % n_folds
+    == fold is the test fold — reproducible in any engine, no RNG
+    state, and trivially SQL-mirrorable (the oracle CTE replays it).
+    Returns (train, test).
+
+    Caveats, accepted for the oracle-checked CV queries: the modulus
+    is a structured slice, not a hash — if id assignment correlates
+    with rating behavior the folds are biased (production splits
+    should use operators.dedup.hash60 over the pair); rows with a
+    NULL key land in NEITHER fold (NULL bucket fails both filters)."""
     bucket = (F.col("user_id") + F.col("item_id")) % n_folds
     return ratings.where(bucket != fold), ratings.where(bucket == fold)
 
@@ -103,6 +110,10 @@ def ranking_metrics(
     coeff = spark.createDataFrame(
         [(r, ap_coefficient(k, r)) for r in range(1, k + 1)], ["rank", "c"]
     )
+    # SET semantics, like the reference (and compat.RankingMetrics,
+    # which materializes Python sets): duplicate (user, item) rows in
+    # either input would multiply the hits join and push P@k past 1.0
+    relevant = relevant.select("user_id", "item_id").distinct()
     hits = recommended.join(relevant, ["user_id", "item_id"]).select(
         "user_id", "rank"
     )

@@ -80,6 +80,10 @@ def binary_features(df: DataFrame) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payloads are real inputs (permissive JSONL reads
+            # null the data columns of corrupt rows) — quarantine by
+            # skipping, never crash the job with bytes(None)
+            pdf = pdf[pdf["content"].notna()]
             out = pd.DataFrame(
                 {
                     "id": pdf["id"],
@@ -111,6 +115,8 @@ def frame_samples(
         for pdf in batches:
             ids, idxs, sigs = [], [], []
             for did, content in zip(pdf["id"], pdf["content"]):
+                if content is None:  # see binary_features NULL note
+                    continue
                 b = bytes(content)
                 n_frames = max((len(b) + frame_bytes - 1) // frame_bytes, 1)
                 for i in range(0, n_frames, every):

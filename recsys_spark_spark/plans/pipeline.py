@@ -135,6 +135,10 @@ def clean_corpus(
     ).agg(F.min("doc_id").alias("doc_id"))
     # surv feeds the shingle pair join AND the final anti-join; without
     # a persist the regex-heavy quality gate re-runs for every consumer.
+    # (Session-lifetime cache by design, like every shared plan-identity
+    # cache in this package: the returned DF is lazy, so there is no
+    # safe unpersist point inside the function; repeated same-input
+    # calls re-hit the same cache entry rather than stacking new ones.)
     surv = gate.join(keep.select("doc_id"), "doc_id", "semi").persist()
 
     pairs = ngram_jaccard_pairs(surv, neardup_threshold)
@@ -153,6 +157,25 @@ SAMPLE_PERMILLE = 200
 #: per-language keep rates (permille) — the shape `sampleBy` takes,
 #: but hash-deterministic: downsample over-represented languages
 STRATA_PERMILLE = {"en": 100, "de": 300, "fr": 300, "es": 300, "zh": 1000}
+
+
+
+def _strata_rate():
+    """Per-language keep-rate (permille) column — SHARED by the
+    registered corpus_samples query and the filtered library forms so
+    the rate table can never desynchronize between them."""
+    rate = F.lit(0)
+    for lang, pm in STRATA_PERMILLE.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pm)).otherwise(rate)
+    return rate
+
+
+def _sample_pred(seed: str, permille):
+    """hash60(doc_id) % 1000 < permille — the shared deterministic
+    sampling predicate (permille may be a literal or a column)."""
+    from ..operators.dedup import hash60
+
+    return hash60(F.col("doc_id").cast("string"), seed=seed) % 1000 < permille
 
 
 @register(
@@ -185,23 +208,13 @@ def corpus_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one query; consumers filter on the flag they want.  (Merged
     from the former corpus_sample + corpus_sample_stratified registry
     entries.)"""
-    from ..operators.dedup import hash60
-
     d = table(spark, sf_dir, "documents")
-    rate = F.lit(0)
-    for lang, pm in STRATA_PERMILLE.items():
-        rate = F.when(F.col("lang") == lang, F.lit(pm)).otherwise(rate)
     return d.select(
         "doc_id",
         "lang",
         "n_chars",
-        (
-            hash60(F.col("doc_id").cast("string"), seed="sample") % 1000
-            < SAMPLE_PERMILLE
-        )
-        .cast("int")
-        .alias("in_sample"),
-        (hash60(F.col("doc_id").cast("string"), seed="strata") % 1000 < rate)
+        _sample_pred("sample", SAMPLE_PERMILLE).cast("int").alias("in_sample"),
+        _sample_pred("strata", _strata_rate())
         .cast("int")
         .alias("in_strat_sample"),
     )
@@ -210,13 +223,10 @@ def corpus_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered-row-set view of the uniform hash sample (library form;
     the registered query is corpus_samples)."""
-    from ..operators.dedup import hash60
-
     d = table(spark, sf_dir, "documents")
-    return d.where(
-        hash60(F.col("doc_id").cast("string"), seed="sample") % 1000
-        < SAMPLE_PERMILLE
-    ).select("doc_id", "lang", "n_chars")
+    return d.where(_sample_pred("sample", SAMPLE_PERMILLE)).select(
+        "doc_id", "lang", "n_chars"
+    )
 
 
 # --- sequence packing -------------------------------------------------------
@@ -351,15 +361,10 @@ def corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered-row-set view of the stratified hash sample (library
     form; the registered query is corpus_samples)."""
-    from ..operators.dedup import hash60
-
     d = table(spark, sf_dir, "documents")
-    rate = F.lit(0)
-    for lang, pm in STRATA_PERMILLE.items():
-        rate = F.when(F.col("lang") == lang, F.lit(pm)).otherwise(rate)
-    return d.where(
-        hash60(F.col("doc_id").cast("string"), seed="strata") % 1000 < rate
-    ).select("doc_id", "lang")
+    return d.where(_sample_pred("strata", _strata_rate())).select(
+        "doc_id", "lang"
+    )
 
 
 # --- long-document chunking -------------------------------------------------

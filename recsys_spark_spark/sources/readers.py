@@ -159,9 +159,16 @@ def read_documents_jsonl(
     frame (or select data columns alongside) before splitting it."""
     ensure_session_confs(spark)
     base = schema if schema is not None else DOCUMENTS_JSONL_SCHEMA
-    with_corrupt = StructType(
-        list(base.fields) + [StructField("_corrupt_record", StringType(), True)]
-    )
+    # idempotent: a caller re-reading a quarantine output may pass a
+    # schema that already carries _corrupt_record — appending a second
+    # copy would make the column ambiguous
+    if any(f.name == "_corrupt_record" for f in base.fields):
+        with_corrupt = base
+    else:
+        with_corrupt = StructType(
+            list(base.fields)
+            + [StructField("_corrupt_record", StringType(), True)]
+        )
     return (
         spark.read.schema(with_corrupt)
         .option("mode", "PERMISSIVE")

@@ -84,3 +84,20 @@ def test_hybrid_normalize_zero_max_is_null_not_error(spark):
     assert got[12] == 0.2
     # the all-zero axis contributes nothing; item 11 has only NULL -> sum NULL
     assert 11 in got and rows != []
+
+
+def test_ranking_metrics_dedupe_relevant_rows(spark):
+    """Regression (round 4): duplicate (user, item) rows in the
+    relevant set multiplied the hits join and pushed P@k past 1.0;
+    the metric must use set semantics like the reference."""
+    from recsys_spark_spark.metrics.evaluation import ranking_metrics
+
+    rec = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "user_id int, item_id int, rank int"
+    )
+    rel_dup = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 10)], "user_id int, item_id int"
+    )
+    row = ranking_metrics(spark, rec, rel_dup, k=2).collect()[0]
+    assert row["p_at_k"] == 0.5  # 1 hit of k=2, not 3/2
+    assert row["r_at_k"] == 1.0

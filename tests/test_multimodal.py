@@ -57,3 +57,25 @@ def test_frame_samples_shape_and_values(spark, sf_dir):
             for i in range(0, n_frames, 2)
         ]
         assert sorted(by_doc[r["doc_id"]]) == sorted(expect)
+
+
+def test_null_content_rows_are_skipped_not_crashed(spark):
+    """Regression (round 4): a NULL payload (permissive JSONL reads
+    null the data columns of corrupt rows) crashed the Arrow UDFs with
+    bytes(None); it must quarantine the row instead."""
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.operators.multimodal import (
+        binary_features,
+        frame_samples,
+        with_binary_content,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id bigint, text string"
+    )
+    payload = with_binary_content(docs)
+    feats = binary_features(payload).collect()
+    assert [r["id"] for r in feats] == [1]
+    frames = frame_samples(payload).collect()
+    assert {r["id"] for r in frames} == {1}
