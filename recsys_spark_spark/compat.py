@@ -46,7 +46,12 @@ class _BaseTopK:
         self._result: DataFrame | None = None
 
     def fit(self, ratings: DataFrame) -> "_BaseTopK":
-        """M1: cache the long-format ratings (no dense matrix)."""
+        """M1: cache the long-format ratings (no dense matrix).
+        Refitting releases the previous fit's cache entry (same-plan
+        cache() calls share one entry, so the hybrid's two children
+        fitting the same frame hold it once, not twice)."""
+        if self._ratings is not None:
+            self._ratings.unpersist()
         self._ratings = ratings.select("user_id", "item_id", "rating").cache()
         self._result = None
         return self
@@ -149,6 +154,7 @@ class ContentBasedTopKRecommender(_BaseTopK):
             self._features,
             k_neighbors=self.k_similar_items,
             k_items=self.top_k,
+            kernel=self.similarity,
         )
 
 
@@ -323,15 +329,22 @@ class PredictionMetrics:
         self._errors, self._error_col = errors, error_col
 
     def get_prediction_metrics(self) -> tuple[float, float]:
+        # empty input → (nan, nan), matching the reference's Scala
+        # 0.0/0 double arithmetic (avg over zero rows is NULL here,
+        # and float(None) would raise instead)
         if isinstance(self._errors, DataFrame):
             row = self._errors.agg(
                 F.sqrt(F.avg(F.pow(F.col(self._error_col), 2))).alias("rmse"),
                 F.avg(F.abs(F.col(self._error_col))).alias("mae"),
             ).first()
-            return float(row["rmse"]), float(row["mae"])
+            rmse = float("nan") if row["rmse"] is None else float(row["rmse"])
+            mae = float("nan") if row["mae"] is None else float(row["mae"])
+            return rmse, mae
         import math
 
         errs = list(self._errors)
+        if not errs:
+            return float("nan"), float("nan")
         rmse = math.sqrt(sum(e * e for e in errs) / len(errs))
         mae = sum(abs(e) for e in errs) / len(errs)
         return rmse, mae
@@ -344,7 +357,10 @@ class RankingMetrics:
     |selected|), recall of an empty relevant set is 0, and AP averages
     ordered-prefix precisions over ALL k positions (not only hits —
     see metrics/evaluation.py:81 for the distributed form and the
-    divergence note).  ``selected`` must be in rank order."""
+    divergence note).  ``selected`` must be in rank order, and is
+    expected to BE the top-k list: like the reference (whose selected
+    is a Set), no [:k] truncation is applied, so passing more than k
+    items inflates precision — parity, not a defect."""
 
     def __init__(self, k: int, selected, relevant) -> None:
         self._k = k

@@ -7,7 +7,6 @@ round-1 verdict flagged that the *deterministic* stages around them
 ride on property tests alone.  These queries exercise each stage with
 a DuckDB value-hash oracle:
 
-- ``seq_baskets``    — A4 basket build (groupBy user+ts, sorted items);
 - ``seq_periods``    — W2/W4 computed-duration periods with the
                        overflow clamp and the degenerate-span guard;
 - ``seq_sequences``  — U3 period-tagged sequence build, with the
@@ -122,18 +121,6 @@ def seq_baskets_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def seq_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Basket-stage view (library form; registered via
-    seq_baskets_periods)."""
-    b = SequentialTopK()._baskets(_interactions(spark, sf_dir))
-    return b.select(
-        "user_id",
-        "ts",
-        F.size("items").alias("n_items"),
-        _basket_sig().alias("basket_sig"),
-    )
-
-
 @register(
     "seq_sequences",
     oracle=f"""
@@ -228,7 +215,10 @@ def seq_rule_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transaction_cluster",
         (hash60(_basket_sig()) % N_PSEUDO_CLUSTERS).cast("int"),
     )
-    seqs = model._sequences(clustered)
+    # seqs feeds three actions (n_seq count, the tag-alphabet collect
+    # inside rule_counts, the final counts aggregation) — persist so
+    # the orders⋈lineitem + basket/period/sequence DAG runs once
+    seqs = model._sequences(clustered).persist()
     rules = spark.createDataFrame(RULES, ["rule_id", "antecedent", "consequent"])
     n_seq = seqs.count()
     counts = rule_counts(seqs, rules)

@@ -115,7 +115,13 @@ class BatchSOM:
         return max(self.sigma0 * (1.0 - it / self.max_iter), 0.3)
 
     def fit(self, df: DataFrame, feature_col: str = "features") -> "BatchSOM":
-        dim = df.select(F.size(feature_col).alias("d")).first()["d"]
+        head = df.select(F.size(feature_col).alias("d")).first()
+        if head is None or head["d"] is None:
+            raise ValueError(
+                "BatchSOM.fit: empty input (or NULL feature vector in "
+                "the first row) — need at least k rows"
+            )
+        dim = head["d"]
         # codebook-training sample (deterministic hash filter, so the
         # same rows are chosen under any partitioning / re-execution);
         # persisted because every Lloyd iteration scans it
@@ -144,6 +150,16 @@ class BatchSOM:
                     .persist()
                 )
                 sampled = True
+        # NOT persisted in the unsampled branch: caching a projection
+        # whose columns mix nested higher-order functions with the
+        # downstream pandas UDF trips Spark 4.1's interpreted
+        # evaluation on the cached scan (INTERNAL_ERROR "Cannot
+        # evaluate expression: bmu(transform(...))" — observed via the
+        # compat sequential path).  Callers that pay an expensive
+        # feature DAG should persist a MATERIALIZED upstream (e.g. the
+        # baskets frame, as SequentialTopK.fit does) rather than the
+        # HOF projection itself; the sampled branch persists a frame
+        # whose lineage ends at a filter, which caches fine.
         # deterministic data-driven init: the k rows with the smallest
         # feature hash (seeded) — reproducible under any partitioning
         init_rows = (
@@ -258,6 +274,13 @@ def dense_hash_features(
     one narrow scan and produces bit-identical vectors.)  ``keys`` is
     kept for API compatibility; no join happens anymore."""
     del keys  # row-local now; no join-back key needed
+    # NOTE: the hash is recomputed per (bucket, item) pair — factoring
+    # it into a pre-hashed array makes the inner filter compare two
+    # LAMBDA VARIABLES (h == i across nested HOF scopes), which
+    # Catalyst inlines into an unevaluable expression once projection
+    # collapse merges the two transforms (Spark 4.1, INTERNAL_ERROR
+    # "Cannot evaluate expression").  xxhash64 is a few ns per call;
+    # the dim× recompute is accepted for a form Catalyst can execute.
     arr = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.size(
