@@ -137,3 +137,34 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("keeper"),
     )
+
+
+@register_demoted(
+    "neardup_dedup_docs",
+    oracle=f"""
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT id FROM ({components_sql(minhash_neardup_sql(NEARDUP_THRESHOLD))}) c
+  WHERE c.id <> c.comp
+)
+""",
+)
+def neardup_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus AFTER transitive near-dup deletion: every document
+    that is either untouched by any near-dup pair or the keeper (min
+    doc_id) of its duplicate group — the end-to-end composition of
+    neardup_components that a training pipeline actually materializes
+    (corpus_clean's pair-based rule under-deletes on similarity
+    chains; this is the principled variant its docstring points to).
+    Demoted tier (driver window full); oracle = anti-join against the
+    recursive-CTE components."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(docs, threshold=NEARDUP_THRESHOLD)
+    comp = connected_components(pairs)
+    dropped = comp.where(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
