@@ -130,3 +130,49 @@ def frame_samples(
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame_md5": sigs})
 
     return df.mapInPandas(sample, "id long, frame_idx int, frame_md5 string")
+
+
+#: fake-resize output geometry (bytes; stands in for pixels)
+RESIZE_W = 8
+RESIZE_H = 8
+
+
+def resize_frames(
+    df: DataFrame, width: int = RESIZE_W, height: int = RESIZE_H
+) -> DataFrame:
+    """Image-resize harness: (id, width, height, resized_md5) via
+    Arrow-batched mapInPandas — the third mapInPandas shape the
+    multimodal family needs next to 1:1 features and 1:many frame
+    sampling (a real pipeline decodes, resizes with pillow/opencv,
+    and re-encodes here).
+
+    DETERMINISTIC FAKE for the stubbed decode (no codecs in this
+    environment): the payload is truncated / zero-padded to
+    width×height bytes — a stand-in with the same data-flow shape
+    (bounded output size regardless of input size) so the schema,
+    batching, NULL quarantine, and downstream joins are all real and
+    tested.  Swap the body for decode_image → resize → encode when a
+    codec is available."""
+    target = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["content"].notna()]  # NULL quarantine
+            out_bytes = [
+                (bytes(b)[:target]).ljust(target, b"\0")
+                for b in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "width": width,
+                    "height": height,
+                    "resized_md5": [
+                        hashlib.md5(b).hexdigest() for b in out_bytes
+                    ],
+                }
+            )
+
+    return df.mapInPandas(
+        resize, "id long, width int, height int, resized_md5 string"
+    )

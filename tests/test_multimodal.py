@@ -79,3 +79,31 @@ def test_null_content_rows_are_skipped_not_crashed(spark):
     assert [r["id"] for r in feats] == [1]
     frames = frame_samples(payload).collect()
     assert {r["id"] for r in frames} == {1}
+
+
+def test_resize_frames_bounded_output_and_null_skip(spark):
+    """resize_frames: output is exactly width*height bytes regardless
+    of input size (truncate long, zero-pad short), NULLs quarantined —
+    checked against a driver-side md5 twin."""
+    import hashlib
+
+    from recsys_spark_spark.operators.multimodal import (
+        resize_frames,
+        with_binary_content,
+    )
+
+    texts = {1: "x" * 500, 2: "ab", 3: None}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    rows = {
+        r["id"]: r
+        for r in resize_frames(with_binary_content(docs), 4, 4).collect()
+    }
+    assert set(rows) == {1, 2}
+    for i in (1, 2):
+        want = hashlib.md5(
+            texts[i].encode()[:16].ljust(16, b"\0")
+        ).hexdigest()
+        assert rows[i]["resized_md5"] == want
+        assert (rows[i]["width"], rows[i]["height"]) == (4, 4)
