@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import qround
 from ..operators.dedup import hash60, hash60_sql
+from ..operators.pii import pii_counts, pii_counts_sql, pii_scrub, pii_scrub_sql
 from ..sources.readers import table
 from .registry import register, register_demoted
 
@@ -213,3 +214,67 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.currentRow, WINNOW_W - 1)
     )
     return gh.select("doc_id", F.min("gh").over(w).alias("fp")).distinct()
+
+
+# --- PII scrubbing ---------------------------------------------------------
+#: The synthetic corpus is PII-free word soup, so the query plants one
+#: deterministic span of each PII class (email / IPv4 / phone) derived
+#: from doc_id before scrubbing — every row then exercises all three
+#: patterns' match BOUNDARIES end-to-end in both engines (a boundary
+#: bug leaves doc_id-varying digits in clean_text and fails the value
+#: hash).  Same arbitrary-but-deterministic convention as
+#: LANG_MARKERS above.
+_PII_AUG_SQL = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com or +49-30-'"
+    " || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+    " || ' at 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.0.' || CAST(doc_id % 97 AS VARCHAR) || ' today'"
+)
+
+
+def _pii_aug_col():
+    return F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +49-30-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" at 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(" today"),
+    )
+
+
+@register_demoted(
+    # new in r4 (registry window full at 50); rotate REGISTERED in r5
+    "doc_pii_scrub",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id, {_PII_AUG_SQL} AS atext FROM documents
+)
+SELECT doc_id,
+       {pii_counts_sql("atext")},
+       {pii_scrub_sql("atext")} AS clean_text
+FROM aug
+""",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (operators/pii.py): detect + scrub emails,
+    IPv4 literals, and international phone numbers into typed
+    placeholder tokens — the standard regex-tier PII stage of an LLM
+    data pipeline (C4/RefinedWeb/Dolma lineage).  Pure
+    regexp_count/regexp_replace column expressions: a narrow map over
+    the corpus, no shuffle, whole-stage codegen."""
+    d = table(spark, sf_dir, "documents")
+    aug = d.select("doc_id", _pii_aug_col().alias("atext"))
+    n_emails, n_ips, n_phones = pii_counts(F.col("atext"))
+    return aug.select(
+        "doc_id",
+        n_emails.cast("int").alias("n_emails"),
+        n_ips.cast("int").alias("n_ips"),
+        n_phones.cast("int").alias("n_phones"),
+        pii_scrub(F.col("atext")).alias("clean_text"),
+    )
