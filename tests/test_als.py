@@ -25,6 +25,69 @@ def test_als_topk_contract(spark, sf_dir):
     assert all((u, i) not in seen for u, i in zip(pdf.user_id, pdf.item_id))
 
 
+def test_als_topk_exact_vs_numpy_twin(spark, sf_dir):
+    """The seen-masked GEMM serving path must equal a brute-force
+    float64 NumPy twin over the FULL unrated catalog — pins the f32
+    candidate selection + f64 refine + 6-dp quantized (score desc,
+    id asc) tie-break end-to-end."""
+    import numpy as np
+
+    from recsys_spark_spark.recommenders.als import als_fit
+
+    ratings = ratings_from_sales(spark, sf_dir).cache()
+    k = 5
+    got = {
+        (r["user_id"], r["rank"]): (r["item_id"], r["score"])
+        for r in als_topk(ratings, k_items=k).collect()
+    }
+
+    model, mu, bi, bu = als_fit(ratings)
+    mu_val = float(mu.first()["mu"])
+    items = sorted(
+        (r["id"], r["features"]) for r in model.itemFactors.collect()
+    )
+    item_ids = np.array([i for i, _ in items], dtype=np.int64)
+    V = np.array([f for _, f in items], dtype=np.float64)
+    biv = {r["item_id"]: r["bi"] for r in bi.collect()}
+    b_i = np.array([biv[i] for i in item_ids])
+    buv = {r["user_id"]: r["bu"] for r in bu.collect()}
+    seen: dict[int, set[int]] = {}
+    for r in ratings.collect():
+        seen.setdefault(r["user_id"], set()).add(r["item_id"])
+
+    expected = {}
+    for r in model.userFactors.collect():
+        u = r["id"]
+        s = V @ np.array(r["features"], dtype=np.float64) + b_i + (
+            mu_val + buv[u]
+        )
+        sq = np.floor(s * 1e6 + 0.5) / 1e6
+        cand = [
+            (-sq[j], int(item_ids[j]))
+            for j in range(len(item_ids))
+            if int(item_ids[j]) not in seen.get(u, ())
+        ]
+        cand.sort()
+        for rk, (negs, iid) in enumerate(cand[:k], start=1):
+            expected[(u, rk)] = (iid, -negs)
+
+    assert set(got) == set(expected)
+    for key, (iid, sc) in expected.items():
+        giid, gsc = got[key]
+        assert giid == iid, (key, (giid, gsc), (iid, sc))
+        assert abs(gsc - sc) < 1e-12
+
+
+def test_als_topk_tight_pad_matches_default(spark, sf_dir):
+    """candidate_pad == k forces the per-row margin fallback (the
+    f32 boundary is never clear by MARGIN at P == k) — its output
+    must equal the wide-pad fast path exactly."""
+    ratings = ratings_from_sales(spark, sf_dir).cache()
+    wide = als_topk(ratings, k_items=5).collect()
+    tight = als_topk(ratings, k_items=5, candidate_pad=5).collect()
+    assert sorted(map(tuple, wide)) == sorted(map(tuple, tight))
+
+
 def test_als_beats_itemmean_baseline(spark, sf_dir):
     ratings = ratings_from_sales(spark, sf_dir).cache()
     train, test = split_ratings(ratings)
