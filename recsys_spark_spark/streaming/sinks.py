@@ -1,0 +1,93 @@
+"""Exactly-once streaming parquet sink (SURVEY L6 / S3 composition).
+
+Structured Streaming's file sink is already exactly-once via its own
+write-ahead log, but ONLY for append-mode file output.  Real
+pipelines need ``foreachBatch`` (multi-sink fan-out, overwrite
+semantics, JDBC, compaction...) — and ``foreachBatch`` is merely
+AT-LEAST-once: after a crash between "batch written" and "offsets
+committed", the restarted query REPLAYS the last batch with the same
+``batch_id``.  The standard fix, implemented here, is to make the
+batch write idempotent by keying the output layout on ``batch_id``:
+
+    path/batch_id=<id>/part-*.parquet   (dynamic partition overwrite)
+
+A replayed batch overwrites exactly its own partition — duplicates
+are structurally impossible, no external transaction log needed.
+Readers get a normal partitioned-parquet dataset (the synthetic
+``batch_id`` column is dropped by :func:`read_batched`).
+
+Scale shape: one directory per micro-batch; compact with a periodic
+batch job if micro-batches are small (the sink takes
+``max_records_per_file`` to keep splitting effective downstream,
+matching sources/writers.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def make_idempotent_batch_writer(
+    path: str,
+    max_records_per_file: int | None = None,
+):
+    """The ``foreachBatch`` function: writes a micro-batch to its own
+    ``batch_id=`` partition with dynamic partition overwrite, so a
+    post-crash replay of the same batch replaces rather than appends.
+    Exposed separately from :func:`write_stream_exactly_once` so tests
+    can drive the replay contract directly."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # dynamic mode scopes the overwrite to partitions present in
+        # THIS write (the one batch_id), not the whole dataset
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            w = (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+            )
+            if max_records_per_file is not None:
+                w = w.option("maxRecordsPerFile", max_records_per_file)
+            w.parquet(path)
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+
+    return _write
+
+
+def write_stream_exactly_once(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    max_records_per_file: int | None = None,
+    available_now: bool = True,
+):
+    """Start an exactly-once ``foreachBatch`` parquet sink for a
+    streaming DataFrame; returns the StreamingQuery.
+
+    ``available_now=True`` drains everything currently available and
+    stops (the batch-parity test harness shape); pass False for a
+    continuously-running query."""
+    writer = (
+        df.writeStream.foreachBatch(
+            make_idempotent_batch_writer(path, max_records_per_file)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_batched(spark: SparkSession, path: str) -> DataFrame:
+    """Read the sink's output back as a plain dataset (drops the
+    synthetic ``batch_id`` partition column)."""
+    return spark.read.parquet(path).drop("batch_id")

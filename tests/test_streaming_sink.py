@@ -1,0 +1,54 @@
+"""Exactly-once foreachBatch parquet sink (streaming/sinks.py):
+stream-vs-batch content parity after an availableNow drain, plus the
+idempotence contract — replaying a batch_id (the post-crash recovery
+path) must replace its partition, never append."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from recsys_spark_spark.sources.readers import table
+from recsys_spark_spark.streaming.sinks import (
+    make_idempotent_batch_writer,
+    read_batched,
+    write_stream_exactly_once,
+)
+from recsys_spark_spark.streaming.windows import read_events_stream
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+COLS = ["event_id", "user_id", "event_type"]
+
+
+def test_sink_stream_matches_batch(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    stream = read_events_stream(spark, sf_dir).select(*COLS)
+    q = write_stream_exactly_once(stream, out, ck)
+    q.awaitTermination()
+    got = read_batched(spark, out)
+    want = table(spark, sf_dir, "events").select(*COLS)
+    assert _rows(got, COLS) == _rows(want, COLS)
+
+
+def test_sink_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "replay")
+    writer = make_idempotent_batch_writer(out)
+    events = table(spark, sf_dir, "events").select(*COLS)
+    b0 = events.where(F.col("user_id") % 2 == 0)
+    b1 = events.where(F.col("user_id") % 2 == 1)
+    writer(b0, 0)
+    writer(b1, 1)
+    before = _rows(read_batched(spark, out), COLS)
+    # crash-recovery replay of batch 1: same id, same content
+    writer(b1, 1)
+    after = _rows(read_batched(spark, out), COLS)
+    assert after == before == _rows(events, COLS)
+    # replay must also REPLACE on content change (dynamic overwrite
+    # scoped to the one batch_id partition — batch 0 untouched)
+    writer(b1.limit(10), 1)
+    n0 = b0.count()
+    assert len(_rows(read_batched(spark, out), COLS)) == n0 + 10
