@@ -239,7 +239,10 @@ def _als_topk_exact(
     out_schema = f"user_id {uid_t}, item_id {iid_t}, score double, rank int"
     iid_np = np.int32 if iid_t == "int" else np.int64
     k = k_items
-    chunk_users = 512  # S chunk ≈ 512×n_items float32 — bounded memory
+    # bound the f32 score chunk at ~128 MB regardless of catalog size
+    # (users/chunk shrinks as items grow; 1 600 users at 20k items,
+    # 32 users at the 1M-item broadcast ceiling)
+    chunk_users = max(8, min(1024, 32_000_000 // max(1, len(item_ids))))
 
     def _serve(batches):
         item_ids_, V_, biv_ = bc.value
