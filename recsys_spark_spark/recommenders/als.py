@@ -62,7 +62,13 @@ def als_fit(
     """Fit explicit-feedback ALS on the bias-centered residuals;
     returns (model, mu, bi, bu) — bi/bu come back CACHED (they are
     O(items)/O(users) model state that every serving path joins
-    several times).
+    several times).  CACHE OWNERSHIP: the caller releases them
+    (``bi.unpersist()`` / ``bu.unpersist()``) when done with the
+    model.  The exact serving path releases bi itself once the item
+    biases are collected; bu it cannot release (its serving join
+    runs lazily at action time) — a session fitting many models
+    without unpersisting accumulates O(entities) cached state per
+    fit.
 
     ``max_iter=5`` default: on the bias-centered residuals the rank-8
     factorization is converged by 5 sweeps (held-out RMSE identical to
@@ -92,7 +98,9 @@ def als_fit(
     if num_blocks is None:
         nnz = resid.count()  # O(1) driver result; also primes the cache
         parallelism = ratings.sparkSession.sparkContext.defaultParallelism
-        num_blocks = max(4, min(parallelism, nnz // 2_000_000 + 1))
+        # ≥4 blocks for parallelism, but never more blocks than cores
+        # (a local[2] session must not pay a 4×4 grid's exchanges)
+        num_blocks = min(parallelism, max(4, nnz // 2_000_000 + 1)) or 1
     als = ALS(
         rank=rank,
         regParam=reg,
@@ -214,6 +222,11 @@ def _als_topk_exact(
     item_ids = items_pd["id"].to_numpy(dtype=np.int64)
     V = np.stack(items_pd["features"].to_numpy()).astype(np.float32)
     biv = items_pd["bi"].to_numpy(dtype=np.float64)
+    # bi is now fully consumed (residual blocks were materialized by
+    # the fit, the item biases just collected) — release its cache.
+    # bu stays cached: the serving join below reads it at action time
+    # (see the ownership note in als_fit's docstring).
+    bi.unpersist(blocking=False)
     bc = spark.sparkContext.broadcast((item_ids, V, biv))
 
     # user side: factors ⋈ bias ⋈ rated-item lists (one shuffle on user)
@@ -259,9 +272,9 @@ def _als_topk_exact(
         V64 = V_.astype(np.float64)
         biv32 = biv_.astype(np.float32)
         P = min(n, max(candidate_pad, kk))
-        # |f32 − f64| score-error bound with ~30× safety (rank-8 dot
-        # of O(1)-magnitude factors + biases: observed ≤ ~3e-5)
-        MARGIN = 1e-3
+        rank_ = V_.shape[1] if V_.ndim == 2 else 0
+        v_max = float(np.abs(V_).max()) if n else 0.0
+        b_max = float(np.abs(biv_).max()) if n else 0.0
         for pdf in batches:
             for lo in range(0, len(pdf), chunk_users):
                 part = pdf.iloc[lo : lo + chunk_users]
@@ -269,7 +282,23 @@ def _als_topk_exact(
                 U32 = np.stack(part["features"].to_numpy()).astype(np.float32)
                 const = mu_val + part["bu"].to_numpy(dtype=np.float64)
                 S32 = U32 @ V_.T
-                S32 += biv32[None, :] + const.astype(np.float32)[:, None]
+                # two in-place broadcast adds — a combined
+                # `biv32[None,:] + const32[:,None]` RHS would
+                # materialize a second full c×n temporary
+                S32 += biv32[None, :]
+                S32 += const.astype(np.float32)[:, None]
+                # |f32 − f64| score-error bound, scaled to the DATA's
+                # magnitude (a fixed absolute margin breaks exactness
+                # on large rating scales): dot of `rank` f32 products
+                # + 2 bias adds, each step's rounding ≤ eps·|value|,
+                # with a 64× safety factor and the 1e-6 quantization
+                # grid added on top.
+                s_mag = (
+                    float(np.abs(U32).max(initial=0.0)) * v_max * rank_
+                    + b_max
+                    + float(np.abs(const).max(initial=0.0))
+                )
+                MARGIN = 64 * np.finfo(np.float32).eps * (rank_ + 2) * s_mag + 2e-6
                 # mask rated (row, col) pairs
                 seen_lists = part["seen"].to_numpy()
                 rows = np.repeat(

@@ -39,25 +39,26 @@ def make_idempotent_batch_writer(
     can drive the replay contract directly."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        # dynamic mode scopes the overwrite to partitions present in
-        # THIS write (the one batch_id), not the whole dataset
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            w = (
-                batch_df.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
+        if "batch_id" in batch_df.columns:
+            raise ValueError(
+                "input stream already has a 'batch_id' column — it would "
+                "be clobbered by the sink's partition key and dropped by "
+                "read_batched; rename it before the sink"
             )
-            if max_records_per_file is not None:
-                w = w.option("maxRecordsPerFile", max_records_per_file)
-            w.parquet(path)
-        finally:
-            if prev is not None:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
-                )
+        # dynamic mode scopes the overwrite to partitions present in
+        # THIS write (the one batch_id), not the whole dataset.  Set
+        # per-WRITER, never on the session conf: a session-level
+        # toggle leaks to unrelated writes (and races a concurrent
+        # stream's restore in the same session).
+        w = (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+        )
+        if max_records_per_file is not None:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
+        w.parquet(path)
 
     return _write
 
@@ -68,19 +69,28 @@ def write_stream_exactly_once(
     checkpoint: str,
     max_records_per_file: int | None = None,
     available_now: bool = True,
+    output_mode: str = "append",
 ):
     """Start an exactly-once ``foreachBatch`` parquet sink for a
     streaming DataFrame; returns the StreamingQuery.
 
     ``available_now=True`` drains everything currently available and
     stops (the batch-parity test harness shape); pass False for a
-    continuously-running query."""
+    continuously-running query.
+
+    ``output_mode`` caveat for AGGREGATED streams: the batch_id
+    scheme dedups REPLAYS of one batch, not re-emissions of the same
+    group key across batches — in "update" mode an updated aggregate
+    lands in a new batch_id partition alongside its stale
+    predecessor.  Keep the default "append" (emits each finalized
+    window/group exactly once, after the watermark closes it) unless
+    the downstream reader reduces by key itself."""
     writer = (
         df.writeStream.foreachBatch(
             make_idempotent_batch_writer(path, max_records_per_file)
         )
         .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+        .outputMode(output_mode)
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
