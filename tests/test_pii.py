@@ -76,6 +76,52 @@ def test_scrub_and_counts(scrubbed, i):
     assert (row["n_emails"], row["n_ips"], row["n_phones"]) == (ne, ni, np_)
 
 
+def test_fuzz_cross_engine_parity(spark):
+    """Derandomized fuzz: 300 seeded random strings over a PII-heavy
+    alphabet (digits, dots, @, +, -, letters) must scrub and count
+    identically in Spark and DuckDB — probes match-boundary behavior
+    the hand-written cases don't reach.  One Spark job + one DuckDB
+    query (not per-example) to keep it fast."""
+    import random
+
+    rng = random.Random(0x9117)
+    alphabet = "ab1.@+- 9@.x0"
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "id long, t string"
+    )
+    ne, ni, np_ = pii_counts(F.col("t"))
+    got = {
+        r["id"]: (r["n_emails"], r["n_ips"], r["n_phones"], r["clean"])
+        for r in df.select(
+            "id",
+            ne.cast("int").alias("n_emails"),
+            ni.cast("int").alias("n_ips"),
+            np_.cast("int").alias("n_phones"),
+            pii_scrub(F.col("t")).alias("clean"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE fuzz (id BIGINT, t VARCHAR)")
+        con.executemany(
+            "INSERT INTO fuzz VALUES (?, ?)", list(enumerate(cases))
+        )
+        want = {
+            row[0]: tuple(row[1:])
+            for row in con.execute(
+                f"SELECT id, {pii_counts_sql('t')}, "
+                f"{pii_scrub_sql('t')} AS clean FROM fuzz"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert got == want
+
+
 def test_duckdb_twin_matches_spark(scrubbed):
     """The SQL twins replay the exact same redaction on every case —
     the property the driver's value-hash gate relies on."""
