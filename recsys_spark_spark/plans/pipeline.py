@@ -33,7 +33,7 @@ from ..functions.rounding import qround
 from ..operators.dedup import SHINGLE, ngram_jaccard_pairs, shingles_sql
 from ..sources.readers import table
 from .dedup import NEARDUP_THRESHOLD
-from .registry import register
+from .registry import register, register_demoted
 from .text import quality_exprs
 
 #: drop the bottom ~decile at sf0.01 (measured q10 = 0.458) — a real
@@ -432,4 +432,108 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_id").cast("int").alias("chunk_id"),
         F.array_join(sl, " ").alias("chunk_text"),
         F.size(sl).cast("bigint").alias("n_chunk_tokens"),
+    )
+
+
+# --- C4-style line-level global dedup --------------------------------------
+#: "line" length for line-level dedup.  The synthetic corpus has no
+#: newlines, so lines are fixed non-overlapping 12-token windows —
+#: the operator shape (explode → global first-occurrence → ordered
+#: reassembly) is exactly C4's line dedup with a different line
+#: delimiter; swap the splitter for split(text, '\n') on real text.
+LINE_TOKENS = 12
+
+
+@register_demoted(
+    # new in r4 (registry window full at 50); rotate REGISTERED in r5
+    "corpus_line_dedup",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+l AS (
+  SELECT doc_id,
+         unnest(range(CAST(ceil(len(toks) / {LINE_TOKENS}.0) AS INTEGER))) AS idx,
+         toks
+  FROM t
+),
+lines AS (
+  SELECT doc_id, CAST(idx AS INTEGER) AS idx,
+         array_to_string(toks[idx*{LINE_TOKENS}+1 : idx*{LINE_TOKENS}+{LINE_TOKENS}], ' ')
+           AS line_text
+  FROM l
+),
+fo AS (
+  SELECT *, row_number() OVER (PARTITION BY line_text
+                               ORDER BY doc_id, idx) AS rn
+  FROM lines
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       string_agg(CASE WHEN rn = 1 THEN line_text END, ' ' ORDER BY idx)
+         AS clean_text
+FROM fo
+GROUP BY doc_id
+HAVING CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) >= 1
+""",
+)
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level global deduplication: every document is
+    split into lines, each line is kept only at its FIRST occurrence
+    in the whole corpus (ordered by doc_id, then position), and
+    documents are reassembled from their surviving lines in original
+    order.  This is the C4 "three-sentence span" / line-dedup pass
+    that removes boilerplate repeated across pages (headers, license
+    blocks, navigation) which document-level dedup cannot see.
+
+    Scale shape: explode is a narrow map; the only shuffle is the
+    first-occurrence window keyed on the line — at 100 TB key it on
+    ``hash60(line_text)`` instead of the raw string to shrink the
+    exchange (collision odds ~|lines|²/2⁶¹; the raw-string key here
+    keeps the oracle byte-exact), and the reassembly groups by
+    doc_id.  Everything is linear in corpus size; no self-joins.
+    Docs whose every line occurred earlier elsewhere drop out
+    entirely (the HAVING) — the same removal semantics as the
+    composed cleaner's exact-dedup stage."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select("doc_id", toks.alias("toks"))
+    lines = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("toks") / F.lit(float(LINE_TOKENS)))
+                    .cast("int")
+                    - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice(F.col("toks"), i * LINE_TOKENS + 1, LINE_TOKENS),
+                    " ",
+                ),
+            )
+        ).alias("idx", "line_text"),
+    )
+    w = Window.partitionBy("line_text").orderBy("doc_id", "idx")
+    fo = lines.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("idx"), F.col("line_text"))
+    )
+    return (
+        fo.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line_text"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .where(F.col("n_kept") >= 1)
+        .select("doc_id", "n_lines", "n_kept", "clean_text")
     )
