@@ -278,3 +278,83 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_phones.cast("int").alias("n_phones"),
         pii_scrub(F.col("atext")).alias("clean_text"),
     )
+
+
+# --- URL / domain statistics -----------------------------------------------
+#: Java-regex ∩ RE2 URL shape (scheme + host, optional path) — the
+#: domain-blocklist prep tier of a web-corpus pipeline (C4/RefinedWeb
+#: filter by registered domain before anything heavier runs)
+URL_RE = r"https?://[A-Za-z0-9.-]+(?:/[^ ]*)?"
+DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+#: The synthetic corpus has no URLs, so the query plants one per doc
+#: derived from (source, doc_id) before extracting — same
+#: arbitrary-but-deterministic convention as the PII augmentation;
+#: the domain distribution then mirrors the source column
+#: (non-vacuous counts) and a second planted URL every 3rd doc
+#: exercises multi-match extraction.
+_URL_AUG_SQL = (
+    "text || ' see https://www.' || source || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.example.com/p/' || CAST(doc_id AS VARCHAR)"
+    " || CASE WHEN doc_id % 3 = 0 THEN"
+    " ' and http://cdn.' || source || '.example.net'"
+    " ELSE '' END"
+)
+
+
+def _url_aug_col():
+    return F.concat(
+        F.col("text"),
+        F.lit(" see https://www."),
+        F.col("source"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" and http://cdn."),
+                F.col("source"),
+                F.lit(".example.net"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+@register_demoted(
+    # new in r4 (registry window full at 50); rotate REGISTERED in r5
+    "doc_url_domains",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id, {_URL_AUG_SQL} AS atext FROM documents
+),
+urls AS (
+  SELECT doc_id, unnest(regexp_extract_all(atext, '{URL_RE}')) AS url
+  FROM aug
+)
+SELECT regexp_extract(url, '{DOMAIN_RE}', 1) AS domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM urls
+GROUP BY 1
+""",
+)
+def doc_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-domain frequency — the corpus statistics a
+    domain-blocklist filter runs on (count URLs and referencing docs
+    per host).  regexp_extract_all → explode → regexp_extract(host)
+    → groupBy: one narrow map plus one small aggregation keyed on the
+    domain (output cardinality = |domains|, not |docs|)."""
+    d = table(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(_url_aug_col(), F.lit(URL_RE), F.lit(0))
+        ).alias("url"),
+    )
+    return urls.groupBy(
+        F.regexp_extract("url", DOMAIN_RE, 1).alias("domain")
+    ).agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
