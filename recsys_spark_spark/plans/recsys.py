@@ -290,6 +290,12 @@ K_ITEMS = 5
 CHILD_K = 20
 MIN_CO = 5
 
+# the shared per-user rank cache must be at least as deep as the
+# deepest k requested against a shared scored DF (see _rank_items)
+from ..recommenders.neighborhood import RANK_CACHE_K as _RANK_CACHE_K  # noqa: E402
+
+assert CHILD_K <= _RANK_CACHE_K, "hybrid CHILD_K exceeds RANK_CACHE_K"
+
 #: Skew guard for the co-rated self-join (O(Σ n_i²) pair rows per hot
 #: item).  500 is a deliberate no-op at oracle/bench scale — the
 #: observed max raters-per-item is 49 at sf0.01 and 53 at sf0.1, so
@@ -466,8 +472,8 @@ def hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-axis walls overlap; "axes_wall" is the actual elapsed span
     timings["axes_wall"] = round(_time.perf_counter() - _t0, 3)
     last_hybrid_timings = timings
-    u = _rank_items(u_scored, CHILD_K)
-    i = _rank_items(i_scored, CHILD_K)
+    u = _rank_items(u_scored, CHILD_K, share=True)
+    i = _rank_items(i_scored, CHILD_K, share=True)
     return hybrid_topk(u, i, weight_a=0.6, weight_b=0.4, k_items=K_ITEMS)
 
 

@@ -93,8 +93,34 @@ def _user_means(ratings: DataFrame) -> DataFrame:
     return ratings.groupBy("user_id").agg(F.avg("rating").alias("mean_r"))
 
 
-def _rank_items(scored: DataFrame, k_items: int) -> DataFrame:
+#: depth of the shared per-user rank cache — must cover the deepest
+#: k any consumer of a shared scored DF requests (the hybrid blend's
+#: CHILD_K; plans/recsys.py asserts CHILD_K <= RANK_CACHE_K)
+RANK_CACHE_K = 20
+
+
+def _rank_items(
+    scored: DataFrame, k_items: int, share: bool = False
+) -> DataFrame:
+    """Per-user top-k by (score desc, item_id asc).
+
+    ``share=True`` (the shared-model paths): the window runs ONCE at
+    RANK_CACHE_K depth and is cached by plan identity, so the hybrid
+    blend (k=20) and the standalone top-K children (k=5) all read the
+    same O(users·20)-row ranked artifact instead of each re-sorting
+    the full multi-million-row scored relation — the rank filter is
+    then a cheap cache-read ``rank <= k``.  row_number over the same
+    ordering is prefix-stable, so filtering the deeper ranking is
+    exactly the shallower one."""
     w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("item_id"))
+    if share and k_items <= RANK_CACHE_K:
+        ranked = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= RANK_CACHE_K)
+            .select("user_id", "item_id", "score", "rank")
+            .cache()
+        )
+        return ranked.where(F.col("rank") <= k_items)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k_items)
@@ -232,7 +258,7 @@ def user_based_topk(
         prefilter_neighbors=prefilter_neighbors,
         materialize=materialize,
     )
-    return _rank_items(scored, k_items)
+    return _rank_items(scored, k_items, share=prefilter_neighbors is not None)
 
 
 def item_based_scored(
@@ -288,7 +314,7 @@ def item_based_topk(
         prefilter_neighbors=prefilter_neighbors,
         materialize=materialize,
     )
-    return _rank_items(scored, k_items)
+    return _rank_items(scored, k_items, share=prefilter_neighbors is not None)
 
 
 def scored_from_item_sims(
@@ -373,7 +399,7 @@ def topk_from_item_sims(
     scored = scored_from_item_sims(
         sims, ratings, k_neighbors, prefilter_neighbors, materialize
     )
-    return _rank_items(scored, k_items)
+    return _rank_items(scored, k_items, share=prefilter_neighbors is not None)
 
 
 def predict_user_based(
