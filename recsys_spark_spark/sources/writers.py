@@ -71,3 +71,24 @@ def write_jsonl(
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink — the columnar interchange format of Hive/Trino-side
+    warehouses.  Same pushdown story as parquet (min/max stripe
+    statistics, predicate pushdown, column pruning; Spark's vectorized
+    ORC reader is on by default), so pipelines landing into a
+    Hive-managed lake keep scan-level pruning."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

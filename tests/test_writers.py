@@ -55,3 +55,30 @@ def test_bucketed_table_join_skips_shuffle(spark, sf_dir, tmp_path):
     assert joined.count() == li.count()
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC round-trip preserves rows/schema, and a partition filter
+    prunes to the matching directory (same contract as the parquet
+    partitioned writer)."""
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.sources.readers import table
+    from recsys_spark_spark.sources.writers import read_orc, write_orc
+
+    events = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    path = str(tmp_path / "events_orc")
+    write_orc(events, path, partition_by=["event_type"])
+    back = read_orc(spark, path)
+    assert back.count() == events.count()
+    assert set(back.columns) == set(events.columns)
+    one_type = events.select("event_type").first()["event_type"]
+    pruned = back.where(F.col("event_type") == one_type)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan, not run as a post-filter
+    assert "PartitionFilters" in plan
+    assert pruned.count() == events.where(
+        F.col("event_type") == one_type
+    ).count()
