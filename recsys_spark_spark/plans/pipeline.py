@@ -485,12 +485,14 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     that removes boilerplate repeated across pages (headers, license
     blocks, navigation) which document-level dedup cannot see.
 
-    Scale shape: explode is a narrow map; the only shuffle is the
-    first-occurrence window keyed on the line — at 100 TB key it on
+    Scale shape: explode is a narrow map; first occurrence is a
+    map-side-combinable min(struct) aggregate + join-back keyed on
+    the line (skew-resistant — see the inline note), and the
+    reassembly groups by doc_id.  At 100 TB key the aggregate on
     ``hash60(line_text)`` instead of the raw string to shrink the
     exchange (collision odds ~|lines|²/2⁶¹; the raw-string key here
-    keeps the oracle byte-exact), and the reassembly groups by
-    doc_id.  Everything is linear in corpus size; no self-joins.
+    keeps the oracle byte-exact).  Everything is linear in corpus
+    size; no self-joins.
     Docs whose every line occurred earlier elsewhere drop out
     entirely (the HAVING) — the same removal semantics as the
     composed cleaner's exact-dedup stage."""
@@ -514,8 +516,26 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("idx", "line_text"),
     )
-    w = Window.partitionBy("line_text").orderBy("doc_id", "idx")
-    fo = lines.withColumn("rn", F.row_number().over(w))
+    # First occurrence via a map-side-combinable min(struct) aggregate
+    # + join-back, NOT a row_number window: a boilerplate line shared
+    # by 10% of a 100 TB corpus makes its line_text key a single
+    # window partition needing a full per-key sort, while the partial
+    # aggregate collapses the hot key to one row per map task before
+    # the exchange and AQE's skew-join splits the join-back.  min over
+    # a struct is lexicographic on (doc_id, idx) — exactly the
+    # window's ORDER BY (mirrored by row_number in the oracle, where
+    # the corpus is oracle-sized and skew is moot).
+    firsts = lines.groupBy("line_text").agg(
+        F.min(F.struct("doc_id", "idx")).alias("fo")
+    )
+    fo = lines.join(firsts, "line_text").withColumn(
+        "rn",
+        F.when(
+            (F.col("doc_id") == F.col("fo.doc_id"))
+            & (F.col("idx") == F.col("fo.idx")),
+            1,
+        ).otherwise(2),
+    )
     kept_struct = F.when(
         F.col("rn") == 1, F.struct(F.col("idx"), F.col("line_text"))
     )
