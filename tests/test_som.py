@@ -90,3 +90,50 @@ def test_som_local_and_distributed_fit_paths_equivalent(spark):
         (r["id"], r["transaction_cluster"]) for r in dist.transform(df).collect()
     )
     assert ra == rb
+
+
+def test_som_topology_1d_manifold(spark):
+    """The SOM-specific anchor k-means cannot pass: on points along a
+    1-D manifold, a 1×k grid must order its units ALONG the manifold —
+    BMU index is a monotone (up to direction) function of the curve
+    parameter.  Textbook Kohonen topology preservation, independent of
+    any twin implementation."""
+    rng = np.random.default_rng(11)
+    t = np.sort(rng.uniform(0, 1, 240))
+    # embed the segment in 4-D with small noise
+    pts = np.stack([t * 20, t * -12, t * 5, t * 8], axis=1)
+    pts += rng.normal(0, 0.1, pts.shape)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in p]) for i, p in enumerate(pts)],
+        "id int, features array<double>",
+    )
+    # 20 iterations: at 10 the map still carries one fold defect
+    # (steps [-1,-1,-1,-1,+1,-1,-1]); by 20 it is strictly monotone
+    som = BatchSOM(1, 6, max_iter=20, seed=42).fit(df)
+    got = {
+        r["id"]: r["transaction_cluster"] for r in som.transform(df).collect()
+    }
+    bmu = np.array([got[i] for i in range(len(t))])  # t is sorted
+    # monotone up to direction: successive BMU steps never change sign
+    steps = np.diff(bmu)
+    steps = steps[steps != 0]
+    assert len(steps) >= 3, "degenerate: fewer than 4 units used"
+    assert (steps > 0).all() or (steps < 0).all(), bmu
+
+
+def test_som_grid_adjacent_units_are_closer(spark):
+    """Grid organization: codebooks of grid-ADJACENT units must be
+    closer in feature space (on average) than non-adjacent pairs —
+    the neighborhood function's imprint that distinguishes a SOM
+    codebook from an unordered k-means one."""
+    df = _clustered_points(spark, n_per=60)
+    som = BatchSOM(3, 3, max_iter=8, seed=42).fit(df)
+    cb = som.codebook_
+    grid = [(i // 3, i % 3) for i in range(9)]
+    adj, non = [], []
+    for i in range(9):
+        for j in range(i + 1, 9):
+            d = float(np.linalg.norm(cb[i] - cb[j]))
+            gd = abs(grid[i][0] - grid[j][0]) + abs(grid[i][1] - grid[j][1])
+            (adj if gd == 1 else non).append(d)
+    assert np.mean(adj) < np.mean(non), (np.mean(adj), np.mean(non))
