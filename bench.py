@@ -71,6 +71,14 @@ def main() -> None:
                 t_total - h.get("ratings", 0.0) - h.get("axes_wall", 0.0), 3
             )
             stages[name] = h
+        elif name == "als_topk":
+            from recsys_spark_spark.plans import recsys as _recsys
+
+            a = dict(_recsys.last_als_timings or {})
+            # fit_and_index is the eager part (biases + MLlib fit +
+            # item-model collect); serve = the lazy GEMM execution
+            a["serve"] = round(t_total - a.get("fit_and_index", 0.0), 3)
+            stages[name] = a
 
     total = round(sum(timings.values()), 3)
 

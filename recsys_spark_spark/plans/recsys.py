@@ -933,6 +933,10 @@ last_sequential_timings: dict | None = None
 #: remainder; same contract as last_sequential_timings
 last_hybrid_timings: dict | None = None
 
+#: eager (fit + item-model collect) portion of the last als_topk call;
+#: the bench derives serve = wall − fit_and_index
+last_als_timings: dict | None = None
+
 
 @register("sequential_topk", bench=True)
 def sequential_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -983,10 +987,21 @@ def rating_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("als_topk", bench=True)
 def als_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS factorization top-5 (no DuckDB oracle — iterative ML, like
-    sequential_topk; quality and shape are asserted in
-    tests/test_als.py against the item-mean baseline).  Promoted into
-    the round-4 driver window (rows-only check) and the bench set so
-    the one MLlib-native model family is perf-tracked too."""
+    sequential_topk; exactness of the GEMM serving is pinned by the
+    NumPy twin and quality by the item-mean baseline in
+    tests/test_als.py).  Promoted into the round-4 driver window
+    (rows-only check) and the bench set so the one MLlib-native model
+    family is perf-tracked too."""
+    import time as _time
+
     from ..recommenders.als import als_topk
 
-    return als_topk(_cached_ratings(spark, sf_dir), k_items=K_ITEMS)
+    global last_als_timings
+    _t0 = _time.perf_counter()
+    out = als_topk(_cached_ratings(spark, sf_dir), k_items=K_ITEMS)
+    # als_topk is eager through fit + item-model collect; the GEMM
+    # serving itself is the lazy remainder the caller's action pays
+    last_als_timings = {
+        "fit_and_index": round(_time.perf_counter() - _t0, 3)
+    }
+    return out
