@@ -496,7 +496,12 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs whose every line occurred earlier elsewhere drop out
     entirely (the HAVING) — the same removal semantics as the
     composed cleaner's exact-dedup stage."""
-    d = table(spark, sf_dir, "documents")
+    return line_dedup(table(spark, sf_dir, "documents"))
+
+
+def line_dedup(d: DataFrame, line_tokens: int = LINE_TOKENS) -> DataFrame:
+    """Library form of corpus_line_dedup (so tests can plant
+    boilerplate — the shipped corpus repeats only ~4% of its lines)."""
     toks = F.split("text", " ")
     t = d.select("doc_id", toks.alias("toks"))
     lines = t.select(
@@ -505,12 +510,12 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 F.sequence(
                     F.lit(0),
-                    F.ceil(F.size("toks") / F.lit(float(LINE_TOKENS)))
+                    F.ceil(F.size("toks") / F.lit(float(line_tokens)))
                     .cast("int")
                     - 1,
                 ),
                 lambda i: F.array_join(
-                    F.slice(F.col("toks"), i * LINE_TOKENS + 1, LINE_TOKENS),
+                    F.slice(F.col("toks"), i * line_tokens + 1, line_tokens),
                     " ",
                 ),
             )

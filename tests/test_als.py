@@ -99,3 +99,17 @@ def test_als_beats_itemmean_baseline(spark, sf_dir):
     # factorization must not be materially worse than the trivial
     # baseline on held-out data (sf0.001 is tiny, so allow 10% slack)
     assert als_m["rmse"] <= base_m["rmse"] * 1.1, (als_m, base_m)
+
+
+def test_als_topk_blocked_fallback_contract(spark, sf_dir):
+    """The large-catalog fallback path (max_broadcast_items exceeded →
+    blocked recommendForAllUsers + exact anti-join headroom) must keep
+    the output contract: k per user, no seen items, contiguous
+    ranks."""
+    ratings = ratings_from_sales(spark, sf_dir).cache()
+    rec = als_topk(ratings, k_items=3, max_broadcast_items=1).cache()
+    pdf = rec.toPandas()
+    per_user = pdf.groupby("user_id")["rank"]
+    assert per_user.max().le(3).all() and (per_user.min() == 1).all()
+    seen = {(r["user_id"], r["item_id"]) for r in ratings.collect()}
+    assert all((u, i) not in seen for u, i in zip(pdf.user_id, pdf.item_id))

@@ -176,3 +176,29 @@ def test_doc_chunks_cover_and_overlap(spark, sf_dir):
         a = rows[0]["chunk_text"].split(" ")
         b = rows[1]["chunk_text"].split(" ")
         assert a[CHUNK_STRIDE:] == b[: CHUNK_TOKENS - CHUNK_STRIDE]
+
+
+def test_line_dedup_planted_boilerplate(spark):
+    """Planted boilerplate: three docs share an identical first line
+    (header) — only its first occurrence (lowest doc_id) keeps it;
+    a doc that is ALL boilerplate drops out entirely."""
+    from recsys_spark_spark.plans.pipeline import line_dedup
+
+    header = " ".join(f"h{i}" for i in range(4))  # one 4-token line
+    docs = spark.createDataFrame(
+        [
+            (1, header + " " + "alpha beta gamma delta"),
+            (2, header + " " + "epsilon zeta eta theta"),
+            (3, header),  # all-boilerplate doc
+            (4, "iota kappa lambda mu"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in line_dedup(docs, line_tokens=4).collect()
+    }
+    assert set(got) == {1, 2, 4}, "all-boilerplate doc must drop"
+    assert got[1]["clean_text"] == header + " alpha beta gamma delta"
+    assert got[2]["clean_text"] == "epsilon zeta eta theta"
+    assert (got[2]["n_lines"], got[2]["n_kept"]) == (2, 1)
+    assert got[4]["clean_text"] == "iota kappa lambda mu"
