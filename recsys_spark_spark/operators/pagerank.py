@@ -1,0 +1,107 @@
+"""PageRank over the item co-rating graph (graph-analytics family).
+
+Co-rated items form a weighted undirected graph (edge weight = number
+of co-raters); PageRank over it is the classic item-importance signal
+a recommender surfaces as a popularity-independent prior (power
+iteration, Brin & Page 1998).  Expressed entirely as DataFrame
+joins/aggregations — the standard Spark formulation when GraphX/Pregel
+is out of reach from Python:
+
+    per iteration:  contrib(dst) = Σ_src  pr(src) · w / deg(src)
+                    pr'(id)      = (1−d)/n + d · contrib(id)
+
+Cross-engine discipline: each iteration's rank is quantized with
+``qround`` (floor-half-up) so the DuckDB oracle — the SAME power
+iteration unrolled as a WITH chain — replays bit-for-bit; per-node
+contribution sums are order-dependent in the last ulp, which the 7-dp
+grid absorbs (same argument as the similarity-kernel dot products).
+
+Scale shape: the edge build is the user-keyed co-rating pair join —
+O(Σ n_u²) with the standard hot-user cutoff (``max_items_per_user``,
+mirrored EXACTLY in the oracle so the cap is part of the semantics,
+not an approximation).  Each iteration is one join + one aggregate on
+the edge relation; edges/degrees/nodes are cached across iterations,
+and at real scale each iteration's result would be checkpointed to
+truncate lineage (see operators/components.py for the same pattern).
+
+Isolated items (no co-rater) have no edge and are excluded from the
+graph — documented, matches the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import qround
+
+PR_ROUND = 7
+
+
+def corating_edges(
+    ratings: DataFrame, max_items_per_user: int | None = None
+) -> DataFrame:
+    """Directed co-rating edges ``(src, dst, w DOUBLE)`` — both
+    directions of every co-rated item pair, weight = co-rater count."""
+    r = ratings.select("user_id", "item_id")
+    if max_items_per_user is not None:
+        ok_users = (
+            r.groupBy("user_id")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") <= max_items_per_user)
+            .select("user_id")
+        )
+        r = r.join(F.broadcast(ok_users), "user_id", "left_semi")
+    a = r.select("user_id", F.col("item_id").alias("src"))
+    b = r.select("user_id", F.col("item_id").alias("dst"))
+    return (
+        a.join(b, "user_id")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    round_digits: int = PR_ROUND,
+) -> DataFrame:
+    """Fixed-iteration PageRank → ``(id, pagerank)``.
+
+    ``edges`` must be directed (both ways for an undirected graph)
+    with a DOUBLE weight column ``w``.  Deterministic: quantized each
+    iteration, so equal inputs give bit-equal ranks in any engine
+    replaying the same arithmetic."""
+    edges = edges.cache()
+    nodes = edges.select(F.col("src").alias("id")).distinct().cache()
+    n_df = F.broadcast(nodes.agg(F.count("*").cast("double").alias("n")))
+    deg = (
+        edges.groupBy("src")
+        .agg(F.sum("w").cast("double").alias("deg"))
+        .cache()
+    )
+    pr = nodes.crossJoin(n_df).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, edges.src == pr.id)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("w") / F.col("deg")).alias("c"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.id == contrib.dst, "left")
+            .crossJoin(n_df)
+            .select(
+                "id",
+                qround(
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("c"), F.lit(0.0)),
+                    round_digits,
+                ).alias("pr"),
+            )
+        )
+    return pr

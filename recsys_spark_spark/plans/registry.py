@@ -118,6 +118,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         ann,
         dedup,
+        graph,
         llm,
         mm,
         pipeline,
