@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import qround
 from ..operators.asof import asof_join
 from ..sources.readers import table
-from .registry import register
+from .registry import register, register_demoted
 
 
 @register(
@@ -173,4 +173,91 @@ def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_date",
         "orderkey",
         qround(F.sum("order_rev").over(w), 2).alias("running_revenue"),
+    )
+
+
+@register_demoted(
+    # new in r4 (registry window full at 50); rotate REGISTERED in r5
+    "user_retention_cohorts",
+    oracle="""
+WITH f AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+  FROM events GROUP BY 1
+),
+a AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM events
+),
+j AS (
+  SELECT a.user_id, f.cw,
+         CAST(floor(date_diff('day', f.cw, a.w) / 7.0) AS INTEGER)
+           AS week_offset
+  FROM a JOIN f USING (user_id)
+),
+cs AS (
+  SELECT cw, CAST(count(*) AS BIGINT) AS n_cohort
+  FROM f GROUP BY 1
+),
+m AS (
+  SELECT cw, week_offset,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM j GROUP BY 1, 2
+)
+SELECT CAST(m.cw AS VARCHAR) AS cohort_week, m.week_offset, m.n_active,
+       cs.n_cohort,
+       floor(CAST(m.n_active AS DOUBLE) / cs.n_cohort * 1000000.0 + 0.5)
+         / 1000000.0 AS retention
+FROM m JOIN cs USING (cw)
+""",
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix — the standard product-analytics
+    rollup: users are cohorted by the week of their FIRST event;
+    each (cohort, week-offset) cell counts how many came back that
+    week, with retention = cell / cohort size.
+
+    Weeks are Monday-start in both engines (Spark date_trunc and
+    DuckDB date_trunc share ISO week semantics), so the day-difference
+    between two week-starts is always a multiple of 7 and the integer
+    offset is exact.  Scale shape: two linear aggregates over one
+    events scan (first-event per user; distinct user-weeks) + a join
+    keyed on user, then a tiny (cohorts x offsets) matrix aggregate —
+    no window over raw events, no self-join."""
+    return retention_cohorts(table(spark, sf_dir, "events"))
+
+
+def retention_cohorts(e: DataFrame) -> DataFrame:
+    """Library form of user_retention_cohorts (so tests can plant
+    multi-cohort histories — the synthetic events table has a single
+    cohort with full retention)."""
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+    ).distinct()
+    j = activity.join(first, "user_id").select(
+        "user_id",
+        "cohort_week",
+        F.floor(F.datediff("w", "cohort_week") / 7.0)
+        .cast("int")
+        .alias("week_offset"),
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count("*").alias("n_cohort")
+    )
+    m = j.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    return m.join(sizes, "cohort_week").select(
+        # ISO string, not DATE: pandas renders Spark dates and DuckDB
+        # dates through different dtypes, which breaks value-hash
+        # normalization even when the dates are equal
+        F.col("cohort_week").cast("string").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        qround(
+            F.col("n_active").cast("double") / F.col("n_cohort"), 6
+        ).alias("retention"),
     )

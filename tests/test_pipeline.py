@@ -202,3 +202,33 @@ def test_line_dedup_planted_boilerplate(spark):
     assert got[2]["clean_text"] == "epsilon zeta eta theta"
     assert (got[2]["n_lines"], got[2]["n_kept"]) == (2, 1)
     assert got[4]["clean_text"] == "iota kappa lambda mu"
+
+
+def test_retention_cohorts_planted_multi_cohort(spark):
+    """Planted two-cohort history: user A starts week 0 and returns in
+    week 1; user B starts week 0 only; user C starts week 1.  Checks
+    cohort sizes, offsets, and partial retention."""
+    from datetime import datetime
+
+    from recsys_spark_spark.plans.windows_extra import retention_cohorts
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10)),   # A week0 (Mon 2024-01-01)
+        (1, datetime(2024, 1, 9, 10)),   # A week1
+        (2, datetime(2024, 1, 3, 10)),   # B week0 only
+        (3, datetime(2024, 1, 10, 10)),  # C week1
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_week"], r["week_offset"]): (
+            r["n_active"],
+            r["n_cohort"],
+            r["retention"],
+        )
+        for r in retention_cohorts(e).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 2, 1.0),
+        ("2024-01-01", 1): (1, 2, 0.5),
+        ("2024-01-08", 0): (1, 1, 1.0),
+    }
