@@ -261,3 +261,112 @@ def retention_cohorts(e: DataFrame) -> DataFrame:
             F.col("n_active").cast("double") / F.col("n_cohort"), 6
         ).alias("retention"),
     )
+
+
+#: ordered funnel steps over the events stream (each step must occur
+#: strictly AFTER the user's previous step's first qualifying event)
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+@register_demoted(
+    # new in r4 (registry window full at 50); rotate REGISTERED in r5
+    "events_funnel",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         list_sort(list(ts) FILTER (WHERE event_type = 'signup')) AS a1,
+         list_sort(list(ts) FILTER (WHERE event_type = 'view')) AS a2,
+         list_sort(list(ts) FILTER (WHERE event_type = 'click')) AS a3,
+         list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS a4
+  FROM events GROUP BY 1
+),
+ts4 AS (
+  SELECT user_id, t1, t2, t3,
+         list_filter(a4, x -> x > t3)[1] AS t4
+  FROM (
+    SELECT user_id, a4, t1, t2,
+           list_filter(a3, x -> x > t2)[1] AS t3
+    FROM (
+      SELECT user_id, a3, a4, t1,
+             list_filter(a2, x -> x > t1)[1] AS t2
+      FROM (SELECT user_id, a2, a3, a4, a1[1] AS t1 FROM per_user)
+    )
+  )
+),
+counts AS (
+  SELECT 1 AS step_idx, 'signup' AS step, CAST(count(t1) AS BIGINT) AS n_users FROM ts4
+  UNION ALL
+  SELECT 2, 'view', CAST(count(t2) AS BIGINT) FROM ts4
+  UNION ALL
+  SELECT 3, 'click', CAST(count(t3) AS BIGINT) FROM ts4
+  UNION ALL
+  SELECT 4, 'purchase', CAST(count(t4) AS BIGINT) FROM ts4
+),
+first AS (SELECT n_users AS n1 FROM counts WHERE step_idx = 1)
+SELECT step_idx, step, n_users,
+       CASE WHEN first.n1 > 0 THEN
+         floor(CAST(n_users AS DOUBLE) / first.n1 * 1000000.0 + 0.5)
+           / 1000000.0
+       ELSE 0.0 END AS frac_of_first
+FROM counts CROSS JOIN first
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: how many users complete signup → view → click
+    → purchase IN ORDER (each step strictly after the first
+    qualifying timestamp of the previous one — re-orderings don't
+    count, unlike a naive per-type count).
+
+    One groupBy collects each user's per-step sorted timestamp lists;
+    the step resolution (first element of list k strictly after step
+    k−1's time) is row-local array logic — no window over raw events,
+    no self-join, output is 4 rows.  Ties at identical timestamps
+    break the chain (strict >, documented; mirrored in the oracle)."""
+    return funnel(table(spark, sf_dir, "events"))
+
+
+def funnel(e: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """Library form of events_funnel (so tests can plant ordered and
+    out-of-order histories)."""
+    aggs = [
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == s, F.col("ts")))
+        ).alias(f"a{i}")
+        for i, s in enumerate(steps, start=1)
+    ]
+    per_user = e.groupBy("user_id").agg(*aggs)
+    # try_element_at: NULL on an empty list (ANSI element_at ERRORS;
+    # DuckDB's list[1] is NULL) — a user missing a step must resolve
+    # to NULL, not fail the job
+    t = F.try_element_at("a1", F.lit(1))
+    per_user = per_user.withColumn("t1", t)
+    for i in range(2, len(steps) + 1):
+        prev = F.col(f"t{i - 1}")
+        per_user = per_user.withColumn(
+            f"t{i}",
+            F.try_element_at(
+                F.filter(F.col(f"a{i}"), lambda x: x > prev), F.lit(1)
+            ),
+        )
+    counts = None
+    for i, s in enumerate(steps, start=1):
+        row = per_user.agg(
+            F.lit(i).alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.count(F.col(f"t{i}")).alias("n_users"),
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    first = F.broadcast(
+        per_user.agg(F.count("t1").cast("bigint").alias("n1"))
+    )
+    return counts.crossJoin(first).select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.when(
+            F.col("n1") > 0,
+            qround(F.col("n_users").cast("double") / F.col("n1"), 6),
+        )
+        .otherwise(0.0)
+        .alias("frac_of_first"),
+    )

@@ -232,3 +232,37 @@ def test_retention_cohorts_planted_multi_cohort(spark):
         ("2024-01-01", 1): (1, 2, 0.5),
         ("2024-01-08", 0): (1, 1, 1.0),
     }
+
+
+def test_funnel_ordering_matters(spark):
+    """A user with all four event types OUT of order must not count
+    beyond the step where the order breaks."""
+    from datetime import datetime
+
+    from recsys_spark_spark.plans.windows_extra import funnel
+
+    def ev(u, t, typ):
+        return (u, datetime(2024, 1, 1, t), typ)
+
+    rows = [
+        # user 1: perfect order -> completes all 4
+        ev(1, 1, "signup"), ev(1, 2, "view"), ev(1, 3, "click"),
+        ev(1, 4, "purchase"),
+        # user 2: purchase BEFORE click -> stops after view
+        ev(2, 1, "signup"), ev(2, 2, "view"), ev(2, 3, "purchase"),
+        ev(2, 4, "click"),
+        # user 3: no signup -> counts nowhere
+        ev(3, 1, "view"), ev(3, 2, "click"), ev(3, 3, "purchase"),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["step"]: (r["n_users"], r["frac_of_first"])
+        for r in funnel(e).collect()
+    }
+    # user 2 DOES have a click after view (t=4) and no purchase after it
+    assert got == {
+        "signup": (2, 1.0),
+        "view": (2, 1.0),
+        "click": (2, 1.0),
+        "purchase": (1, 0.5),
+    }
