@@ -45,13 +45,17 @@ def corating_edges(
     directions of every co-rated item pair, weight = co-rater count."""
     r = ratings.select("user_id", "item_id")
     if max_items_per_user is not None:
-        ok_users = (
+        # hot users are by construction FEW — broadcast the tiny hot
+        # set and anti-join (functions/similarity.py's skew-guard
+        # shape); broadcasting the ~complete ok-user complement would
+        # ship the whole user dimension to every executor
+        hot = (
             r.groupBy("user_id")
             .agg(F.count("*").alias("_n"))
-            .where(F.col("_n") <= max_items_per_user)
+            .where(F.col("_n") > max_items_per_user)
             .select("user_id")
         )
-        r = r.join(F.broadcast(ok_users), "user_id", "left_semi")
+        r = r.join(F.broadcast(hot), "user_id", "left_anti")
     a = r.select("user_id", F.col("item_id").alias("src"))
     b = r.select("user_id", F.col("item_id").alias("dst"))
     return (

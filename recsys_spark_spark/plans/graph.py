@@ -34,11 +34,16 @@ def _pagerank_sql(
   FROM edges e JOIN {prev} p ON e.src = p.id JOIN deg d ON d.src = e.src
   GROUP BY 1
 """
+    # interpolate the PYTHON-computed teleport constant: DuckDB would
+    # evaluate 1.0 - 0.85 in DECIMAL (exactly 0.15) while Spark embeds
+    # the Python double 0.15000000000000002 — a systematic 1-ulp
+    # divergence per node per iteration that can straddle a 7-dp
+    # rounding boundary
     step = (
         "it{i} AS (\n"
         "  SELECT nodes.id, "
         + qround_sql(
-            f"(1.0 - {damping}) / nn.n + {damping} * COALESCE(c.c, 0.0)",
+            f"{(1.0 - damping)!r} / nn.n + {damping!r} * COALESCE(c.c, 0.0)",
             PR_ROUND,
         )
         + " AS pr\n"

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import qround
+from ..functions.rounding import qround, qround_sql
 from ..operators.asof import asof_join
 from ..sources.readers import table
 from .registry import register, register_demoted
@@ -205,10 +205,11 @@ m AS (
 )
 SELECT CAST(m.cw AS VARCHAR) AS cohort_week, m.week_offset, m.n_active,
        cs.n_cohort,
-       floor(CAST(m.n_active AS DOUBLE) / cs.n_cohort * 1000000.0 + 0.5)
-         / 1000000.0 AS retention
+       {retention_q} AS retention
 FROM m JOIN cs USING (cw)
-""",
+""".format(
+        retention_q=qround_sql("CAST(m.n_active AS DOUBLE) / cs.n_cohort", 6)
+    ),
 )
 def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort-retention matrix — the standard product-analytics
@@ -230,9 +231,12 @@ def retention_cohorts(e: DataFrame) -> DataFrame:
     """Library form of user_retention_cohorts (so tests can plant
     multi-cohort histories — the synthetic events table has a single
     cohort with full retention)."""
+    # O(users) model-sized frame consumed TWICE (the activity join and
+    # the cohort sizes); without the cache each action scans events and
+    # re-aggregates it per consumer (no plan-level CSE in Catalyst)
     first = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
-    )
+    ).cache()
     activity = e.select(
         "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
     ).distinct()
@@ -271,7 +275,7 @@ FUNNEL_STEPS = ("signup", "view", "click", "purchase")
 @register_demoted(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "events_funnel",
-    oracle=f"""
+    oracle="""
 WITH per_user AS (
   SELECT user_id,
          list_sort(list(ts) FILTER (WHERE event_type = 'signup')) AS a1,
@@ -304,12 +308,12 @@ counts AS (
 ),
 first AS (SELECT n_users AS n1 FROM counts WHERE step_idx = 1)
 SELECT step_idx, step, n_users,
-       CASE WHEN first.n1 > 0 THEN
-         floor(CAST(n_users AS DOUBLE) / first.n1 * 1000000.0 + 0.5)
-           / 1000000.0
+       CASE WHEN first.n1 > 0 THEN {frac_q}
        ELSE 0.0 END AS frac_of_first
 FROM counts CROSS JOIN first
-""",
+""".format(
+        frac_q=qround_sql("CAST(n_users AS DOUBLE) / first.n1", 6)
+    ),
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: how many users complete signup → view → click
@@ -348,25 +352,38 @@ def funnel(e: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
                 F.filter(F.col(f"a{i}"), lambda x: x > prev), F.lit(1)
             ),
         )
-    counts = None
-    for i, s in enumerate(steps, start=1):
-        row = per_user.agg(
-            F.lit(i).alias("step_idx"),
-            F.lit(s).alias("step"),
-            F.count(F.col(f"t{i}")).alias("n_users"),
-        )
-        counts = row if counts is None else counts.unionByName(row)
-    first = F.broadcast(
-        per_user.agg(F.count("t1").cast("bigint").alias("n1"))
+    # ONE aggregation computes every step count (a per-step .agg would
+    # re-run the whole per_user subtree once per step — Catalyst does
+    # not dedupe common subplans across separate aggregates), then a
+    # row-local explode reshapes the single row into the 4-row funnel
+    stats = per_user.agg(
+        *[
+            F.count(F.col(f"t{i}")).alias(f"n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
     )
-    return counts.crossJoin(first).select(
-        "step_idx",
-        "step",
-        "n_users",
-        F.when(
-            F.col("n1") > 0,
-            qround(F.col("n_users").cast("double") / F.col("n1"), 6),
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps, start=1)
+        ]
+    )
+    return (
+        stats.select(F.col("n1"), F.explode(rows).alias("r"))
+        .select("r.*", "n1")
+        .select(
+            "step_idx",
+            "step",
+            "n_users",
+            F.when(
+                F.col("n1") > 0,
+                qround(F.col("n_users").cast("double") / F.col("n1"), 6),
+            )
+            .otherwise(0.0)
+            .alias("frac_of_first"),
         )
-        .otherwise(0.0)
-        .alias("frac_of_first"),
     )

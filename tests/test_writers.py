@@ -4,6 +4,7 @@ visible in the physical plan, and bucketed-table shuffle elimination."""
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import functions as F
 
@@ -32,7 +33,9 @@ def test_partitioned_write_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     # the scan's PartitionFilters carry the predicate
     pruned = back.where(F.col("o_orderpriority") == "1-URGENT")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
+    # the scan ALWAYS prints a PartitionFilters entry (possibly []);
+    # the predicate must actually be inside it
+    assert re.search(r"PartitionFilters: \[[^\]]*o_orderpriority", plan), plan
     assert pruned.count() == o.where(F.col("o_orderpriority") == "1-URGENT").count()
 
 
@@ -78,7 +81,8 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     pruned = back.where(F.col("event_type") == one_type)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     # partition filter must reach the scan, not run as a post-filter
-    assert "PartitionFilters" in plan
+    # (a bare "PartitionFilters" substring always prints, even empty)
+    assert re.search(r"PartitionFilters: \[[^\]]*event_type", plan), plan
     assert pruned.count() == events.where(
         F.col("event_type") == one_type
     ).count()
