@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import qround
 
 from ..sources.readers import table
-from .registry import register
+from .registry import register, register_demoted
 
 R6 = 6
 KNN_QUERIES = 20  # vec_id < 20 are the query vectors
@@ -355,4 +355,63 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy("label", "pos").agg(
         qround(F.avg(F.col("val").cast("double")), R6).alias("centroid"),
         F.count("*").alias("n_vectors"),
+    )
+
+
+# --- unigram-LM quality scoring -------------------------------------------
+@register_demoted(
+    # new in r4 (registry window full at 50); rotate REGISTERED in r5
+    "doc_unigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab),
+scored AS (
+  SELECT tok.doc_id, ln(CAST(vocab.c AS DOUBLE) / tot.t) AS lp
+  FROM tok JOIN vocab USING (token) CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       floor((sum(lp) / count(*)) * 1000000.0 + 0.5) / 1000000.0
+         AS mean_logprob
+FROM scored GROUP BY 1
+""",
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token log-probability under a unigram LM
+    trained on the corpus itself — the arithmetic core of the KenLM
+    perplexity filter every published pretraining pipeline runs
+    (CCNet/RefinedWeb lineage): documents whose tokens are uniformly
+    rare (mean_logprob far below the corpus mode) are boilerplate,
+    code dumps, or junk encodings.
+
+    Scale shape: explode → distinct-token-width partial-agg shuffle
+    (the vocabulary), a 1-row total broadcast-crossJoin, one token-key
+    join back (inverted-index shape, same as decontaminate), then a
+    per-doc aggregate.  Nothing driver-side.
+
+    Cross-engine note: ``ln`` is the one transcendental in the oracle
+    surface (this module's other scores are rational by design).  Both
+    engines evaluate the IDENTICAL expression ln(c/T) on identical
+    doubles; libm-vs-JVM log differs at most in the last ulp (~1e-16
+    relative), the per-doc mean accumulates ≲1e-14, and the 6-dp
+    quantization absorbs it — parity is asserted by the oracle test
+    like every other row."""
+    return unigram_logprob(table(spark, sf_dir, "documents"))
+
+
+def unigram_logprob(d: DataFrame) -> DataFrame:
+    """Library form of doc_unigram_logprob (so tests can score a
+    hand-computable corpus)."""
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").cast("double").alias("t"))
+    scored = tok.join(vocab, "token").crossJoin(F.broadcast(tot))
+    lp = F.log(F.col("c").cast("double") / F.col("t"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        qround(F.sum(lp) / F.count("*"), R6).alias("mean_logprob"),
     )

@@ -120,6 +120,7 @@ def _load_all() -> None:
         dedup,
         graph,
         llm,
+        market,
         mm,
         pipeline,
         recsys,

@@ -267,6 +267,156 @@ def retention_cohorts(e: DataFrame) -> DataFrame:
     )
 
 
+@register_demoted(
+    # new in r4 (registry window full at 50); rotate REGISTERED in r5
+    "events_transition_matrix",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       {prob_q} AS prob
+FROM t
+""".format(
+        prob_q=qround_sql(
+            "CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)", 6
+        )
+    ),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: for
+    each ordered pair of consecutive events of the SAME user, count
+    (from_type → to_type) and normalize per source type — the
+    navigation-flow model product analytics builds next to the funnel
+    (events_funnel) and the cohort matrix (user_retention_cohorts).
+
+    Per-user ordering ties break by event_id (same convention as the
+    as-of join).  Scale shape: ONE window pass partitioned by user
+    (per-user history is bounded), then an aggregate onto the tiny
+    |types|² matrix; the prob window runs on that matrix, not on raw
+    events.  No self-join."""
+    return transition_matrix(table(spark, sf_dir, "events"))
+
+
+def transition_matrix(e: DataFrame) -> DataFrame:
+    """Library form of events_transition_matrix (so tests can plant
+    known event chains)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wn = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        qround(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias(
+            "prob"
+        ),
+    )
+
+
+@register_demoted(
+    # new in r4 (registry window full at 50); rotate REGISTERED in r5
+    "events_anomaly_daily",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT day, event_type, n,
+         avg(CAST(n AS DOUBLE)) OVER tw AS mu,
+         stddev_samp(CAST(n AS DOUBLE)) OVER tw AS sd,
+         count(*) OVER tw AS n_hist
+  FROM d
+  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT CAST(day AS VARCHAR) AS day, event_type, n,
+       CAST(n_hist AS BIGINT) AS n_hist,
+       CASE WHEN n_hist >= 3 THEN {mu_q} END AS mean_7d,
+       CASE WHEN n_hist >= 3 AND sd > 0 THEN {z_q} END AS zscore,
+       COALESCE(n_hist >= 3 AND sd > 0
+                AND abs((n - mu) / sd) > 3.0, FALSE) AS is_anomaly
+FROM w
+""".format(
+        mu_q=qround_sql("mu", 6), z_q=qround_sql("(n - mu) / sd", 6)
+    ),
+)
+def events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-baseline anomaly detection on the daily event-count
+    series: each (day, type) cell is z-scored against the mean/stddev
+    of its own trailing window (up to 7 prior observations, current
+    day EXCLUDED so a spike cannot mask itself), flagged when |z| > 3.
+
+    Warm-up cells (< 3 prior observations) and zero-variance baselines
+    emit NULL stats and are never flagged.  The trailing frame is
+    7 prior OBSERVATIONS, not calendar days — on a gappy series the
+    baseline stretches back; document-level choice mirrored in the
+    oracle.  Scale shape: the window runs over the tiny
+    (days × types) aggregate, never over raw events."""
+    return daily_anomalies(table(spark, sf_dir, "events"))
+
+
+def daily_anomalies(e: DataFrame) -> DataFrame:
+    """Library form of events_anomaly_daily (so tests can plant a
+    spike over a flat-ish baseline)."""
+    from pyspark.sql import Window
+
+    d = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    nd = F.col("n").cast("double")
+    w = d.select(
+        "day",
+        "event_type",
+        "n",
+        F.avg(nd).over(tw).alias("mu"),
+        F.stddev_samp(nd).over(tw).alias("sd"),
+        F.count("*").over(tw).alias("n_hist"),
+    )
+    ok = F.col("n_hist") >= 3
+    sd_ok = ok & (F.col("sd") > 0)
+    z = (nd - F.col("mu")) / F.col("sd")
+    return w.select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        "n",
+        "n_hist",
+        F.when(ok, qround(F.col("mu"), 6)).alias("mean_7d"),
+        F.when(sd_ok, qround(z, 6)).alias("zscore"),
+        F.coalesce(
+            sd_ok & (F.abs(z) > 3.0), F.lit(False)
+        ).alias("is_anomaly"),
+    )
+
+
 #: ordered funnel steps over the events stream (each step must occur
 #: strictly AFTER the user's previous step's first qualifying event)
 FUNNEL_STEPS = ("signup", "view", "click", "purchase")

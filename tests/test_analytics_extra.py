@@ -1,0 +1,162 @@
+"""Planted-fixture tests for the round-4 analytics additions:
+Markov transition matrix, trailing-baseline daily anomalies,
+market-basket co-occurrence lift, and unigram-LM log-prob scoring.
+(Oracle parity for the registered forms runs in test_oracle_parity.)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from recsys_spark_spark.plans.llm import unigram_logprob
+from recsys_spark_spark.plans.market import cooccurrence_lift
+from recsys_spark_spark.plans.windows_extra import (
+    daily_anomalies,
+    transition_matrix,
+)
+
+TS0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _events(spark, rows):
+    """rows: (event_id, ts, user_id, event_type)"""
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    sec = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: a -> b -> b -> c
+        (1, TS0, 1, "a"),
+        (2, TS0 + sec, 1, "b"),
+        (3, TS0 + 2 * sec, 1, "b"),
+        (4, TS0 + 3 * sec, 1, "c"),
+        # user 2: a -> c   (no cross-user transition with user 1)
+        (5, TS0, 2, "a"),
+        (6, TS0 + sec, 2, "c"),
+        # user 3: single event -> contributes nothing
+        (7, TS0, 3, "a"),
+    ]
+    out = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in transition_matrix(_events(spark, rows)).collect()
+    }
+    assert out == {
+        ("a", "b"): (1, 0.5),
+        ("a", "c"): (1, 0.5),
+        ("b", "b"): (1, 0.5),
+        ("b", "c"): (1, 0.5),
+    }
+
+
+def test_transition_matrix_tie_breaks_by_event_id(spark):
+    # two events at the IDENTICAL timestamp: order = event_id
+    rows = [
+        (10, TS0, 1, "x"),
+        (11, TS0, 1, "y"),
+        (12, TS0 + dt.timedelta(seconds=1), 1, "z"),
+    ]
+    out = {
+        (r["from_type"], r["to_type"])
+        for r in transition_matrix(_events(spark, rows)).collect()
+    }
+    assert out == {("x", "y"), ("y", "z")}
+
+
+def test_daily_anomalies_flags_spike_not_baseline(spark):
+    rows = []
+    eid = 0
+    # 8 baseline days alternating 10/12 events, then a 100-event spike
+    for day in range(8):
+        n = 10 if day % 2 == 0 else 12
+        for _ in range(n):
+            rows.append(
+                (eid, TS0 + dt.timedelta(days=day), 1, "click")
+            )
+            eid += 1
+    for _ in range(100):
+        rows.append((eid, TS0 + dt.timedelta(days=8), 1, "click"))
+        eid += 1
+    out = {r["day"]: r for r in daily_anomalies(_events(spark, rows)).collect()}
+    assert len(out) == 9
+    spike = out["2024-01-09"]
+    assert spike["is_anomaly"] is True
+    assert spike["zscore"] > 3.0
+    assert spike["n_hist"] == 7  # frame is capped at 7 prior days
+    # warm-up rows (< 3 prior observations) carry NULL stats, no flag
+    assert out["2024-01-01"]["mean_7d"] is None
+    assert out["2024-01-01"]["is_anomaly"] is False
+    assert out["2024-01-04"]["mean_7d"] is not None  # 3rd prior obs
+    # baseline days never flag
+    assert not any(
+        out[d]["is_anomaly"] for d in out if d != "2024-01-09"
+    )
+
+
+def test_daily_anomalies_zero_variance_never_flags(spark):
+    rows = []
+    eid = 0
+    for day in range(5):
+        for _ in range(10):  # perfectly flat -> sd == 0
+            rows.append((eid, TS0 + dt.timedelta(days=day), 1, "view"))
+            eid += 1
+    out = daily_anomalies(_events(spark, rows)).collect()
+    assert all(r["zscore"] is None for r in out)
+    assert not any(r["is_anomaly"] for r in out)
+
+
+def _baskets(spark, baskets):
+    rows = [
+        (bid, item) for bid, items in baskets.items() for item in items
+    ]
+    return spark.createDataFrame(rows, "basket_id long, item_id long")
+
+
+def test_cooccurrence_lift_hand_computed(spark):
+    baskets = {1: [1, 2], 2: [1, 2], 3: [1, 3], 4: [2, 3], 5: [4]}
+    out = cooccurrence_lift(_baskets(spark, baskets)).collect()
+    # only (1,2) reaches min_support=2; lift = 2*5 / (3*3)
+    assert len(out) == 1
+    r = out[0]
+    assert (r["part_a"], r["part_b"], r["nab"]) == (1, 2, 2)
+    assert r["lift"] == round(10 / 9, 6)
+
+
+def test_cooccurrence_lift_max_basket_cap_excludes_megabasket(spark):
+    baskets = {
+        1: [1, 2],
+        2: [1, 2],
+        3: [1, 2, 3, 4, 5],  # above the cap: dropped entirely
+    }
+    out = cooccurrence_lift(_baskets(spark, baskets), max_basket=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    # n_baskets = 2 (megabasket excluded), c1 = c2 = 2, nab = 2
+    assert (r["part_a"], r["part_b"], r["nab"], r["lift"]) == (1, 2, 2, 1.0)
+
+
+def test_cooccurrence_lift_dedupes_repeated_lines(spark):
+    # the same item twice in one basket counts once (DISTINCT)
+    baskets = {1: [1, 1, 2], 2: [2, 1]}
+    out = cooccurrence_lift(_baskets(spark, baskets)).collect()
+    assert len(out) == 1
+    assert out[0]["nab"] == 2
+    assert out[0]["lift"] == 1.0  # 2·2 / (2·2) over 2 baskets
+
+
+def test_unigram_logprob_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    # vocab: a:2 b:2 c:1, T=5
+    lp_a = math.log(2 / 5)
+    lp_c = math.log(1 / 5)
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["mean_logprob"] - lp_a) < 2e-6
+    expected2 = math.floor((lp_a + lp_c) / 2 * 1e6 + 0.5) / 1e6
+    assert out[2]["n_tokens"] == 2
+    assert abs(out[2]["mean_logprob"] - expected2) < 2e-6
