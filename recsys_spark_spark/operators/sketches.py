@@ -66,3 +66,109 @@ def rollup_sketches(daily: DataFrame) -> DataFrame:
             "est_users_total"
         )
     )
+
+
+# --- mergeable fixed-bin histogram (quantile sketch) -----------------------
+#
+# The quantile counterpart of the HLL pattern above: aggregate the facts
+# ONCE at the finest grain into fixed-bin counts (the sketch), merge by
+# elementwise ADDITION to any coarser grain, and answer quantile queries
+# from the merged bins with linear interpolation — never rescanning the
+# facts.  Unlike KLL/t-digest (whose compactions are engine-specific),
+# fixed bins are pure integer arithmetic, so the WHOLE pipeline —
+# binning, merge, interpolation — replays bit-for-bit in DuckDB and
+# carries a value-hash oracle like any exact query.  Cost: accuracy is
+# bounded by the bin width (|est − exact| ≤ w, property-tested), and the
+# [lo, lo + w·nbins) range is a fixed spec, not data-adaptive.
+
+#: default spec for events.value (observed 0..~560 at sf0.1; the
+#: clamped edge bins absorb out-of-range values)
+HIST_LO = 0.0
+HIST_W = 10.0
+HIST_NBINS = 128
+
+
+def histogram_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+    lo: float = HIST_LO,
+    w: float = HIST_W,
+    nbins: int = HIST_NBINS,
+) -> DataFrame:
+    """(*key_cols, bin, n) — fixed-bin counts at the given grain.
+
+    bin = clamp(floor((v − lo)/w), 0, nbins−1): out-of-range values
+    land in the edge bins (counted, never dropped), NULLs are excluded
+    by the pre-filter.  Map-side combinable: the shuffle carries at
+    most |groups|·nbins rows regardless of fact size."""
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)), F.lit(0)
+        ),
+        F.lit(nbins - 1),
+    ).cast("int")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*key_cols, b.alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def merge_histograms(hist: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Roll a sketch up to a coarser grain: elementwise bin addition —
+    O(groups × nbins), no fact rescan.  Exact merge by construction:
+    sketch-of-union == union-of-sketches (asserted in tests)."""
+    return hist.groupBy(*key_cols, "bin").agg(F.sum("n").alias("n"))
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    key_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    lo: float = HIST_LO,
+    w: float = HIST_W,
+) -> DataFrame:
+    """Quantile estimates from a (merged) sketch, long format:
+    (*key_cols, q, n_total, est).
+
+    est = the classic histogram interpolation: with rq = q·n_total and
+    B the first bin whose cumulative count reaches rq,
+    est = lo + w·B + w·(rq − cum_before_B)/n_B.  Every step is integer
+    sums plus one double multiply/divide — identical IEEE sequence in
+    Spark and DuckDB, so the estimate is oracle-replayable.  All joins
+    here run on the sketch relation (|groups|·nbins rows), never the
+    facts."""
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy(*key_cols).orderBy("bin")
+    h = hist.select(
+        *key_cols,
+        "bin",
+        "n",
+        F.sum("n").over(wc).alias("cum"),
+        (F.sum("n").over(wc) - F.col("n")).alias("cum_prev"),
+    )
+    tot = hist.groupBy(*key_cols).agg(F.sum("n").alias("n_total"))
+    spark = hist.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    spec = tot.crossJoin(F.broadcast(qdf)).withColumn(
+        "rq", F.col("q") * F.col("n_total")
+    )
+    cand = (
+        h.join(spec, key_cols)
+        .where(F.col("cum") >= F.col("rq"))
+        .groupBy(*key_cols, "q", "rq", "n_total")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = (
+        F.lit(lo)
+        + F.lit(w) * F.col("bin")
+        + F.lit(w) * (F.col("rq") - F.col("cum_prev")) / F.col("n")
+    )
+    from ..functions.rounding import qround
+
+    return (
+        cand.join(h.select(*key_cols, "bin", "cum_prev", "n"), [*key_cols, "bin"])
+        .select(*key_cols, "q", "n_total", qround(est, 6).alias("est"))
+    )

@@ -127,6 +127,7 @@ def _load_all() -> None:
         relational,
         retrieval,
         seq,
+        sketch,
         text,
         windows_extra,
     )

@@ -1,0 +1,99 @@
+"""Registered sketch-rollup query: mergeable fixed-bin histogram
+quantiles over the events value column (operators/sketches.py).
+
+The Spark side deliberately takes the TWO-STEP route — daily sketches
+first, then an elementwise bin merge to the event_type grain — while
+the oracle bins the facts directly at the final grain: the value-hash
+match therefore *proves* the merge-exactness claim
+(sketch-of-union == union-of-sketches) on real data, not just on the
+planted pytest fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import qround_sql
+from ..operators.sketches import (
+    HIST_LO,
+    HIST_NBINS,
+    HIST_W,
+    histogram_quantiles,
+    histogram_sketch,
+    merge_histograms,
+)
+from ..sources.readers import table
+from .registry import register_demoted
+
+_QS = (0.5, 0.9, 0.99)
+
+_EST = (
+    f"{HIST_LO} + {HIST_W} * c.bin"
+    f" + {HIST_W} * (c.rq - h.cum_prev) / h.n"
+)
+
+
+@register_demoted(
+    # new in r4 (registry window full at 50); rotate REGISTERED in r5
+    "events_value_quantile_sketch",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(least(greatest(floor((value - {HIST_LO}) / {HIST_W}), 0),
+                    {HIST_NBINS - 1}) AS INTEGER) AS bin
+  FROM events WHERE value IS NOT NULL
+),
+hist AS (
+  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY 1, 2
+),
+h AS (
+  SELECT event_type, bin, n,
+         CAST(sum(n) OVER pw AS BIGINT) AS cum,
+         CAST(sum(n) OVER pw - n AS BIGINT) AS cum_prev
+  FROM hist
+  WINDOW pw AS (PARTITION BY event_type ORDER BY bin)
+),
+tot AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total
+  FROM hist GROUP BY 1
+),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+spec AS (
+  SELECT event_type, q, n_total, q * n_total AS rq
+  FROM tot CROSS JOIN qs
+),
+cand AS (
+  SELECT h.event_type, q, rq, n_total, min(bin) AS bin
+  FROM h JOIN spec USING (event_type)
+  WHERE cum >= rq GROUP BY 1, 2, 3, 4
+)
+SELECT c.event_type, c.q, c.n_total,
+       {qround_sql(_EST, 6)} AS est
+FROM cand c JOIN h ON h.event_type = c.event_type AND h.bin = c.bin
+""",
+)
+def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of events.value per event_type, answered from a
+    MERGED daily histogram sketch (see module docstring: the oracle
+    bins directly, so the hash match certifies merge exactness).
+
+    100 TB shape: the facts are scanned once into
+    (day, type, bin, n) — at most days × types × nbins (128) rows —
+    and every coarser quantile query runs on that sketch relation.
+    Accuracy is bounded by the bin width (|est − exact| ≤ w,
+    property-tested in tests/test_sketches.py)."""
+    e = table(spark, sf_dir, "events")
+    daily = histogram_sketch(
+        e.withColumn("day", F.date_trunc("day", "ts").cast("date")),
+        key_cols=["day", "event_type"],
+        value_col="value",
+        lo=HIST_LO,
+        w=HIST_W,
+        nbins=HIST_NBINS,
+    )
+    rolled = merge_histograms(daily, key_cols=["event_type"])
+    return histogram_quantiles(
+        rolled, key_cols=["event_type"], qs=_QS, lo=HIST_LO, w=HIST_W
+    )

@@ -60,3 +60,90 @@ def test_estimate_is_layout_insensitive(spark, sf_dir):
     ).collect()[0][0]
     c = rollup_sketches(daily_user_sketches(e.coalesce(1))).collect()[0][0]
     assert a == b == c
+
+
+# --- fixed-bin histogram quantile sketch -----------------------------------
+
+from recsys_spark_spark.operators.sketches import (  # noqa: E402
+    histogram_quantiles,
+    histogram_sketch,
+    merge_histograms,
+)
+
+
+def _valued(spark, rows):
+    """rows: (grp, value)"""
+    return spark.createDataFrame(rows, "grp string, value double")
+
+
+def test_histogram_quantiles_hand_computed(spark):
+    # 10 values 5,15,...,95 in bins 0..9 (w=10): n_total=10
+    rows = [("a", 10.0 * i + 5.0) for i in range(10)]
+    out = {
+        r["q"]: r
+        for r in histogram_quantiles(
+            histogram_sketch(_valued(spark, rows), ["grp"], "value"),
+            ["grp"],
+            qs=(0.5, 0.9),
+        ).collect()
+    }
+    # p50: rq=5, bin 4 is first with cum>=5 (cum 5), est = 40 + 10*(5-4)/1
+    assert out[0.5]["n_total"] == 10
+    assert out[0.5]["est"] == 50.0
+    # p90: rq=9, bin 8 (cum 9), est = 80 + 10*(9-8)/1 = 90
+    assert out[0.9]["est"] == 90.0
+
+
+def test_histogram_clamps_out_of_range_values(spark):
+    rows = [("a", -50.0), ("a", 5.0), ("a", 1e9)]
+    hist = {
+        r["bin"]: r["n"]
+        for r in histogram_sketch(_valued(spark, rows), ["grp"], "value")
+        .collect()
+    }
+    assert hist == {0: 2, 127: 1}  # underflow joins bin 0, overflow bin 127
+
+
+def test_histogram_merge_is_exact(spark, sf_dir):
+    """union-of-sketches == sketch-of-union, bin for bin — addition is
+    associative, so the merged daily sketch IS the direct sketch."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    daily = histogram_sketch(e, ["day", "event_type"], "value")
+    merged = {
+        (r["event_type"], r["bin"]): r["n"]
+        for r in merge_histograms(daily, ["event_type"]).collect()
+    }
+    direct = {
+        (r["event_type"], r["bin"]): r["n"]
+        for r in histogram_sketch(e, ["event_type"], "value").collect()
+    }
+    assert merged == direct and merged
+
+
+def test_histogram_quantile_error_bounded_by_bin_width(spark, sf_dir):
+    """|est − exact order statistic| ≤ w: the estimate interpolates
+    inside the bin that CONTAINS the ⌈q·n⌉-th order statistic, so the
+    histogram loses only within-bin placement.  (The comparison target
+    must use the same rank definition — an interpolated percentile at
+    q·(n−1)+1 can sit one rank lower, which near a sparse tail is a
+    different bin entirely.)"""
+    import math
+
+    e = table(spark, sf_dir, "events")
+    est = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in histogram_quantiles(
+            histogram_sketch(e, ["event_type"], "value"), ["event_type"]
+        ).collect()
+    }
+    vals: dict[str, list[float]] = {}
+    for r in e.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    assert vals
+    for t, xs in vals.items():
+        xs.sort()
+        for q in (0.5, 0.9, 0.99):
+            exact = xs[math.ceil(q * len(xs)) - 1]
+            assert abs(est[(t, q)] - exact) <= 10.0, (t, q, est[(t, q)], exact)
