@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import qround
+from ..functions.rounding import qround, qround_sql
 
 from ..sources.readers import table
 from .registry import register, register_demoted
@@ -375,10 +375,9 @@ scored AS (
   FROM tok JOIN vocab USING (token) CROSS JOIN tot
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       floor((sum(lp) / count(*)) * 1000000.0 + 0.5) / 1000000.0
-         AS mean_logprob
+       {mean_q} AS mean_logprob
 FROM scored GROUP BY 1
-""",
+""".format(mean_q=qround_sql("sum(lp) / count(*)", 6)),
 )
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean token log-probability under a unigram LM

@@ -125,9 +125,11 @@ def cooccurrence_lift(
         * F.lit(n_baskets)
         / (F.col("ca").cast("double") * F.col("cb"))
     )
+    # no broadcast hint: ic is |distinct items|-sized (unbounded at
+    # 100 TB) — let Catalyst/AQE broadcast only when it actually fits
     s = (
-        p.join(F.broadcast(ia), "part_a")
-        .join(F.broadcast(ib), "part_b")
+        p.join(ia, "part_a")
+        .join(ib, "part_b")
         .select("part_a", "part_b", "nab", qround(lift, 6).alias("lift"))
     )
     return s.orderBy(

@@ -344,22 +344,35 @@ WITH d AS (
          CAST(count(*) AS BIGINT) AS n
   FROM events GROUP BY 1, 2
 ),
-w AS (
+w0 AS (
   SELECT day, event_type, n,
-         avg(CAST(n AS DOUBLE)) OVER tw AS mu,
-         stddev_samp(CAST(n AS DOUBLE)) OVER tw AS sd,
-         count(*) OVER tw AS n_hist
+         CAST(sum(n) OVER tw AS BIGINT) AS s1,
+         CAST(sum(n * n) OVER tw AS BIGINT) AS s2,
+         CAST(count(*) OVER tw AS BIGINT) AS n_hist
   FROM d
   WINDOW tw AS (PARTITION BY event_type ORDER BY day
                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+),
+w AS (
+  SELECT day, event_type, n, n_hist,
+         CASE WHEN n_hist >= 1
+              THEN CAST(s1 AS DOUBLE) / n_hist END AS mu,
+         CASE WHEN n_hist >= 2
+              THEN sqrt(greatest(
+                (s2 - CAST(s1 AS DOUBLE) * s1 / n_hist) / (n_hist - 1),
+                0.0)) END AS sd
+  FROM w0
+),
+z AS (
+  SELECT day, event_type, n, n_hist,
+         CASE WHEN n_hist >= 3 THEN {mu_q} END AS mean_7d,
+         CASE WHEN n_hist >= 3 AND sd > 0 THEN {z_q} END AS zscore
+  FROM w
 )
-SELECT CAST(day AS VARCHAR) AS day, event_type, n,
-       CAST(n_hist AS BIGINT) AS n_hist,
-       CASE WHEN n_hist >= 3 THEN {mu_q} END AS mean_7d,
-       CASE WHEN n_hist >= 3 AND sd > 0 THEN {z_q} END AS zscore,
-       COALESCE(n_hist >= 3 AND sd > 0
-                AND abs((n - mu) / sd) > 3.0, FALSE) AS is_anomaly
-FROM w
+SELECT CAST(day AS VARCHAR) AS day, event_type, n, n_hist,
+       mean_7d, zscore,
+       COALESCE(abs(zscore) > 3.0, FALSE) AS is_anomaly
+FROM z
 """.format(
         mu_q=qround_sql("mu", 6), z_q=qround_sql("(n - mu) / sd", 6)
     ),
@@ -381,7 +394,20 @@ def events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def daily_anomalies(e: DataFrame) -> DataFrame:
     """Library form of events_anomaly_daily (so tests can plant a
-    spike over a flat-ish baseline)."""
+    spike over a flat-ish baseline).
+
+    Cross-engine discipline: the trailing mean/stddev are computed
+    from INTEGER window sums (s1 = Σn, s2 = Σn², exact in any
+    accumulation order) through the IDENTICAL double expression in
+    both engines — engine-native ``stddev_samp`` window aggregates use
+    engine-specific summation orders whose last-ulp noise could flip
+    the 6-dp rounding, exactly the hazard functions/rounding.py exists
+    for.  The catastrophic-cancellation clamp (greatest(·, 0)) runs on
+    the same IEEE sequence both sides.  The anomaly decision
+    thresholds the ROUNDED zscore (registry convention: decisions
+    round before thresholding).  s2 as int64 bounds the per-cell daily
+    count at ~3·10⁹ (Σn² < 2⁶³) — far above any real (day, type)
+    grain."""
     from pyspark.sql import Window
 
     d = e.groupBy(
@@ -392,28 +418,43 @@ def daily_anomalies(e: DataFrame) -> DataFrame:
         .orderBy("day")
         .rowsBetween(-7, -1)
     )
-    nd = F.col("n").cast("double")
-    w = d.select(
+    w0 = d.select(
         "day",
         "event_type",
         "n",
-        F.avg(nd).over(tw).alias("mu"),
-        F.stddev_samp(nd).over(tw).alias("sd"),
+        F.sum("n").over(tw).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(tw).alias("s2"),
         F.count("*").over(tw).alias("n_hist"),
+    )
+    s1d = F.col("s1").cast("double")
+    mu = F.when(
+        F.col("n_hist") >= 1, s1d / F.col("n_hist")
+    )
+    sd = F.when(
+        F.col("n_hist") >= 2,
+        F.sqrt(
+            F.greatest(
+                (F.col("s2") - s1d * F.col("s1") / F.col("n_hist"))
+                / (F.col("n_hist") - 1),
+                F.lit(0.0),
+            )
+        ),
+    )
+    w = w0.select(
+        "day", "event_type", "n", "n_hist", mu.alias("mu"), sd.alias("sd")
     )
     ok = F.col("n_hist") >= 3
     sd_ok = ok & (F.col("sd") > 0)
-    z = (nd - F.col("mu")) / F.col("sd")
+    z = (F.col("n").cast("double") - F.col("mu")) / F.col("sd")
+    zr = F.when(sd_ok, qround(z, 6))
     return w.select(
         F.col("day").cast("string").alias("day"),
         "event_type",
         "n",
         "n_hist",
         F.when(ok, qround(F.col("mu"), 6)).alias("mean_7d"),
-        F.when(sd_ok, qround(z, 6)).alias("zscore"),
-        F.coalesce(
-            sd_ok & (F.abs(z) > 3.0), F.lit(False)
-        ).alias("is_anomaly"),
+        zr.alias("zscore"),
+        F.coalesce(F.abs(zr) > 3.0, F.lit(False)).alias("is_anomaly"),
     )
 
 
