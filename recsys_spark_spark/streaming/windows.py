@@ -176,3 +176,44 @@ def run_stream_once(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def histogram_sketch_stream(
+    events: DataFrame,
+    watermark: str = "1 day",
+    lo: float = 0.0,
+    w: float = 10.0,
+    nbins: int = 128,
+) -> DataFrame:
+    """Streaming maintenance of the daily fixed-bin histogram sketch
+    (operators/sketches.py::histogram_sketch): the same clamped-bin
+    expression grouped by (1-day window, event_type, bin).
+
+    This is the lambda-free form of the sketch-rollup pattern: the
+    stream keeps the finest-grain sketch current (state = one count
+    row per (day, type, bin) inside the watermark horizon — at most
+    days × types × nbins rows, independent of event volume), and any
+    batch quantile query (histogram_quantiles) runs over the
+    continuously-maintained sketch table instead of rescanning facts.
+    Count updates are additions, so a late event inside the watermark
+    lands in its bin exactly as the batch build would place it."""
+    b = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.lit(lo)) / F.lit(w)), F.lit(0)
+        ),
+        F.lit(nbins - 1),
+    ).cast("int")
+    return (
+        events.where(F.col("value").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 day").alias("d"), "event_type", b.alias("bin")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("d.start").cast("date").alias("day"),
+            "event_type",
+            "bin",
+            "n",
+        )
+    )

@@ -93,3 +93,23 @@ def test_stream_incremental_micro_batches(spark, sf_dir):
     want = events_daily(spark, sf_dir)
     cols = ["day_start", "event_type", "n_events", "sum_value"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_histogram_sketch_stream_matches_batch(spark, sf_dir):
+    """The streamed daily sketch must equal the batch-built one bin
+    for bin — counts are order-insensitive additions, so a drained
+    stream IS the batch sketch."""
+    from recsys_spark_spark.operators.sketches import histogram_sketch
+    from recsys_spark_spark.streaming.windows import histogram_sketch_stream
+
+    stream = histogram_sketch_stream(read_events_stream(spark, sf_dir))
+    got = run_stream_once(stream, "hist_sketch_stream_test")
+    want = histogram_sketch(
+        table(spark, sf_dir, "events").withColumn(
+            "day", F.date_trunc("day", "ts").cast("date")
+        ),
+        ["day", "event_type"],
+        "value",
+    )
+    cols = ["day", "event_type", "bin", "n"]
+    assert _rows(got, cols) == _rows(want, cols)
