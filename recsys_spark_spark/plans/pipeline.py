@@ -562,3 +562,93 @@ def line_dedup(d: DataFrame, line_tokens: int = LINE_TOKENS) -> DataFrame:
         .where(F.col("n_kept") >= 1)
         .select("doc_id", "n_lines", "n_kept", "clean_text")
     )
+
+
+# --- temperature-based source mixture sampling ------------------------------
+
+#: mixture gain: acceptance rate per source = min(1, MIX_K·√(N/n_s)).
+#: This IS temperature-α=0.5 mixture reweighting (sampled share ∝
+#: p_s^0.5, the α-smoothed source sampling of the multilingual
+#: pretraining lineage — mBERT/XLM-R/mT5) folded into one constant:
+#: q_s/p_s ∝ p_s^(α−1) = √(N/n_s), with the normalization Σp^α absorbed
+#: into MIX_K.  α = 0.5 is chosen deliberately so p^α is sqrt — an
+#: IEEE-correctly-rounded primitive in BOTH engines — rather than pow's
+#: engine-specific transcendental; other temperatures would need the
+#: documented ln-style ulp caveat (see plans/llm.py).
+MIX_K = 0.1
+
+
+@register_demoted(
+    # new in r4 (registry window full at 50); rotate REGISTERED in r5
+    "corpus_mixture_sample",
+    oracle=f"""
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_source
+  FROM documents GROUP BY 1
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+r AS (
+  SELECT source, n_source,
+         CAST(floor(least(1.0, {MIX_K} * sqrt(CAST(n AS DOUBLE) / n_source))
+                    * 1000000.0 + 0.5) AS BIGINT) AS rate_ppm
+  FROM c CROSS JOIN t
+)
+SELECT doc_id, d.source, n_source, rate_ppm,
+       CAST({{h}} % 1000000 < rate_ppm AS INTEGER) AS in_mix
+FROM documents d JOIN r USING (source)
+""".format(
+        h="CAST(concat('0x', substr(md5(concat('mix|', "
+        "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+    ),
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mixture-sampling decisions: rare sources are kept
+    at a boosted rate ∝ √(N/n_s) (capped at 1), abundant sources are
+    downsampled — the data-mixing step that balances a multi-source
+    training corpus (see MIX_K).  Same id-hash determinism contract as
+    corpus_samples: the kept set is a pure function of doc_id, stable
+    across engines, reruns, and cluster layouts.
+
+    Scale shape: one O(sources) count aggregate + a 1-row total
+    (broadcast), joined back on the low-cardinality source key; the
+    accept test is row-local.  The synthetic corpus has UNIFORM
+    sources (every rate identical) — the oracle still value-checks the
+    rate arithmetic and every hash decision; the differentiation
+    behavior is pinned by the planted skewed-corpus pytest."""
+    return mixture_sample(table(spark, sf_dir, "documents"))
+
+
+def mixture_sample(d: DataFrame, k: float = MIX_K) -> DataFrame:
+    """Library form of corpus_mixture_sample (so tests can plant a
+    skewed source distribution)."""
+    from ..operators.dedup import hash60
+
+    counts = d.groupBy("source").agg(F.count("*").alias("n_source"))
+    tot = d.agg(F.count("*").alias("n"))
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_source",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(k)
+                * F.sqrt(F.col("n").cast("double") / F.col("n_source")),
+            )
+            * 1000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("rate_ppm"),
+    )
+    return d.join(rates, "source").select(
+        "doc_id",
+        "source",
+        "n_source",
+        "rate_ppm",
+        (
+            hash60(F.col("doc_id").cast("string"), seed="mix") % 1000000
+            < F.col("rate_ppm")
+        )
+        .cast("int")
+        .alias("in_mix"),
+    )

@@ -1005,3 +1005,117 @@ def als_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fit_and_index": round(_time.perf_counter() - _t0, 3)
     }
     return out
+
+
+# ---------------------------------------------------------------------------
+# negative sampling (implicit-feedback training-data prep)
+# ---------------------------------------------------------------------------
+
+#: candidate item subset rate (permille): the negative pool is
+#: users × (catalog · rate), NOT users × catalog — the rate is what
+#: keeps the relation linear-ish at a 100 TB catalog
+NEG_ITEM_PERMILLE = 100
+#: deterministic negatives emitted per user
+NEG_PER_USER = 10
+
+
+@register_demoted(
+    # new in r4 (registry window full at 50); rotate REGISTERED in r5
+    "cf_negative_samples",
+    oracle=f"""
+WITH {RATINGS_CTE},
+items_s AS (
+  SELECT DISTINCT item_id FROM ratings
+  WHERE CAST(concat('0x', substr(md5(concat('negitem|',
+          CAST(item_id AS VARCHAR))), 1, 15)) AS BIGINT)
+        % 1000 < {NEG_ITEM_PERMILLE}
+),
+users AS (SELECT DISTINCT user_id FROM ratings),
+cand AS (
+  SELECT u.user_id, i.item_id,
+         CAST(concat('0x', substr(md5(concat('neg|',
+           concat(CAST(u.user_id AS VARCHAR), '|',
+                  CAST(i.item_id AS VARCHAR)))), 1, 15)) AS BIGINT) AS h
+  FROM users u CROSS JOIN items_s i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ratings r
+    WHERE r.user_id = u.user_id AND r.item_id = i.item_id
+  )
+)
+SELECT user_id, item_id, CAST(neg_rank AS INTEGER) AS neg_rank FROM (
+  SELECT user_id, item_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY h, item_id)
+           AS neg_rank
+  FROM cand
+) WHERE neg_rank <= {NEG_PER_USER}
+""",
+)
+def cf_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training
+    (the BPR / sampled-softmax data-prep step): for every user, pick
+    NEG_PER_USER unrated items by hash rank from a hash-sampled
+    candidate item pool.
+
+    Two-level determinism (same contract as corpus_samples): the item
+    pool is a pure function of item_id and each user's negative set a
+    pure function of (user_id, item_id) — reproducible across engines,
+    reruns, and cluster layouts, and stable under incremental catalog
+    growth (existing negatives never reshuffle when new items arrive,
+    they only compete at the rank boundary).
+
+    Scale shape: the candidate relation is users × (catalog · rate) —
+    the broadcast-able sampled pool bounds the nested-loop join
+    (BroadcastNestedLoopJoin, never CartesianProduct); the anti-join
+    removes positives; one per-user window ranks the bounded pool.
+    """
+    ratings = _cached_ratings(spark, sf_dir)
+    return negative_samples(
+        ratings,
+        item_permille=NEG_ITEM_PERMILLE,
+        per_user=NEG_PER_USER,
+    )
+
+
+def negative_samples(
+    ratings: DataFrame,
+    item_permille: int = NEG_ITEM_PERMILLE,
+    per_user: int = NEG_PER_USER,
+) -> DataFrame:
+    """Library form of cf_negative_samples (so tests can plant a tiny
+    catalog and verify positives are never sampled)."""
+    from ..operators.dedup import hash60
+
+    items_s = (
+        ratings.select("item_id")
+        .distinct()
+        .where(
+            hash60(F.col("item_id").cast("string"), seed="negitem") % 1000
+            < item_permille
+        )
+    )
+    users = ratings.select("user_id").distinct()
+    cand = users.crossJoin(F.broadcast(items_s))
+    neg = cand.join(
+        ratings.select("user_id", "item_id"),
+        ["user_id", "item_id"],
+        "left_anti",
+    ).select(
+        "user_id",
+        "item_id",
+        hash60(
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                F.col("item_id").cast("string"),
+            ),
+            seed="neg",
+        ).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("h", "item_id")
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= per_user)
+        .select("user_id", "item_id", "neg_rank")
+    )

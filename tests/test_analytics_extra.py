@@ -160,3 +160,28 @@ def test_unigram_logprob_hand_computed(spark):
     expected2 = math.floor((lp_a + lp_c) / 2 * 1e6 + 0.5) / 1e6
     assert out[2]["n_tokens"] == 2
     assert abs(out[2]["mean_logprob"] - expected2) < 2e-6
+
+
+# --- negative sampling ------------------------------------------------------
+
+def test_negative_samples_exclude_positives_and_cap(spark):
+    from recsys_spark_spark.plans.recsys import negative_samples
+
+    # user 1 rated items 0..4; catalog 0..99
+    rows = [(1, i, 5.0) for i in range(5)] + [(2, i, 3.0) for i in range(3)]
+    # make the full catalog visible through ratings of a third user
+    rows += [(3, i, 1.0) for i in range(100)]
+    r = spark.createDataFrame(rows, "user_id long, item_id long, rating double")
+    out = negative_samples(r, item_permille=1000, per_user=7).collect()
+    by_user = {}
+    for row in out:
+        by_user.setdefault(row["user_id"], set()).add(row["item_id"])
+    # positives never appear as negatives
+    assert by_user[1].isdisjoint(set(range(5)))
+    assert by_user[2].isdisjoint(set(range(3)))
+    # cap respected; user 3 rated everything -> no negatives at all
+    assert len(by_user[1]) == 7 and len(by_user[2]) == 7
+    assert 3 not in by_user
+    # deterministic: a second run yields the identical set
+    out2 = negative_samples(r, item_permille=1000, per_user=7).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

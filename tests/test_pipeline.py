@@ -266,3 +266,44 @@ def test_funnel_ordering_matters(spark):
         "click": (2, 1.0),
         "purchase": (1, 0.5),
     }
+
+
+# --- temperature mixture sampling ------------------------------------------
+
+def test_mixture_sample_boosts_rare_sources(spark):
+    from recsys_spark_spark.plans.pipeline import mixture_sample
+
+    rows = [(i, "big") for i in range(900)] + [
+        (900 + i, "small") for i in range(100)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(d)
+    rates = {
+        r["source"]: r["rate_ppm"]
+        for r in out.select("source", "rate_ppm").distinct().collect()
+    }
+    # K·√(N/n)·1e6 half-up: √(1000/900) and √10 hand-computed
+    assert rates == {"big": 105409, "small": 316228}
+    # decision flags actually follow the per-source rate: the rare
+    # source keeps a ~3x larger fraction (hash-uniformity gives ±few %)
+    kept = {
+        r["source"]: r["k"]
+        for r in out.groupBy("source")
+        .agg(F.sum("in_mix").alias("k"))
+        .collect()
+    }
+    assert 0 < kept["big"] < 900 and 0 < kept["small"] < 100
+    assert kept["small"] / 100 > kept["big"] / 900
+
+
+def test_mixture_sample_caps_rate_at_one(spark):
+    from recsys_spark_spark.plans.pipeline import mixture_sample
+
+    # a 2-doc source among 10k: uncapped rate 0.1*sqrt(5000) > 1
+    rows = [(i, "big") for i in range(10000)] + [(10000, "tiny"), (10001, "tiny")]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {
+        r["source"]: r["rate_ppm"]
+        for r in mixture_sample(d).select("source", "rate_ppm").distinct().collect()
+    }
+    assert out["tiny"] == 1000000  # min(1, ...) cap
