@@ -578,3 +578,73 @@ def funnel(e: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
             .alias("frac_of_first"),
         )
     )
+
+
+@register_demoted(
+    # new in r4 (registry window full at 50); rotate REGISTERED in r5
+    "customer_rfm_segments",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey AS custkey,
+         CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS last_order,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS monetary
+  FROM orders GROUP BY 1
+),
+q AS (
+  SELECT custkey, last_order, n_orders, monetary,
+         CAST(ntile(4) OVER (ORDER BY last_order DESC, custkey) AS INTEGER) AS r_q,
+         CAST(ntile(4) OVER (ORDER BY n_orders DESC, custkey) AS INTEGER) AS f_q,
+         CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS INTEGER) AS m_q
+  FROM c
+)
+SELECT custkey, last_order, n_orders, monetary, r_q, f_q, m_q,
+       concat(CAST(r_q AS VARCHAR), CAST(f_q AS VARCHAR),
+              CAST(m_q AS VARCHAR)) AS segment
+FROM q
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency (last order
+    date), frequency (order count), monetary (total spend, 2 dp) each
+    quartiled with ntile(4) — quartile 1 is the best tier — and
+    concatenated into the classic 3-digit segment code ('111' =
+    champions ... '444' = churned).
+
+    Determinism: ntile assigns by ROW position, so each ordering
+    carries an explicit custkey tie-break, and monetary is ROUNDED
+    before ranking (registry convention).  Scale shape: the windows
+    run over the O(customers) aggregate, not the fact table; they are
+    deliberately UNPARTITIONED — a global quantile assignment needs a
+    total order, and at a customer count where one partition hurts,
+    the histogram-sketch quantile boundaries (operators/sketches.py)
+    are the scale substitute (bucket by comparing to broadcast
+    boundaries instead of sorting)."""
+    o = table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    c = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").cast("date").cast("string").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        qround(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    r_w = Window.orderBy(F.desc("last_order"), F.asc("custkey"))
+    f_w = Window.orderBy(F.desc("n_orders"), F.asc("custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
+    q = c.select(
+        "custkey",
+        "last_order",
+        "n_orders",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r_q"),
+        F.ntile(4).over(f_w).alias("f_q"),
+        F.ntile(4).over(m_w).alias("m_q"),
+    )
+    return q.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ),
+    )
