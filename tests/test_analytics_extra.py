@@ -185,3 +185,30 @@ def test_negative_samples_exclude_positives_and_cap(spark):
     # deterministic: a second run yields the identical set
     out2 = negative_samples(r, item_permille=1000, per_user=7).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+# --- cross-query invariants -------------------------------------------------
+
+def test_transition_probs_sum_to_one_per_source(spark, sf_dir):
+    from recsys_spark_spark.plans.windows_extra import events_transition_matrix
+
+    rows = events_transition_matrix(spark, sf_dir).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r["prob"])
+    assert by_from
+    for ft, probs in by_from.items():
+        # each prob is 6-dp rounded -> sum within n*5e-7 of exactly 1
+        assert abs(sum(probs) - 1.0) <= len(probs) * 5e-7, (ft, sum(probs))
+
+
+def test_rfm_quartiles_are_balanced(spark, sf_dir):
+    from collections import Counter
+
+    from recsys_spark_spark.plans.windows_extra import customer_rfm_segments
+
+    rows = customer_rfm_segments(spark, sf_dir).collect()
+    for col in ("r_q", "f_q", "m_q"):
+        sizes = Counter(r[col] for r in rows)
+        assert set(sizes) == {1, 2, 3, 4}
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (col, sizes)

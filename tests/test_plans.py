@@ -192,3 +192,11 @@ def test_bench_set_is_stable():
         "sequential_topk",
         "user_topk_cosine",
     ]
+
+
+def test_cooccurrence_lift_distributed_topn(spark, sf_dir, queries):
+    """The top-100-by-lift must plan TakeOrderedAndProject (per
+    partition top-N + tiny driver merge), not a global sort."""
+    p = plan_of(queries["item_cooccurrence_lift"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p

@@ -147,3 +147,15 @@ def test_histogram_quantile_error_bounded_by_bin_width(spark, sf_dir):
         for q in (0.5, 0.9, 0.99):
             exact = xs[math.ceil(q * len(xs)) - 1]
             assert abs(est[(t, q)] - exact) <= 10.0, (t, q, est[(t, q)], exact)
+
+
+def test_histogram_quantiles_monotone_in_q(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    est = {}
+    for r in histogram_quantiles(
+        histogram_sketch(e, ["event_type"], "value"), ["event_type"]
+    ).collect():
+        est.setdefault(r["event_type"], {})[r["q"]] = r["est"]
+    assert est
+    for t, qs in est.items():
+        assert qs[0.5] <= qs[0.9] <= qs[0.99], (t, qs)
