@@ -648,3 +648,75 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_q").cast("string"),
         ),
     )
+
+
+@register_demoted(
+    # new in r4 (registry window full at 50); rotate REGISTERED in r5
+    "user_value_scd2",
+    oracle="""
+WITH o AS (
+  SELECT user_id, value, ts, event_id,
+         lag(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_value
+  FROM events
+),
+chg AS (
+  SELECT user_id, value, ts, event_id FROM o
+  WHERE prev_value IS NULL OR value <> prev_value
+)
+SELECT user_id, value,
+       CAST(ts AS VARCHAR) AS valid_from,
+       CAST(lead(ts) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+       ) AS VARCHAR) AS valid_to,
+       CAST(lead(ts) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+       ) IS NULL AS INTEGER) AS is_current
+FROM chg
+""",
+)
+def user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build from the event
+    stream: per user, each CHANGE of ``value`` opens a new history row
+    with a [valid_from, valid_to) interval; the open-ended row is the
+    current version — the standard warehouse dimension-history
+    materialization, built with two linear window passes (change
+    suppression via lag, interval close via lead), no self-join.
+
+    Consecutive duplicate values collapse into one interval (that is
+    what makes it SCD2 rather than an event log).  Ordering ties break
+    by event_id; interval semantics are half-open so lookups join with
+    ``valid_from <= t < valid_to``.  Timestamps are emitted as strings
+    for cross-engine hash stability (same convention as
+    user_retention_cohorts)."""
+    return scd2_history(table(spark, sf_dir, "events"))
+
+
+def scd2_history(
+    e: DataFrame,
+    key: str = "user_id",
+    attr: str = "value",
+) -> DataFrame:
+    """Library form of user_value_scd2 over any (key, attr, ts,
+    event_id) relation."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy("ts", "event_id")
+    chg = (
+        e.select(key, attr, "ts", "event_id")
+        .withColumn("prev_value", F.lag(attr).over(w))
+        .where(
+            F.col("prev_value").isNull()
+            | (F.col(attr) != F.col("prev_value"))
+        )
+        .drop("prev_value")
+    )
+    valid_to = F.lead("ts").over(w)
+    return chg.select(
+        key,
+        attr,
+        F.col("ts").cast("string").alias("valid_from"),
+        valid_to.cast("string").alias("valid_to"),
+        valid_to.isNull().cast("int").alias("is_current"),
+    )

@@ -212,3 +212,26 @@ def test_rfm_quartiles_are_balanced(spark, sf_dir):
         sizes = Counter(r[col] for r in rows)
         assert set(sizes) == {1, 2, 3, 4}
         assert max(sizes.values()) - min(sizes.values()) <= 1, (col, sizes)
+
+
+# --- SCD2 history -----------------------------------------------------------
+
+def test_scd2_collapses_unchanged_and_chains_intervals(spark):
+    from recsys_spark_spark.plans.windows_extra import scd2_history
+
+    sec = dt.timedelta(seconds=1)
+    rows = [
+        (1, TS0 + i * sec, 1, "e", v)
+        for i, v in enumerate([5.0, 5.0, 7.0, 7.0, 5.0])
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = sorted(
+        scd2_history(e).collect(), key=lambda r: r["valid_from"]
+    )
+    assert [r["value"] for r in out] == [5.0, 7.0, 5.0]
+    # half-open chain: each valid_to equals the next valid_from
+    assert out[0]["valid_to"] == out[1]["valid_from"]
+    assert out[1]["valid_to"] == out[2]["valid_from"]
+    assert [r["is_current"] for r in out] == [0, 0, 1]
