@@ -88,6 +88,24 @@ HIST_W = 10.0
 HIST_NBINS = 128
 
 
+def bin_col(
+    value_col: str = "value",
+    lo: float = HIST_LO,
+    w: float = HIST_W,
+    nbins: int = HIST_NBINS,
+):
+    """The sketch's clamped-bin expression —
+    clamp(floor((v − lo)/w), 0, nbins−1) — shared by the batch build
+    and the streaming maintenance path (streaming/windows.py) so the
+    two can never drift apart on the spec."""
+    return F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)), F.lit(0)
+        ),
+        F.lit(nbins - 1),
+    ).cast("int")
+
+
 def histogram_sketch(
     df: DataFrame,
     key_cols: list[str],
@@ -102,15 +120,9 @@ def histogram_sketch(
     land in the edge bins (counted, never dropped), NULLs are excluded
     by the pre-filter.  Map-side combinable: the shuffle carries at
     most |groups|·nbins rows regardless of fact size."""
-    b = F.least(
-        F.greatest(
-            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)), F.lit(0)
-        ),
-        F.lit(nbins - 1),
-    ).cast("int")
     return (
         df.where(F.col(value_col).isNotNull())
-        .groupBy(*key_cols, b.alias("bin"))
+        .groupBy(*key_cols, bin_col(value_col, lo, w, nbins).alias("bin"))
         .agg(F.count("*").alias("n"))
     )
 

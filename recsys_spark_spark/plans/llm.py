@@ -373,11 +373,14 @@ tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab),
 scored AS (
   SELECT tok.doc_id, ln(CAST(vocab.c AS DOUBLE) / tot.t) AS lp
   FROM tok JOIN vocab USING (token) CROSS JOIN tot
+),
+per AS (
+  SELECT doc_id, list_sort(list(lp)) AS l FROM scored GROUP BY 1
 )
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
        {mean_q} AS mean_logprob
-FROM scored GROUP BY 1
-""".format(mean_q=qround_sql("sum(lp) / count(*)", 6)),
+FROM per
+""".format(mean_q=qround_sql("list_reduce(l, (a, b) -> a + b) / len(l)", 6)),
 )
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean token log-probability under a unigram LM
@@ -393,12 +396,16 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregate.  Nothing driver-side.
 
     Cross-engine note: ``ln`` is the one transcendental in the oracle
-    surface (this module's other scores are rational by design).  Both
+    surface (this module's other scores are rational by design); both
     engines evaluate the IDENTICAL expression ln(c/T) on identical
-    doubles; libm-vs-JVM log differs at most in the last ulp (~1e-16
-    relative), the per-doc mean accumulates ≲1e-14, and the 6-dp
-    quantization absorbs it — parity is asserted by the oracle test
-    like every other row."""
+    doubles, and libm-vs-JVM log agrees to the last ulp or one beyond.
+    The per-doc SUM of those values is additionally made
+    order-DETERMINISTIC — each doc's lp list is sorted and folded
+    left-to-right in BOTH engines (sort_array + aggregate here,
+    list_sort + list_reduce in the oracle; the fold seeds differ by a
+    leading +0.0, which is IEEE-exact) — so parity cannot flake on
+    Spark's partition-order-dependent float summation the way a bare
+    sum() could at a rounding half-boundary."""
     return unigram_logprob(table(spark, sf_dir, "documents"))
 
 
@@ -410,7 +417,12 @@ def unigram_logprob(d: DataFrame) -> DataFrame:
     tot = vocab.agg(F.sum("c").cast("double").alias("t"))
     scored = tok.join(vocab, "token").crossJoin(F.broadcast(tot))
     lp = F.log(F.col("c").cast("double") / F.col("t"))
-    return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        qround(F.sum(lp) / F.count("*"), R6).alias("mean_logprob"),
+    per = scored.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(lp)).alias("l")
+    )
+    ordered_sum = F.aggregate("l", F.lit(0.0), lambda a, x: a + x)
+    return per.select(
+        "doc_id",
+        F.size("l").cast("bigint").alias("n_tokens"),
+        qround(ordered_sum / F.size("l"), R6).alias("mean_logprob"),
     )

@@ -102,8 +102,12 @@ def cooccurrence_lift(
         .where(F.col("c") <= max_basket)
         .select("ok")
     )
+    # session-lifetime cache, same idiom as plans/recsys._cached_ratings:
+    # b feeds three consumers (item counts + both pair-join sides)
     b = b0.join(sz, "ok").cache()
-    n_baskets = b.select("ok").distinct().count()  # O(1) model state
+    # sz IS the distinct qualifying basket set — counting it avoids
+    # re-running the join + a second distinct just for the total
+    n_baskets = sz.count()  # O(1) model state
     ic = b.groupBy("pk").agg(F.count("*").alias("c"))
     x, y = b.alias("x"), b.alias("y")
     p = (

@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import qround
-from ..operators.dedup import SHINGLE, ngram_jaccard_pairs, shingles_sql
+from ..operators.dedup import (
+    SHINGLE,
+    hash60_sql,
+    ngram_jaccard_pairs,
+    shingles_sql,
+)
 from ..sources.readers import table
 from .dedup import NEARDUP_THRESHOLD
 from .registry import register, register_demoted
@@ -596,10 +601,7 @@ r AS (
 SELECT doc_id, d.source, n_source, rate_ppm,
        CAST({{h}} % 1000000 < rate_ppm AS INTEGER) AS in_mix
 FROM documents d JOIN r USING (source)
-""".format(
-        h="CAST(concat('0x', substr(md5(concat('mix|', "
-        "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
-    ),
+""".format(h=hash60_sql("CAST(doc_id AS VARCHAR)", "mix")),
 )
 def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mixture-sampling decisions: rare sources are kept

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import qround
 from ..functions.similarity import pairwise_similarity
+from ..operators.dedup import hash60_sql
 from ..recommenders.neighborhood import item_based_topk, user_based_topk
 from ..recommenders.hybrid import hybrid_topk
 from ..sources.readers import ratings_from_sales
@@ -1026,16 +1027,17 @@ NEG_PER_USER = 10
 WITH {RATINGS_CTE},
 items_s AS (
   SELECT DISTINCT item_id FROM ratings
-  WHERE CAST(concat('0x', substr(md5(concat('negitem|',
-          CAST(item_id AS VARCHAR))), 1, 15)) AS BIGINT)
+  WHERE {hash60_sql("CAST(item_id AS VARCHAR)", "negitem")}
         % 1000 < {NEG_ITEM_PERMILLE}
 ),
 users AS (SELECT DISTINCT user_id FROM ratings),
 cand AS (
   SELECT u.user_id, i.item_id,
-         CAST(concat('0x', substr(md5(concat('neg|',
-           concat(CAST(u.user_id AS VARCHAR), '|',
-                  CAST(i.item_id AS VARCHAR)))), 1, 15)) AS BIGINT) AS h
+         {hash60_sql(
+             "concat(CAST(u.user_id AS VARCHAR), '|', "
+             "CAST(i.item_id AS VARCHAR))",
+             "neg",
+         )} AS h
   FROM users u CROSS JOIN items_s i
   WHERE NOT EXISTS (
     SELECT 1 FROM ratings r

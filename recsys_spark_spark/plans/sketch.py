@@ -28,10 +28,13 @@ from .registry import register_demoted
 
 _QS = (0.5, 0.9, 0.99)
 
-_EST = (
-    f"{HIST_LO} + {HIST_W} * c.bin"
-    f" + {HIST_W} * (c.rq - h.cum_prev) / h.n"
-)
+# DuckDB parses bare numeric literals as DECIMAL and would carry the
+# rq/interpolation arithmetic in exact decimal while Spark rounds each
+# double op — explicit DOUBLE casts keep both engines on the same
+# per-op IEEE sequence (the contract functions/rounding.py rests on)
+_LO_D = f"CAST({HIST_LO} AS DOUBLE)"
+_W_D = f"CAST({HIST_W} AS DOUBLE)"
+_EST = f"{_LO_D} + {_W_D} * c.bin + {_W_D} * (c.rq - h.cum_prev) / h.n"
 
 
 @register_demoted(
@@ -40,7 +43,7 @@ _EST = (
     oracle=f"""
 WITH b AS (
   SELECT event_type,
-         CAST(least(greatest(floor((value - {HIST_LO}) / {HIST_W}), 0),
+         CAST(least(greatest(floor((value - {_LO_D}) / {_W_D}), 0),
                     {HIST_NBINS - 1}) AS INTEGER) AS bin
   FROM events WHERE value IS NOT NULL
 ),
@@ -59,7 +62,7 @@ tot AS (
   SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total
   FROM hist GROUP BY 1
 ),
-qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
 spec AS (
   SELECT event_type, q, n_total, q * n_total AS rq
   FROM tot CROSS JOIN qs

@@ -588,7 +588,7 @@ WITH c AS (
   SELECT o_custkey AS custkey,
          CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS last_order,
          CAST(count(*) AS BIGINT) AS n_orders,
-         floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS monetary
+         {monetary_q} AS monetary
   FROM orders GROUP BY 1
 ),
 q AS (
@@ -602,7 +602,7 @@ SELECT custkey, last_order, n_orders, monetary, r_q, f_q, m_q,
        concat(CAST(r_q AS VARCHAR), CAST(f_q AS VARCHAR),
               CAST(m_q AS VARCHAR)) AS segment
 FROM q
-""",
+""".format(monetary_q=qround_sql("sum(o_totalprice)", 2)),
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per-customer recency (last order
@@ -658,12 +658,15 @@ WITH o AS (
   SELECT user_id, value, ts, event_id,
          lag(value) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
-         ) AS prev_value
+         ) AS prev_value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS rn
   FROM events
 ),
 chg AS (
   SELECT user_id, value, ts, event_id FROM o
-  WHERE prev_value IS NULL OR value <> prev_value
+  WHERE rn = 1 OR value IS DISTINCT FROM prev_value
 )
 SELECT user_id, value,
        CAST(ts AS VARCHAR) AS valid_from,
@@ -685,8 +688,11 @@ def user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppression via lag, interval close via lead), no self-join.
 
     Consecutive duplicate values collapse into one interval (that is
-    what makes it SCD2 rather than an event log).  Ordering ties break
-    by event_id; interval semantics are half-open so lookups join with
+    what makes it SCD2 rather than an event log); the change test is
+    NULL-SAFE (IS DISTINCT FROM, with the key's first row always kept)
+    so a NULL-valued period opens its own interval instead of being
+    silently dropped.  Ordering ties break by event_id; interval
+    semantics are half-open so lookups join with
     ``valid_from <= t < valid_to``.  Timestamps are emitted as strings
     for cross-engine hash stability (same convention as
     user_retention_cohorts)."""
@@ -703,14 +709,17 @@ def scd2_history(
     from pyspark.sql import Window
 
     w = Window.partitionBy(key).orderBy("ts", "event_id")
+    # rn==1 keeps every key's first version even when attr is NULL
+    # (lag is NULL there too, and NULL IS-DISTINCT-FROM NULL is false)
     chg = (
         e.select(key, attr, "ts", "event_id")
         .withColumn("prev_value", F.lag(attr).over(w))
+        .withColumn("rn", F.row_number().over(w))
         .where(
-            F.col("prev_value").isNull()
-            | (F.col(attr) != F.col("prev_value"))
+            (F.col("rn") == 1)
+            | ~F.col(attr).eqNullSafe(F.col("prev_value"))
         )
-        .drop("prev_value")
+        .drop("prev_value", "rn")
     )
     valid_to = F.lead("ts").over(w)
     return chg.select(

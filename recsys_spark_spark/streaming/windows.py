@@ -181,9 +181,9 @@ def run_stream_once(
 def histogram_sketch_stream(
     events: DataFrame,
     watermark: str = "1 day",
-    lo: float = 0.0,
-    w: float = 10.0,
-    nbins: int = 128,
+    lo: float | None = None,
+    w: float | None = None,
+    nbins: int | None = None,
 ) -> DataFrame:
     """Streaming maintenance of the daily fixed-bin histogram sketch
     (operators/sketches.py::histogram_sketch): the same clamped-bin
@@ -196,13 +196,18 @@ def histogram_sketch_stream(
     batch quantile query (histogram_quantiles) runs over the
     continuously-maintained sketch table instead of rescanning facts.
     Count updates are additions, so a late event inside the watermark
-    lands in its bin exactly as the batch build would place it."""
-    b = F.least(
-        F.greatest(
-            F.floor((F.col("value") - F.lit(lo)) / F.lit(w)), F.lit(0)
-        ),
-        F.lit(nbins - 1),
-    ).cast("int")
+    lands in its bin exactly as the batch build would place it.  The
+    bin expression and spec defaults are IMPORTED from the batch
+    sketch (operators/sketches.py::bin_col / HIST_*) so the streamed
+    state can never drift from what histogram_quantiles expects."""
+    from ..operators.sketches import HIST_LO, HIST_NBINS, HIST_W, bin_col
+
+    b = bin_col(
+        "value",
+        HIST_LO if lo is None else lo,
+        HIST_W if w is None else w,
+        HIST_NBINS if nbins is None else nbins,
+    )
     return (
         events.where(F.col("value").isNotNull())
         .withWatermark("ts", watermark)

@@ -235,3 +235,29 @@ def test_scd2_collapses_unchanged_and_chains_intervals(spark):
     assert out[0]["valid_to"] == out[1]["valid_from"]
     assert out[1]["valid_to"] == out[2]["valid_from"]
     assert [r["is_current"] for r in out] == [0, 0, 1]
+
+
+def test_scd2_null_values_open_their_own_interval(spark):
+    from recsys_spark_spark.plans.windows_extra import scd2_history
+
+    sec = dt.timedelta(seconds=1)
+    rows = [
+        (1, TS0, 1, "e", 5.0),
+        (2, TS0 + sec, 1, "e", None),   # NULL period must appear
+        (3, TS0 + 2 * sec, 1, "e", 5.0),
+        # user 2 STARTS with NULL: first row must still be kept
+        (10, TS0, 2, "e", None),
+        (11, TS0 + sec, 2, "e", None),  # unchanged NULL collapses
+        (12, TS0 + 2 * sec, 2, "e", 3.0),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {}
+    for r in scd2_history(e).collect():
+        out.setdefault(r["user_id"], []).append(r)
+    u1 = sorted(out[1], key=lambda r: r["valid_from"])
+    assert [r["value"] for r in u1] == [5.0, None, 5.0]
+    u2 = sorted(out[2], key=lambda r: r["valid_from"])
+    assert [r["value"] for r in u2] == [None, 3.0]
+    assert [r["is_current"] for r in u2] == [0, 1]
