@@ -52,3 +52,36 @@ def test_sink_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
     writer(b1.limit(10), 1)
     n0 = b0.count()
     assert len(_rows(read_batched(spark, out), COLS)) == n0 + 10
+
+
+def test_sketch_stream_to_sink_to_quantiles(spark, sf_dir, tmp_path):
+    """End-to-end lambda-free composition: the streamed daily
+    histogram sketch drains through the exactly-once sink into a
+    parquet sketch table, and the batch quantile query over the
+    READ-BACK table equals the quantiles computed from a direct batch
+    sketch — i.e. a continuously-maintained sketch store serves
+    identical answers.  (update mode + one availableNow drain: every
+    window emits exactly once here; a continuous deployment keeps
+    append mode per the sink docstring.)"""
+    from recsys_spark_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+        merge_histograms,
+    )
+    from recsys_spark_spark.streaming.windows import histogram_sketch_stream
+
+    out = str(tmp_path / "sketch_store")
+    ck = str(tmp_path / "sketch_ck")
+    stream = histogram_sketch_stream(read_events_stream(spark, sf_dir))
+    q = write_stream_exactly_once(stream, out, ck, output_mode="update")
+    q.awaitTermination()
+    stored = read_batched(spark, out)
+    got = histogram_quantiles(
+        merge_histograms(stored, ["event_type"]), ["event_type"]
+    )
+    want = histogram_quantiles(
+        histogram_sketch(table(spark, sf_dir, "events"), ["event_type"]),
+        ["event_type"],
+    )
+    cols = ["event_type", "q", "n_total", "est"]
+    assert _rows(got, cols) == _rows(want, cols)
