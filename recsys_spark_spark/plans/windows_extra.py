@@ -729,3 +729,103 @@ def scd2_history(
         valid_to.cast("string").alias("valid_to"),
         valid_to.isNull().cast("int").alias("is_current"),
     )
+
+
+@register_demoted(
+    # new in r4 (registry window full at 50); rotate REGISTERED in r5
+    "events_daily_dense",
+    oracle="""
+WITH b AS (
+  SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS d0,
+         CAST(max(date_trunc('day', ts)) AS DATE) AS d1
+  FROM events
+),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+           AS day, event_type
+  FROM b CROSS JOIN types
+),
+d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         {mean_q} AS mean_value
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT s.day, s.event_type,
+         COALESCE(d.n, 0) AS n_events,
+         CAST(d.day IS NOT NULL AS INTEGER) AS had_data,
+         d.mean_value
+  FROM spine s LEFT JOIN d ON s.day = d.day AND s.event_type = d.event_type
+)
+SELECT CAST(day AS VARCHAR) AS day, event_type, n_events, had_data,
+       last_value(mean_value IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS mean_value_ffill
+FROM j
+""".format(mean_q=qround_sql("avg(value)", 6)),
+)
+def events_daily_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling (resample-to-daily): a dense day × type
+    spine over the observed span, daily counts zero-filled and the
+    daily mean value carried FORWARD over gaps (last-observation-
+    carried-forward) — the densification step every downstream
+    time-series consumer (the anomaly z-scores, forecasting, chart
+    backends) wants instead of silently skipping empty days.
+
+    The carried value is ROUNDED at the daily grain BEFORE the fill,
+    so the fill copies identical doubles in both engines.  Scale
+    shape: the spine is days × types rows built from a 1-row bounds
+    aggregate (broadcast cross join) — never from the facts; the fill
+    is one linear window over the spine.  (This synthetic dataset has
+    no empty days — had_data is all 1; gap behavior is pinned by the
+    planted pytest.)"""
+    return daily_dense(table(spark, sf_dir, "events"))
+
+
+def daily_dense(e: DataFrame) -> DataFrame:
+    """Library form of events_daily_dense (so tests can plant gaps)."""
+    from pyspark.sql import Window
+
+    bounds = e.agg(
+        F.min(F.date_trunc("day", "ts")).cast("date").alias("d0"),
+        F.max(F.date_trunc("day", "ts")).cast("date").alias("d1"),
+    )
+    types = e.select("event_type").distinct()
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day")
+        )
+        .crossJoin(types)
+    )
+    d = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        qround(F.avg("value"), 6).alias("mean_value"),
+    )
+    j = spine.join(d, ["day", "event_type"], "left").select(
+        "day",
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.col("n").isNotNull().cast("int").alias("had_data"),
+        "mean_value",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        "n_events",
+        "had_data",
+        F.last("mean_value", ignorenulls=True).over(w).alias(
+            "mean_value_ffill"
+        ),
+    )

@@ -261,3 +261,61 @@ def test_scd2_null_values_open_their_own_interval(spark):
     u2 = sorted(out[2], key=lambda r: r["valid_from"])
     assert [r["value"] for r in u2] == [None, 3.0]
     assert [r["is_current"] for r in u2] == [0, 1]
+
+
+# --- gap filling ------------------------------------------------------------
+
+def test_daily_dense_fills_gaps_and_carries_forward(spark):
+    from recsys_spark_spark.plans.windows_extra import daily_dense
+
+    day = dt.timedelta(days=1)
+    rows = (
+        [(i, TS0, 1, "a", 10.0) for i in range(2)]          # day 0: mean 10
+        + [(10, TS0 + day, 1, "a", 20.0)]                   # day 1: mean 20
+        + [(20, TS0 + 3 * day, 1, "a", 40.0)]               # day 3 (day 2 GAP)
+        + [(30, TS0 + day, 1, "b", 5.0)]                    # b only on day 1
+    )
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {(r["event_type"], r["day"]): r for r in daily_dense(e).collect()}
+    # dense spine: global span (4 days) x both types
+    assert len(out) == 8
+    gap = out[("a", "2024-01-03")]
+    assert (gap["n_events"], gap["had_data"]) == (0, 0)
+    assert gap["mean_value_ffill"] == 20.0  # carried from day 1
+    assert out[("a", "2024-01-04")]["mean_value_ffill"] == 40.0
+    # b has no data before day 1: zero-filled row with NULL carry
+    b0 = out[("b", "2024-01-01")]
+    assert (b0["n_events"], b0["mean_value_ffill"]) == (0, None)
+    assert out[("b", "2024-01-04")]["mean_value_ffill"] == 5.0
+
+
+# --- fuzzy record linkage ---------------------------------------------------
+
+def test_fuzzy_pairs_hand_computed(spark):
+    from recsys_spark_spark.plans.linkage import fuzzy_pairs
+
+    names = spark.createDataFrame(
+        [("abc",), ("abd",), ("abcd",), ("xyz",), ("abc",)], "name string"
+    )
+    out = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in fuzzy_pairs(names).collect()
+    }
+    # substitution, insertion, and insertion-vs-substituted all at d=1
+    assert out == {
+        ("abc", "abd"): 1,
+        ("abc", "abcd"): 1,
+        ("abcd", "abd"): 1,
+    }
+
+
+def test_fuzzy_pairs_bucket_cap_drops_hot_variants(spark):
+    from recsys_spark_spark.plans.linkage import fuzzy_pairs
+
+    names = spark.createDataFrame(
+        [("abc",), ("abd",), ("abcd",)], "name string"
+    )
+    # cap 1 drops every shared variant bucket -> no candidates at all
+    assert fuzzy_pairs(names, max_bucket=1).count() == 0
