@@ -386,9 +386,10 @@ def events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Warm-up cells (< 3 prior observations) and zero-variance baselines
     emit NULL stats and are never flagged.  The trailing frame is
     7 prior OBSERVATIONS, not calendar days — on a gappy series the
-    baseline stretches back; document-level choice mirrored in the
-    oracle.  Scale shape: the window runs over the tiny
-    (days × types) aggregate, never over raw events."""
+    baseline stretches back; for a calendar-true baseline compose
+    with :func:`daily_dense` (zero-filled spine) upstream.  Scale
+    shape: the window runs over the tiny (days × types) aggregate,
+    never over raw events."""
     return daily_anomalies(table(spark, sf_dir, "events"))
 
 
