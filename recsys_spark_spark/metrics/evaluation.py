@@ -94,6 +94,28 @@ def ap_coefficient(k: int, rank: int) -> float:
     return total
 
 
+def dcg_coefficient(rank: int) -> float:
+    """Binary-relevance DCG discount 1/log2(rank+1).
+
+    Computed ONCE here in Python and shipped to both engines as the
+    identical double literal (Spark ``F.lit``, oracle
+    ``CAST('<repr>' AS DOUBLE)``) — log2 never runs inside either
+    engine, so the one transcendental in NDCG cannot introduce
+    cross-engine ulp noise."""
+    import math
+
+    return 1.0 / math.log2(rank + 1)
+
+
+def idcg(k: int, n_rel: int) -> float:
+    """Ideal DCG@k for n_rel relevant items: Σ_{i=1..min(k,n)} g(i),
+    accumulated ascending (same literal-shipping contract)."""
+    total = 0.0
+    for i in range(1, min(k, n_rel) + 1):
+        total = total + dcg_coefficient(i)
+    return total
+
+
 def ranking_metrics(
     spark: SparkSession,
     recommended: DataFrame,
@@ -108,7 +130,11 @@ def ranking_metrics(
     empty-relevant rule).
     """
     coeff = spark.createDataFrame(
-        [(r, ap_coefficient(k, r)) for r in range(1, k + 1)], ["rank", "c"]
+        [
+            (r, ap_coefficient(k, r), dcg_coefficient(r))
+            for r in range(1, k + 1)
+        ],
+        ["rank", "c", "g"],
     )
     # SET semantics, like the reference (and compat.RankingMetrics,
     # which materializes Python sets): duplicate (user, item) rows in
@@ -120,7 +146,11 @@ def ranking_metrics(
     per_user_hits = (
         hits.join(F.broadcast(coeff), "rank")
         .groupBy("user_id")
-        .agg(F.count("*").alias("n_hits"), F.sum("c").alias("c_sum"))
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.sum("c").alias("c_sum"),
+            F.sum("g").alias("g_sum"),
+        )
     )
     rel_counts = relevant.groupBy("user_id").agg(F.count("*").alias("n_rel"))
     users = recommended.select("user_id").distinct()
@@ -138,7 +168,24 @@ def ranking_metrics(
             )
             .alias("r_at_k"),
             (F.coalesce("c_sum", F.lit(0.0)) / F.lit(float(k))).alias("ap_at_k"),
+            _ndcg_col(k).alias("ndcg_at_k"),
         )
+    )
+
+
+def _ndcg_col(k: int):
+    """NDCG@k (binary relevance): DCG over hit ranks ÷ ideal DCG for
+    the user's relevant count; 0 when no relevant items exist.  The
+    IDCG lookup is a literal CASE over n_rel (clamped at k), mirroring
+    the oracle's CASE — no engine-side log anywhere."""
+    ideal = F.lit(idcg(k, k))
+    for n in range(k - 1, 0, -1):
+        ideal = F.when(F.col("n_rel") == n, F.lit(idcg(k, n))).otherwise(
+            ideal
+        )
+    return (
+        F.when(F.col("n_rel").isNull() | (F.col("n_rel") == 0), F.lit(0.0))
+        .otherwise(F.coalesce("g_sum", F.lit(0.0)) / ideal)
     )
 
 
@@ -149,5 +196,6 @@ def ranking_metrics_summary(per_user: DataFrame) -> DataFrame:
         qround(F.avg("p_at_k"), R6).alias("mean_p"),
         qround(F.avg("r_at_k"), R6).alias("mean_r"),
         qround(F.avg("ap_at_k"), R6).alias("mean_ap"),
+        qround(F.avg("ndcg_at_k"), R6).alias("mean_ndcg"),
         F.count("*").alias("n_users"),
     )

@@ -682,14 +682,32 @@ HAVING sum(abs(sim)) <> 0
 
 
 def _coeff_values_sql(k: int) -> str:
-    """AP@k coefficient rows; the 1.0/i sum is written left-to-right so
-    DuckDB evaluates the identical IEEE op sequence as
-    metrics.evaluation.ap_coefficient."""
+    """AP@k + DCG coefficient rows; the 1.0/i sum is written
+    left-to-right so DuckDB evaluates the identical IEEE op sequence
+    as metrics.evaluation.ap_coefficient, and the DCG discount ships
+    as the Python-computed double literal (metrics.evaluation.
+    dcg_coefficient) so log2 never runs engine-side."""
+    from ..metrics.evaluation import dcg_coefficient
+
     rows = []
     for r in range(1, k + 1):
         expr = " + ".join(f"1.0/{i}" for i in range(r, k + 1))
-        rows.append(f"({r}, {expr})")
+        g = f"CAST('{dcg_coefficient(r)!r}' AS DOUBLE)"
+        rows.append(f"({r}, {expr}, {g})")
     return ", ".join(rows)
+
+
+def _idcg_case_sql(k: int) -> str:
+    """CASE over rc.n_rel → ideal DCG literal (clamped at k), the
+    oracle twin of metrics.evaluation._ndcg_col."""
+    from ..metrics.evaluation import idcg
+
+    parts = [f"WHEN rc.n_rel >= {k} THEN CAST('{idcg(k, k)!r}' AS DOUBLE)"]
+    for n in range(k - 1, 0, -1):
+        parts.append(
+            f"WHEN rc.n_rel = {n} THEN CAST('{idcg(k, n)!r}' AS DOUBLE)"
+        )
+    return "CASE " + " ".join(parts) + " END"
 
 
 def _ranking_eval_sql(kernel: str, prefilter: int, k_neighbors: int, k: int) -> str:
@@ -704,7 +722,7 @@ relevant AS (
   WITH {SPLIT_RATINGS_CTE}
   SELECT user_id, item_id FROM test WHERE rating >= {RELEVANT_THRESHOLD}
 ),
-coeff(rank, c) AS (VALUES {_coeff_values_sql(k)}),
+coeff(rank, c, g) AS (VALUES {_coeff_values_sql(k)}),
 hits AS (
   SELECT r.user_id, r.rank
   FROM rec r JOIN relevant USING (user_id, item_id)
@@ -714,10 +732,13 @@ per_user AS (
          coalesce(h.n_hits, 0) / {float(k)} AS p_at_k,
          CASE WHEN rc.n_rel IS NULL OR rc.n_rel = 0 THEN 0.0
               ELSE coalesce(h.n_hits, 0) / CAST(rc.n_rel AS DOUBLE) END AS r_at_k,
-         coalesce(h.c_sum, 0.0) / {float(k)} AS ap_at_k
+         coalesce(h.c_sum, 0.0) / {float(k)} AS ap_at_k,
+         CASE WHEN rc.n_rel IS NULL OR rc.n_rel = 0 THEN 0.0
+              ELSE coalesce(h.g_sum, 0.0) / ({_idcg_case_sql(k)}) END
+           AS ndcg_at_k
   FROM (SELECT DISTINCT user_id FROM rec) u
   LEFT JOIN (
-    SELECT user_id, count(*) AS n_hits, sum(c) AS c_sum
+    SELECT user_id, count(*) AS n_hits, sum(c) AS c_sum, sum(g) AS g_sum
     FROM hits JOIN coeff USING (rank) GROUP BY 1
   ) h USING (user_id)
   LEFT JOIN (
@@ -727,6 +748,7 @@ per_user AS (
 SELECT floor((avg(p_at_k)) * 1000000.0 + 0.5) / 1000000.0 AS mean_p,
        floor((avg(r_at_k)) * 1000000.0 + 0.5) / 1000000.0 AS mean_r,
        floor((avg(ap_at_k)) * 1000000.0 + 0.5) / 1000000.0 AS mean_ap,
+       floor((avg(ndcg_at_k)) * 1000000.0 + 0.5) / 1000000.0 AS mean_ndcg,
        count(*) AS n_users
 FROM per_user
 """.strip()

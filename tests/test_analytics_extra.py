@@ -319,3 +319,38 @@ def test_fuzzy_pairs_bucket_cap_drops_hot_variants(spark):
     )
     # cap 1 drops every shared variant bucket -> no candidates at all
     assert fuzzy_pairs(names, max_bucket=1).count() == 0
+
+
+# --- NDCG@k -----------------------------------------------------------------
+
+def test_ndcg_hand_computed(spark):
+    import math
+
+    from recsys_spark_spark.metrics.evaluation import ranking_metrics
+
+    # user 1: hits at ranks 1 and 3; 2 relevant items -> IDCG = g1+g2
+    rec = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 10, 1)],
+        "user_id long, item_id long, rank int",
+    )
+    rel = spark.createDataFrame(
+        [(1, 10), (1, 12)], "user_id long, item_id long"
+    )
+    out = {r["user_id"]: r for r in ranking_metrics(spark, rec, rel, k=3).collect()}
+    g = lambda r: 1.0 / math.log2(r + 1)
+    expected = (g(1) + g(3)) / (g(1) + g(2))
+    assert abs(out[1]["ndcg_at_k"] - expected) < 1e-12
+    assert out[2]["ndcg_at_k"] == 0.0  # no relevant items -> 0
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    from recsys_spark_spark.metrics.evaluation import ranking_metrics
+
+    rec = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "user_id long, item_id long, rank int"
+    )
+    rel = spark.createDataFrame(
+        [(1, 10), (1, 11)], "user_id long, item_id long"
+    )
+    row = ranking_metrics(spark, rec, rel, k=2).collect()[0]
+    assert abs(row["ndcg_at_k"] - 1.0) < 1e-12
