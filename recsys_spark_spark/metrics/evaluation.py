@@ -150,6 +150,7 @@ def ranking_metrics(
             F.count("*").alias("n_hits"),
             F.sum("c").alias("c_sum"),
             F.sum("g").alias("g_sum"),
+            F.min("rank").alias("first_hit"),
         )
     )
     rel_counts = relevant.groupBy("user_id").agg(F.count("*").alias("n_rel"))
@@ -169,6 +170,13 @@ def ranking_metrics(
             .alias("r_at_k"),
             (F.coalesce("c_sum", F.lit(0.0)) / F.lit(float(k))).alias("ap_at_k"),
             _ndcg_col(k).alias("ndcg_at_k"),
+            # MRR@k: reciprocal rank of the FIRST hit (pure rational
+            # arithmetic — identical in both engines), 0 when no hit
+            F.when(
+                F.col("first_hit").isNull(), F.lit(0.0)
+            )
+            .otherwise(F.lit(1.0) / F.col("first_hit"))
+            .alias("rr_at_k"),
         )
     )
 
@@ -197,5 +205,6 @@ def ranking_metrics_summary(per_user: DataFrame) -> DataFrame:
         qround(F.avg("r_at_k"), R6).alias("mean_r"),
         qround(F.avg("ap_at_k"), R6).alias("mean_ap"),
         qround(F.avg("ndcg_at_k"), R6).alias("mean_ndcg"),
+        qround(F.avg("rr_at_k"), R6).alias("mean_mrr"),
         F.count("*").alias("n_users"),
     )

@@ -735,10 +735,13 @@ per_user AS (
          coalesce(h.c_sum, 0.0) / {float(k)} AS ap_at_k,
          CASE WHEN rc.n_rel IS NULL OR rc.n_rel = 0 THEN 0.0
               ELSE coalesce(h.g_sum, 0.0) / ({_idcg_case_sql(k)}) END
-           AS ndcg_at_k
+           AS ndcg_at_k,
+         CASE WHEN h.first_hit IS NULL THEN 0.0
+              ELSE 1.0 / h.first_hit END AS rr_at_k
   FROM (SELECT DISTINCT user_id FROM rec) u
   LEFT JOIN (
-    SELECT user_id, count(*) AS n_hits, sum(c) AS c_sum, sum(g) AS g_sum
+    SELECT user_id, count(*) AS n_hits, sum(c) AS c_sum, sum(g) AS g_sum,
+           min(rank) AS first_hit
     FROM hits JOIN coeff USING (rank) GROUP BY 1
   ) h USING (user_id)
   LEFT JOIN (
@@ -749,6 +752,7 @@ SELECT floor((avg(p_at_k)) * 1000000.0 + 0.5) / 1000000.0 AS mean_p,
        floor((avg(r_at_k)) * 1000000.0 + 0.5) / 1000000.0 AS mean_r,
        floor((avg(ap_at_k)) * 1000000.0 + 0.5) / 1000000.0 AS mean_ap,
        floor((avg(ndcg_at_k)) * 1000000.0 + 0.5) / 1000000.0 AS mean_ndcg,
+       floor((avg(rr_at_k)) * 1000000.0 + 0.5) / 1000000.0 AS mean_mrr,
        count(*) AS n_users
 FROM per_user
 """.strip()

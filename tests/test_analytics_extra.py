@@ -354,3 +354,18 @@ def test_ndcg_perfect_ranking_is_one(spark):
     )
     row = ranking_metrics(spark, rec, rel, k=2).collect()[0]
     assert abs(row["ndcg_at_k"] - 1.0) < 1e-12
+
+
+def test_mrr_hand_computed(spark):
+    from recsys_spark_spark.metrics.evaluation import ranking_metrics
+
+    rec = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 10, 1), (2, 11, 2)],
+        "user_id long, item_id long, rank int",
+    )
+    rel = spark.createDataFrame(
+        [(1, 11), (2, 99)], "user_id long, item_id long"
+    )
+    out = {r["user_id"]: r["rr_at_k"] for r in ranking_metrics(spark, rec, rel, k=2).collect()}
+    assert out[1] == 0.5   # first hit at rank 2
+    assert out[2] == 0.0   # relevant item never recommended
