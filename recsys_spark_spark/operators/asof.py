@@ -37,26 +37,36 @@ def asof_join(
     ``tiebreak``: column present on BOTH sides ordering simultaneous
     rows deterministically (right rows at exactly left.ts DO match —
     at-or-before semantics; among equal-ts right rows the highest
-    tiebreak wins).  Returns all left columns + ``out_col``.
+    tiebreak wins).  Without it, each side orders by its OWN ts column
+    (``left_ts`` on left, ``right_ts`` on right — never the other
+    side's name).  Returns all left columns + ``out_col``.
+
+    A genuine NULL in the right table's ``value_col`` is a real
+    observation: the right rows are struct-wrapped before the
+    ``last(ignorenulls)`` carry, so the most recent right record wins
+    even when its value is NULL (a bare-column carry would silently
+    serve the older non-NULL value instead).
     """
     out_col = out_col or f"asof_{value_col}"
-    tb = tiebreak or left_ts
+    tb_l = tiebreak or left_ts
+    tb_r = tiebreak or right_ts
 
     lcols = left.columns
+    vtype = right.schema[value_col].dataType
     l = left.select(
         F.col(by).alias("_k"),
         F.col(left_ts).alias("_ts"),
-        F.col(tb).alias("_tb"),
+        F.col(tb_l).alias("_tb"),
         F.lit(1).alias("_is_l"),
-        F.lit(None).cast(right.schema[value_col].dataType).alias("_v"),
+        F.lit(None).cast(f"struct<v: {vtype.simpleString()}>").alias("_v"),
         F.struct(*lcols).alias("_row"),
     )
     r = right.select(
         F.col(by).alias("_k"),
         F.col(right_ts).alias("_ts"),
-        F.col(tb).alias("_tb"),
+        F.col(tb_r).alias("_tb"),
         F.lit(0).alias("_is_l"),
-        F.col(value_col).alias("_v"),
+        F.struct(F.col(value_col).alias("v")).alias("_v"),
         F.lit(None).cast(l.schema["_row"].dataType).alias("_row"),
     )
     w = (
@@ -65,7 +75,7 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tagged = l.unionByName(r).withColumn(
-        "_asof", F.last("_v", ignorenulls=True).over(w)
+        "_asof", F.last("_v", ignorenulls=True).over(w)["v"]
     )
     return tagged.where(F.col("_is_l") == 1).select(
         *[F.col("_row")[c].alias(c) for c in lcols],

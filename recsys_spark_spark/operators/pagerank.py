@@ -77,9 +77,21 @@ def pagerank(
     ``edges`` must be directed (both ways for an undirected graph)
     with a DOUBLE weight column ``w``.  Deterministic: quantized each
     iteration, so equal inputs give bit-equal ranks in any engine
-    replaying the same arithmetic."""
+    replaying the same arithmetic.
+
+    The node set is src ∪ dst, so pure sinks (nodes with only
+    incoming edges) get rank rows and receive their mass.  Dangling
+    mass is NOT redistributed (a sink's rank is absorbed, the classic
+    simplification) — on the symmetrized co-rating caller every node
+    has out-edges, so this never fires there; documented rather than
+    hidden."""
     edges = edges.cache()
-    nodes = edges.select(F.col("src").alias("id")).distinct().cache()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .cache()
+    )
     n_df = F.broadcast(nodes.agg(F.count("*").cast("double").alias("n")))
     deg = (
         edges.groupBy("src")

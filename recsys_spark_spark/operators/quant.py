@@ -121,11 +121,15 @@ def knn_bruteforce_int8(
     shuffles (WindowGroupLimit-pruned).  The int dot stays < 2⁶³
     (127² · dim) — exact integer math in both engines."""
     qz = quantize_embeddings(embs, vec_col, id_col)
+    # flat feeds four subtrees (norms used as nq AND nb, the broadcast
+    # query side, the base dot side) — persist so one action quantizes
+    # and explodes the source once, not ~4x (same multi-consumer
+    # discipline as operators/dedup.py's persisted shingles)
     flat = qz.select(
         "id",
         "scale",
         F.posexplode("qvec").alias("pos", "qv"),
-    )
+    ).persist()
     norms = flat.groupBy("id").agg(
         F.sqrt(F.sum(F.col("qv").cast("bigint") * F.col("qv"))).alias("qnrm")
     )

@@ -27,10 +27,11 @@ WITH u AS (
 ),
 w AS (
   SELECT event_id, user_id, ts, is_l,
-         last_value(pval IGNORE NULLS) OVER (
+         (last_value(CASE WHEN is_l = 0 THEN {'v': pval} END
+                     IGNORE NULLS) OVER (
            PARTITION BY user_id ORDER BY ts, is_l, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS last_purchase_value
+         )).v AS last_purchase_value
   FROM u
 )
 SELECT event_id, user_id, ts, last_purchase_value

@@ -12,6 +12,7 @@ from .joins import purchase_view_join_stream
 from .stateful import running_user_totals_stream
 from .windows import (
     daily_counts_stream,
+    histogram_sketch_stream,
     read_events_stream,
     run_stream_once,
     session_rows_stream,
@@ -23,6 +24,7 @@ __all__ = [
     "daily_counts_stream",
     "session_rows_stream",
     "sliding_counts_stream",
+    "histogram_sketch_stream",
     "run_stream_once",
     "running_user_totals_stream",
     "dedup_docs_stream",
