@@ -258,6 +258,13 @@ def top_k_neighbors(
     before ranking so rank order is robust to last-ulp float noise
     (important when results are hash-compared against another engine).
     """
+    if "sim" not in sims.columns:
+        raise ValueError(
+            "top_k_neighbors expects the single-kernel pairwise shape "
+            f"with a 'sim' column; got {sims.columns} — for multi-kernel "
+            "output (sim_<kernel> columns) select/alias the kernel to "
+            "rank by first"
+        )
     a, b = sims.columns[0], sims.columns[1]
     sim = qround("sim", round_to) if round_to is not None else F.col("sim")
     ranked = sims.withColumn("_s", sim).withColumn(

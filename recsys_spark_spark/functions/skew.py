@@ -36,6 +36,18 @@ def salted_join(
         raise ValueError("salted_join supports how='inner' or 'left'")
     lcols = [c for c in left.columns]
     rcols = [c for c in right.columns if c != key]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(
+            f"salted_join: non-key column(s) {sorted(overlap)} exist on "
+            "both sides — the post-join projection would be ambiguous; "
+            "rename or drop them on one side first"
+        )
+    if "_salt" in lcols or "_salt" in rcols:
+        raise ValueError(
+            "salted_join: '_salt' is reserved for the salting key; "
+            "rename the existing column first"
+        )
     l = left.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in lcols]), n_salts)
     )

@@ -154,7 +154,16 @@ def ranking_metrics(
         )
     )
     rel_counts = relevant.groupBy("user_id").agg(F.count("*").alias("n_rel"))
-    users = recommended.select("user_id").distinct()
+    # evaluation universe = recommended ∪ relevant users: a user who
+    # holds relevant items but received NO recommendations (cold-start
+    # drop, empty candidate set) must score 0 in the averages — the
+    # reference harness iterates test users, so dropping them would
+    # silently inflate every mean
+    users = (
+        recommended.select("user_id")
+        .unionByName(relevant.select("user_id"))
+        .distinct()
+    )
     return (
         users.join(per_user_hits, "user_id", "left")
         .join(rel_counts, "user_id", "left")

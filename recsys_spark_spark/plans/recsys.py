@@ -738,7 +738,7 @@ per_user AS (
            AS ndcg_at_k,
          CASE WHEN h.first_hit IS NULL THEN 0.0
               ELSE 1.0 / h.first_hit END AS rr_at_k
-  FROM (SELECT DISTINCT user_id FROM rec) u
+  FROM (SELECT user_id FROM rec UNION SELECT user_id FROM relevant) u
   LEFT JOIN (
     SELECT user_id, count(*) AS n_hits, sum(c) AS c_sum, sum(g) AS g_sum,
            min(rank) AS first_hit

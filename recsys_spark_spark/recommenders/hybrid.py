@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import qround
 
-SCORE_ROUND = 6
+# the blend must quantize on the SAME grid as the children's scores —
+# import, don't redefine, so the two can never drift apart
+from .neighborhood import SCORE_ROUND
 
 
 def _normalize(rec: DataFrame, weight: float) -> DataFrame:

@@ -37,7 +37,10 @@ from pyspark.sql import functions as F
 
 
 def rule_counts(
-    sequences: DataFrame, rules: DataFrame, bitmask_max_tags: int = 62
+    sequences: DataFrame,
+    rules: DataFrame,
+    bitmask_max_tags: int = 62,
+    tags: list | None = None,
 ) -> DataFrame:
     """J6/U6: per-rule sequence-containment counts, replacing the
     reference's getSupport UDF that closes over ALL transactions
@@ -63,11 +66,18 @@ def rule_counts(
     Rule tags absent from every sequence poison the rule mask with a
     bit no sequence has, so containment correctly fails (they cannot
     be dropped: dropping would make the test vacuously pass).  >62
-    tags falls back to the explode-join form."""
-    tag_rows = (
-        sequences.select(F.explode("items").alias("t")).distinct().collect()
-    )  # bounded by the tag alphabet, never by data
-    tags = sorted(r["t"] for r in tag_rows)
+    tags falls back to the explode-join form.
+
+    ``tags``: the sorted tag alphabet, if the caller already collected
+    it (SequentialTopK.fit does, once, for this AND recommend());
+    collected here otherwise."""
+    if tags is None:
+        tag_rows = (
+            sequences.select(F.explode("items").alias("t"))
+            .distinct()
+            .collect()
+        )  # bounded by the tag alphabet, never by data
+        tags = sorted(r["t"] for r in tag_rows)
     if not tags:
         # no sequences → nothing is contained
         return rules.select(
@@ -179,7 +189,13 @@ class SequentialTopK:
     min_confidence: float = 0.2
     min_support_seq: float = 0.01
     min_confidence_seq: float = 0.05
+    #: HashingTF width for the KMEANS stand-in path ONLY
+    #: (cluster_method="kmeans"); the default SOM path hashes baskets
+    #: with ``som_hash_dim`` dense buckets instead
     hash_features: int = 4096
+    #: dense hashed-feature width for the SOM path (Arrow-friendly
+    #: array<double>; 64 keeps the per-iteration BMU matmul cheap)
+    som_hash_dim: int = 64
     #: clustering iteration budget — the reference's SOM runs
     #: setMaxIter(5) (SequentialTopKRecommender.scala:403-416)
     max_iter: int = 5
@@ -236,6 +252,15 @@ class SequentialTopK:
     sequences_: DataFrame | None = field(default=None, repr=False)
     cluster_votes_: DataFrame | None = field(default=None, repr=False)
     seen_: DataFrame | None = field(default=None, repr=False)
+    #: sorted tag alphabet, collected ONCE at fit time (recommend()
+    #: and rule_counts both need it; re-collecting per call paid an
+    #: extra Spark job and risked the two mask builders drifting)
+    tags_: list | None = field(default=None, repr=False)
+    #: fit-scoped caches (baskets, SOM features, FPGrowth lattice,
+    #: intermediate rule set) — unpersisted at the END of fit, once
+    #: every model DataFrame is materialized; without this each fit in
+    #: a session (CV loops, parameter sweeps) leaked executor storage
+    _fit_caches: list = field(default_factory=list, repr=False)
     #: wall-clock seconds per fit stage (cluster / sequences / rules /
     #: votes) — populated by fit(); bench.py reports it so stage-level
     #: regressions are visible round-over-round
@@ -292,7 +317,10 @@ class SequentialTopK:
             # every scan replays the whole upstream DAG (parquet →
             # ratings → baskets → hash features) — measured 176 s vs
             # ~40 s at sf0.01
-            feats = dense_hash_features(baskets, "items").persist()
+            feats = dense_hash_features(
+                baskets, "items", dim=self.som_hash_dim
+            ).persist()
+            self._fit_caches.append(feats)
             som = BatchSOM(
                 height=self.grid_height,
                 width=self.grid_width,
@@ -388,6 +416,7 @@ class SequentialTopK:
         # itemset lattice twice in ONE action; without materialized
         # blocks both scans would re-run the FPGrowth mining
         freq = model.freqItemsets.cache()
+        self._fit_caches.append(freq)
         freq.count()
         # one candidate per (itemset Z, current-period member y):
         # antecedent X = Z \ {y} keeping Z's canonical order, joined
@@ -454,6 +483,7 @@ class SequentialTopK:
             .withColumn("rule_id", F.monotonically_increasing_id())
             .cache()
         )
+        self._fit_caches.append(rules)
 
         if n_seq == 0:
             return rules.withColumn("support", F.lit(0.0)).withColumn(
@@ -462,7 +492,9 @@ class SequentialTopK:
 
         # J6: subset test via bitmask containment / tag-join fallback
         # (rule_counts) over broadcast rules
-        counts = rule_counts(sequences, rules, self.bitmask_max_tags)
+        counts = rule_counts(
+            sequences, rules, self.bitmask_max_tags, tags=self.tags_
+        )
         scored = (
             rules.join(counts, "rule_id")
             .withColumn("support", F.col("n_xy") / F.lit(float(n_seq)))
@@ -505,7 +537,9 @@ class SequentialTopK:
         # persist: _with_periods consumes baskets twice (the 1-row
         # span-bounds aggregate + the main branch), which would re-run
         # the upstream interactions join + basket groupBy
+        self._fit_caches = []
         baskets = self._baskets(interactions).persist()
+        self._fit_caches.append(baskets)
         with_periods = self._with_periods(baskets)
         clustered, _ = self._cluster(with_periods)
         clustered = clustered.cache()
@@ -517,6 +551,17 @@ class SequentialTopK:
         # (first scan of a cached plan materializes it) — no separate
         # clustered.count() pass needed
         self.sequences_.count()  # O(users) rows
+        # the tag alphabet (≤ grid cells × periods values) is fixed
+        # once sequences exist — collect it ONCE for both rule_counts
+        # (fit) and recommend() mask building
+        self.tags_ = sorted(
+            r["t"]
+            for r in self.sequences_.select(
+                F.explode("items").alias("t")
+            )
+            .distinct()
+            .collect()
+        )
         _lap("sequences")
         self.rules_ = self._mine_rules(self.sequences_).cache()
         self.rules_.count()  # ≤ max_rules rows
@@ -570,6 +615,11 @@ class SequentialTopK:
         ).distinct().cache()
         self.seen_.count()
         _lap("seen")
+        # every model DataFrame (baskets_/sequences_/rules_/votes/seen)
+        # is materialized above — the fit-scoped intermediates can go
+        for df in self._fit_caches:
+            df.unpersist()
+        self._fit_caches = []
         self.timings_ = timings
         return self
 
@@ -603,12 +653,15 @@ class SequentialTopK:
         # no sort happens at all (measured 7.4 s → 2.2 s at sf0.1,
         # bit-identical output incl. tie-breaks).  >62 tags falls back
         # to the explode-join + rank window.
-        tag_rows = (
-            self.sequences_.select(F.explode("items").alias("t"))
-            .distinct()
-            .collect()
-        )  # bounded by the tag alphabet, never by data
-        tags = sorted(r["t"] for r in tag_rows)
+        if self.tags_ is not None:
+            tags = self.tags_  # collected once at fit time
+        else:
+            tag_rows = (
+                self.sequences_.select(F.explode("items").alias("t"))
+                .distinct()
+                .collect()
+            )  # bounded by the tag alphabet, never by data
+            tags = sorted(r["t"] for r in tag_rows)
         cc = F.split(F.element_at("consequent", 1), "_").getItem(0).cast("int")
         if len(tags) <= self.bitmask_max_tags:
             lits: list = []

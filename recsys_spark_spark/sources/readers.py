@@ -66,8 +66,10 @@ def ensure_session_confs(spark: SparkSession) -> None:
       and right-sized exchanges (see session.get_spark).  200-way
       exchanges on a laptop-scale session cost ~2-3× on the CF
       queries (measured 37.6 s vs 15 s for user_topk_cosine at
-      sf0.01).  A session the user tuned themselves (any non-default
-      value) is left alone.
+      sf0.01).  A session the user tuned to any value OTHER than 200
+      is left alone; a deliberate tune TO exactly 200 is
+      indistinguishable from the untouched stock default and is
+      treated as untouched (pick 199 or 201 to pin the stock plan).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -369,3 +369,22 @@ def test_mrr_hand_computed(spark):
     out = {r["user_id"]: r["rr_at_k"] for r in ranking_metrics(spark, rec, rel, k=2).collect()}
     assert out[1] == 0.5   # first hit at rank 2
     assert out[2] == 0.0   # relevant item never recommended
+
+
+def test_ranking_metrics_scores_unrecommended_users_as_zero(spark):
+    """Regression: a user holding relevant items but receiving no
+    recommendations must appear in the per-user metrics with zeros,
+    not vanish from the averages."""
+    from recsys_spark_spark.metrics.evaluation import ranking_metrics
+
+    rec = spark.createDataFrame(
+        [(1, 10, 1)], "user_id long, item_id long, rank int"
+    )
+    rel = spark.createDataFrame(
+        [(1, 10), (2, 20)], "user_id long, item_id long"
+    )
+    out = {r["user_id"]: r for r in ranking_metrics(spark, rec, rel, k=1).collect()}
+    assert set(out) == {1, 2}
+    u2 = out[2]
+    assert (u2["p_at_k"], u2["r_at_k"], u2["ap_at_k"], u2["ndcg_at_k"],
+            u2["rr_at_k"]) == (0.0, 0.0, 0.0, 0.0, 0.0)
