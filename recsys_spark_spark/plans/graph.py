@@ -65,7 +65,12 @@ edges AS (
   FROM r2 a JOIN r2 b ON a.user_id = b.user_id AND a.item_id <> b.item_id
   GROUP BY 1, 2
 ),
-nodes AS (SELECT DISTINCT src AS id FROM edges),
+nodes AS (
+  -- src UNION dst, mirroring operators/pagerank.py: identical on this
+  -- symmetric co-rating graph, but a reuse with an asymmetric edge
+  -- set must not silently drop sink nodes from the oracle side
+  SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges
+),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
 deg AS (SELECT src, CAST(sum(w) AS DOUBLE) AS deg FROM edges GROUP BY 1),
 pr0 AS (SELECT id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),

@@ -25,6 +25,20 @@ KNN_K = 5
 
 
 # --- exact dedup (L1) ------------------------------------------------------
+def _norm_text() -> "F.Column":
+    """The canonicalization (lowercase, strip punctuation, collapse
+    whitespace) SHARED by dedup_docs and normalized_dup_groups — one
+    definition so the registered query and the library helper can
+    never drift apart."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+
+
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
     """Exact duplicate groups by content hash; keeper = min doc_id.
     At 100 TB this is one hash-partitioned shuffle on a 32-char key —
@@ -74,11 +88,7 @@ def dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_exact_docs + dedup_normalized_docs registry entries — same
     grain, one scan.)"""
     d = table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
-        )
-    )
+    norm = _norm_text()
     we = Window.partitionBy("text_hash")
     wn = Window.partitionBy("norm_hash")
     return (
@@ -114,11 +124,7 @@ def normalized_dup_groups(docs: DataFrame) -> DataFrame:
     punctuation, collapse whitespace) then hash — catches
     formatting-only duplicates; the probabilistic flavors (MinHash,
     SimHash) are in operators/dedup.py."""
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
-        )
-    )
+    norm = _norm_text()
     return (
         docs.groupBy(F.md5(norm.cast("binary")).alias("norm_hash"))
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))

@@ -48,6 +48,9 @@ QUALITY_MIN = 0.46
 #: languages the downstream tokenizer does not support (demo value —
 #: non-vacuous: the synthetic corpus has 5 langs incl. 'zh')
 DROP_LANGS = ("zh",)
+#: the same tuple as a SQL IN-list — interpolated into the oracle so
+#: the two sides can never desynchronize
+_DROP_LANGS_SQL = ", ".join(f"'{lg}'" for lg in DROP_LANGS)
 
 
 @register(
@@ -72,7 +75,7 @@ WITH scored AS (
 ),
 gate AS (
   SELECT * FROM scored
-  WHERE quality >= {QUALITY_MIN} AND lang NOT IN ('zh')
+  WHERE quality >= {QUALITY_MIN} AND lang NOT IN ({_DROP_LANGS_SQL})
 ),
 keep AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM gate GROUP BY 1),
 surv AS (SELECT g.* FROM gate g JOIN keep k ON k.doc_id = g.doc_id),
@@ -162,6 +165,15 @@ SAMPLE_PERMILLE = 200
 #: per-language keep rates (permille) — the shape `sampleBy` takes,
 #: but hash-deterministic: downsample over-represented languages
 STRATA_PERMILLE = {"en": 100, "de": 300, "fr": 300, "es": 300, "zh": 1000}
+#: the same table as a SQL CASE — generated from the dict so the
+#: oracle can never desynchronize from _strata_rate()
+_STRATA_CASE_SQL = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{lg}' THEN {pm}" for lg, pm in STRATA_PERMILLE.items()
+    )
+    + " ELSE 0 END"
+)
 
 
 
@@ -191,8 +203,7 @@ SELECT doc_id, lang, n_chars,
                  AS BIGINT) % 1000 < {SAMPLE_PERMILLE} AS INTEGER) AS in_sample,
        CAST(CAST(concat('0x', substr(md5(concat('strata|', CAST(doc_id AS VARCHAR))), 1, 15))
                  AS BIGINT) % 1000 <
-            CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300 WHEN 'fr' THEN 300
-                      WHEN 'es' THEN 300 WHEN 'zh' THEN 1000 ELSE 0 END
+            {_STRATA_CASE_SQL}
             AS INTEGER) AS in_strat_sample
 FROM documents
 """,

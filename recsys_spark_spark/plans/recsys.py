@@ -295,7 +295,14 @@ MIN_CO = 5
 # deepest k requested against a shared scored DF (see _rank_items)
 from ..recommenders.neighborhood import RANK_CACHE_K as _RANK_CACHE_K  # noqa: E402
 
-assert CHILD_K <= _RANK_CACHE_K, "hybrid CHILD_K exceeds RANK_CACHE_K"
+# explicit raise, not assert: under python -O an assert is stripped and
+# _rank_items would silently truncate the hybrid children to the cache
+# depth instead of CHILD_K
+if CHILD_K > _RANK_CACHE_K:
+    raise ValueError(
+        f"hybrid CHILD_K ({CHILD_K}) exceeds RANK_CACHE_K "
+        f"({_RANK_CACHE_K}) — deepen the shared rank cache"
+    )
 
 #: Skew guard for the co-rated self-join (O(Σ n_i²) pair rows per hot
 #: item).  500 is a deliberate no-op at oracle/bench scale — the
@@ -847,7 +854,10 @@ def user_cf_rmse_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     train, test = _split(spark, sf_dir)
     preds = predict_user_based(
-        train, test.select("user_id", "item_id"), k_neighbors=K_NEIGHBORS
+        train,
+        test.select("user_id", "item_id"),
+        k_neighbors=K_NEIGHBORS,
+        max_raters_per_item=MAX_RATERS_PER_ITEM,
     )
     return prediction_metrics(preds.join(test, ["user_id", "item_id"]))
 
@@ -911,7 +921,15 @@ def user_cf_cv5_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratings = _cached_ratings(spark, sf_dir)
 
     def predict(train: DataFrame, pairs: DataFrame) -> DataFrame:
-        return predict_user_based(train, pairs, k_neighbors=K_NEIGHBORS)
+        # same hot-key cap as every other CF plan (provable no-op at
+        # sf — max raters 53 < 500 — but the eval family must not be
+        # the one uncapped quadratic join at scale)
+        return predict_user_based(
+            train,
+            pairs,
+            k_neighbors=K_NEIGHBORS,
+            max_raters_per_item=MAX_RATERS_PER_ITEM,
+        )
 
     return crossval_prediction_metrics(ratings, predict, n_folds=5)
 
