@@ -16,7 +16,7 @@ import json
 import os
 import time
 
-from recsys_spark_spark.plans.registry import DEMOTED, QUERIES, _load_all
+from recsys_spark_spark.plans.registry import bench_queries
 from recsys_spark_spark.session import get_spark
 
 
@@ -28,21 +28,18 @@ def main() -> None:
         sf = -1.0
 
     spark = get_spark(app_name="recsys-spark-bench")
-    _load_all()
-    # the bench set spans both correctness tiers (registry.DEMOTED
-    # rotates round-to-round; the bench set must not)
-    bench = {
-        n: s for t in (QUERIES, DEMOTED) for n, s in t.items() if s.bench
-    }
+    # registry.bench_queries() spans both correctness tiers — the
+    # bench set must not rotate (see its docstring)
+    bench = bench_queries()
 
     # warm the JVM + parquet footers once with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
     stages: dict[str, dict] = {}
-    for name, spec in sorted(bench.items()):
+    for name, fn in sorted(bench.items()):
         t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
+        df = fn(spark, sf_dir)
         t_build = time.perf_counter() - t0
         # force full execution; count() alone can skip projections, so
         # aggregate a hash of every column (bit_xor cannot overflow)
@@ -92,9 +89,9 @@ def main() -> None:
     small_dir = "/root/testdata/sf0.01"
     if abs(sf - 0.1) < 1e-9 and os.path.isdir(small_dir):
         spark.catalog.clearCache()
-        for name, spec in sorted(bench.items()):
+        for name, fn in sorted(bench.items()):
             t0 = time.perf_counter()
-            df = spec.fn(spark, small_dir)
+            df = fn(spark, small_dir)
             df.selectExpr("bit_xor(xxhash64(*)) AS h").collect()
             t_small = time.perf_counter() - t0
             scaling[name] = {

@@ -28,12 +28,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .recommenders.content import content_based_topk, predict_content_based
+from .recommenders.content import (
+    content_based_topk,
+    content_similarities,
+    predict_content_based,
+)
 from .recommenders.hybrid import hybrid_topk
 from .recommenders.neighborhood import (
+    item_based_scored,
     item_based_topk,
     predict_item_based,
     predict_user_based,
+    scored_from_item_sims,
+    user_based_scored,
     user_based_topk,
 )
 
@@ -49,9 +56,18 @@ class _BaseTopK:
         """M1: cache the long-format ratings (no dense matrix).
         Refitting releases the previous fit's cache entry (same-plan
         cache() calls share one entry, so the hybrid's two children
-        fitting the same frame hold it once, not twice)."""
+        fitting the same frame hold it once, not twice).
+
+        CAVEAT on the shared entry: because the cache is plan-keyed,
+        refitting instance A on new data unpersists an entry another
+        live instance B (fitted on the SAME frame) may still be using
+        — B keeps working but recomputes from source on its next
+        action.  Correctness is unaffected; refit instances you
+        intend to keep sharing last."""
         if self._ratings is not None:
             self._ratings.unpersist()
+        if self._result is not None:
+            self._result.unpersist()
         self._ratings = ratings.select("user_id", "item_id", "rating").cache()
         self._result = None
         return self
@@ -60,11 +76,17 @@ class _BaseTopK:
         raise NotImplementedError
 
     def transform(self) -> DataFrame:
-        """(user_id, item_id, score, rank) for EVERY user."""
+        """(user_id, item_id, score, rank) for EVERY user.
+
+        The result is cache()d: the reference-shaped per-user loop
+        (``for u in users: rec.transform_user(u)``) would otherwise
+        re-execute the full distributed CF computation on every
+        collect — with the cache, the first action materializes it
+        once and each later lookup is a cache read."""
         if self._ratings is None:
             raise RuntimeError("fit() first")
         if self._result is None:
-            self._result = self._transform_all()
+            self._result = self._transform_all().cache()
         return self._result
 
     def transform_user(self, user_id: int) -> list[tuple[int, float]]:
@@ -96,6 +118,14 @@ class UserBasedTopKRecommender(_BaseTopK):
             kernel=self.similarity,
         )
 
+    def _scored_all(self) -> DataFrame:
+        return user_based_scored(
+            self._ratings,
+            k_neighbors=self.k_users,
+            kernel=self.similarity,
+            materialize=False,
+        )
+
 
 class ItemBasedTopKRecommender(_BaseTopK):
     """Reference ItemBasedTopKRecommender.scala:44-94."""
@@ -119,6 +149,14 @@ class ItemBasedTopKRecommender(_BaseTopK):
             k_neighbors=self.k_similar_items,
             k_items=self.top_k,
             kernel=self.similarity,
+        )
+
+    def _scored_all(self) -> DataFrame:
+        return item_based_scored(
+            self._ratings,
+            k_neighbors=self.k_similar_items,
+            kernel=self.similarity,
+            materialize=False,
         )
 
 
@@ -157,6 +195,14 @@ class ContentBasedTopKRecommender(_BaseTopK):
             kernel=self.similarity,
         )
 
+    def _scored_all(self) -> DataFrame:
+        if self._features is None:
+            raise RuntimeError("set_features() first")
+        sims = content_similarities(self._features, self.similarity)
+        return scored_from_item_sims(
+            sims, self._ratings, self.k_similar_items, materialize=False
+        )
+
 
 class HybridRecommenderTopK(_BaseTopK):
     """Reference HybridRecommenderTopK.scala:81-121: weighted blend of
@@ -183,9 +229,22 @@ class HybridRecommenderTopK(_BaseTopK):
         return self
 
     def _transform_all(self) -> DataFrame:
+        # blend the children's FULL pre-rank scored relations, not
+        # their truncated top-k lists: the reference normalizes and
+        # merges each child's complete ranking before taking top-K
+        # (HybridRecommenderTopK.scala:69-79,116-120), so an item
+        # ranked just past a child's top_k can still win the blend.
+        # A child without a scored form (the sequential recommender)
+        # contributes its top-k list — which is ALSO the reference's
+        # behavior for that child (:97-107 transforms it to a k-item
+        # Seq before normalizing).
+        def _scored(child):
+            fn = getattr(child, "_scored_all", None)
+            return fn() if fn is not None else child.transform()
+
         return hybrid_topk(
-            self.first.transform(),
-            self.second.transform(),
+            _scored(self.first),
+            _scored(self.second),
             weight_a=self.weight_first,
             weight_b=self.weight_second,
             k_items=self.top_k,
@@ -201,6 +260,9 @@ class UserBasedRatingRecommender:
         self._ratings: DataFrame | None = None
 
     def fit(self, ratings: DataFrame) -> "UserBasedRatingRecommender":
+        # refit releases the previous cache (same guard as _BaseTopK)
+        if self._ratings is not None:
+            self._ratings.unpersist()
         self._ratings = ratings.select("user_id", "item_id", "rating").cache()
         return self
 
@@ -220,6 +282,8 @@ class ItemBasedRatingRecommender:
         self._ratings: DataFrame | None = None
 
     def fit(self, ratings: DataFrame) -> "ItemBasedRatingRecommender":
+        if self._ratings is not None:
+            self._ratings.unpersist()
         self._ratings = ratings.select("user_id", "item_id", "rating").cache()
         return self
 
@@ -297,6 +361,8 @@ class ContentBasedRatingRecommender:
         self._features: DataFrame | None = None
 
     def fit(self, ratings: DataFrame) -> "ContentBasedRatingRecommender":
+        if self._ratings is not None:
+            self._ratings.unpersist()
         self._ratings = ratings.select("user_id", "item_id", "rating").cache()
         return self
 
@@ -368,6 +434,18 @@ class RankingMetrics:
         self._relevant = set(relevant)
 
     def get_ranking_metrics(self) -> tuple[float, float, float]:
+        if self._k == 0:
+            # the reference's Scala double division by 0.0 yields NaN
+            # without throwing (RankingMetrics.scala:37-39,49-53);
+            # Python int/float would raise — mirror the NaN
+            nan = float("nan")
+            recall0 = (
+                len(set(self._selected) & self._relevant)
+                / float(len(self._relevant))
+                if self._relevant
+                else 0.0
+            )
+            return nan, recall0, nan
         hits = set(self._selected) & self._relevant
         precision = len(hits) / float(self._k)
         recall = (

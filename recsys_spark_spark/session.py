@@ -21,7 +21,12 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# local[] width + shuffle partitions: the machine's core count capped
+# at 32 (the bench/driver box), env-overridable — a fixed 32 would
+# oversubscribe smaller machines
+DEFAULT_CPUS = int(
+    os.environ.get("SPARK_GRAFT_CPUS", str(min(32, os.cpu_count() or 8)))
+)
 
 
 def get_spark(
