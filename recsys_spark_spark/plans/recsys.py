@@ -1056,10 +1056,13 @@ def als_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # negative sampling (implicit-feedback training-data prep)
 # ---------------------------------------------------------------------------
 
-#: candidate item subset rate (permille): the negative pool is
-#: users × (catalog · rate), NOT users × catalog — the rate is what
-#: keeps the relation linear-ish at a 100 TB catalog
-NEG_ITEM_PERMILLE = 100
+#: FIXED candidate-pool size: the hash-smallest NEG_POOL items form
+#: the shared negative pool, so the candidate relation is
+#: users × NEG_POOL — linear in users and CONSTANT in catalog size.
+#: (A permille-rate pool was quadratic in scale factor: users and
+#: catalog·rate both grow with the data — measured ×13 for a ×10 sf
+#: step before the fix.)
+NEG_POOL = 512
 #: deterministic negatives emitted per user
 NEG_PER_USER = 10
 
@@ -1070,9 +1073,9 @@ NEG_PER_USER = 10
     oracle=f"""
 WITH {RATINGS_CTE},
 items_s AS (
-  SELECT DISTINCT item_id FROM ratings
-  WHERE {hash60_sql("CAST(item_id AS VARCHAR)", "negitem")}
-        % 1000 < {NEG_ITEM_PERMILLE}
+  SELECT item_id FROM (SELECT DISTINCT item_id FROM ratings)
+  ORDER BY {hash60_sql("CAST(item_id AS VARCHAR)", "negitem")}, item_id
+  LIMIT {NEG_POOL}
 ),
 users AS (SELECT DISTINCT user_id FROM ratings),
 cand AS (
@@ -1099,45 +1102,47 @@ SELECT user_id, item_id, CAST(neg_rank AS INTEGER) AS neg_rank FROM (
 def cf_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for implicit-feedback training
     (the BPR / sampled-softmax data-prep step): for every user, pick
-    NEG_PER_USER unrated items by hash rank from a hash-sampled
-    candidate item pool.
+    NEG_PER_USER unrated items by hash rank from the shared
+    NEG_POOL-item candidate pool (the hash-smallest items).
 
     Two-level determinism (same contract as corpus_samples): the item
-    pool is a pure function of item_id and each user's negative set a
-    pure function of (user_id, item_id) — reproducible across engines,
-    reruns, and cluster layouts, and stable under incremental catalog
-    growth (existing negatives never reshuffle when new items arrive,
-    they only compete at the rank boundary).
+    pool is a pure function of the item-id set and each user's
+    negative set a pure function of (user_id, item_id) — reproducible
+    across engines, reruns, and cluster layouts.  Under incremental
+    catalog growth a NEW item displaces at most ONE pool member (the
+    pool is the NEG_POOL smallest hashes), so almost all negatives
+    are stable across loads.
 
-    Scale shape: the candidate relation is users × (catalog · rate) —
-    the broadcast-able sampled pool bounds the nested-loop join
-    (BroadcastNestedLoopJoin, never CartesianProduct); the anti-join
-    removes positives; one per-user window ranks the bounded pool.
+    Scale shape: the candidate relation is users × NEG_POOL — LINEAR
+    in users and constant in catalog (the pool itself is one
+    TakeOrdered over distinct items); the broadcast pool bounds the
+    nested-loop join (BroadcastNestedLoopJoin, never
+    CartesianProduct); the anti-join removes positives; one per-user
+    window ranks the bounded pool.
     """
     ratings = _cached_ratings(spark, sf_dir)
     return negative_samples(
         ratings,
-        item_permille=NEG_ITEM_PERMILLE,
+        pool_size=NEG_POOL,
         per_user=NEG_PER_USER,
     )
 
 
 def negative_samples(
     ratings: DataFrame,
-    item_permille: int = NEG_ITEM_PERMILLE,
+    pool_size: int = NEG_POOL,
     per_user: int = NEG_PER_USER,
 ) -> DataFrame:
     """Library form of cf_negative_samples (so tests can plant a tiny
     catalog and verify positives are never sampled)."""
     from ..operators.dedup import hash60
 
+    item_hash = hash60(F.col("item_id").cast("string"), seed="negitem")
     items_s = (
         ratings.select("item_id")
         .distinct()
-        .where(
-            hash60(F.col("item_id").cast("string"), seed="negitem") % 1000
-            < item_permille
-        )
+        .orderBy(item_hash, F.asc("item_id"))
+        .limit(pool_size)
     )
     users = ratings.select("user_id").distinct()
     cand = users.crossJoin(F.broadcast(items_s))

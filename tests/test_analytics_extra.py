@@ -172,7 +172,7 @@ def test_negative_samples_exclude_positives_and_cap(spark):
     # make the full catalog visible through ratings of a third user
     rows += [(3, i, 1.0) for i in range(100)]
     r = spark.createDataFrame(rows, "user_id long, item_id long, rating double")
-    out = negative_samples(r, item_permille=1000, per_user=7).collect()
+    out = negative_samples(r, pool_size=100, per_user=7).collect()
     by_user = {}
     for row in out:
         by_user.setdefault(row["user_id"], set()).add(row["item_id"])
@@ -183,7 +183,7 @@ def test_negative_samples_exclude_positives_and_cap(spark):
     assert len(by_user[1]) == 7 and len(by_user[2]) == 7
     assert 3 not in by_user
     # deterministic: a second run yields the identical set
-    out2 = negative_samples(r, item_permille=1000, per_user=7).collect()
+    out2 = negative_samples(r, pool_size=100, per_user=7).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
