@@ -1170,3 +1170,84 @@ def negative_samples(
         .where(F.col("neg_rank") <= per_user)
         .select("user_id", "item_id", "neg_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# beyond-accuracy evaluation: coverage + novelty of the CF top-k
+# ---------------------------------------------------------------------------
+
+
+def _coverage_novelty_sql(kernel: str, prefilter: int, k_neighbors: int, k: int) -> str:
+    rec_sql = _user_topk_sql(kernel, prefilter, k_neighbors, k)
+    return f"""
+WITH rec AS (
+{rec_sql}
+),
+pops AS (
+  WITH {RATINGS_CTE}
+  SELECT item_id,
+         percent_rank() OVER (
+           ORDER BY count(*) DESC, item_id
+         ) AS pop_pct,
+         count(*) OVER () AS n_catalog
+  FROM ratings GROUP BY item_id
+)
+SELECT CAST(count(DISTINCT r.item_id) AS BIGINT) AS n_rec_items,
+       CAST(max(p.n_catalog) AS BIGINT) AS n_catalog,
+       floor((CAST(count(DISTINCT r.item_id) AS DOUBLE) / max(p.n_catalog))
+             * 1000000.0 + 0.5) / 1000000.0 AS coverage,
+       floor((avg(p.pop_pct)) * 1000000.0 + 0.5) / 1000000.0 AS novelty
+FROM rec r JOIN pops p USING (item_id)
+""".strip()
+
+
+@register_demoted(
+    # new in r4 (registry window full at 50); rotate REGISTERED in r5
+    "user_cf_coverage_novelty",
+    oracle=_coverage_novelty_sql("cosine", PREFILTER, K_NEIGHBORS, K_ITEMS),
+)
+def user_cf_coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-accuracy evaluation of the user-CF top-k (the dimension
+    the accuracy trio misses — Castells et al.'s coverage/novelty
+    framing): catalog coverage = fraction of distinct items that
+    appear in ANYONE's top-k (a recommender that only ever surfaces
+    blockbusters scores high accuracy and ~0 coverage), and novelty =
+    the mean popularity percentile of recommended slots
+    (percent_rank over rating counts, 0 = most popular; higher =
+    deeper into the long tail).
+
+    Pure rational arithmetic — percent_rank is (rank−1)/(n−1) with a
+    deterministic (count desc, item_id) tie-break in both engines —
+    so the whole row is value-hash-oracled.  The rec subtree is the
+    SHARED cached scored model: this query is a cache-read aggregate
+    after any top-k query has run."""
+    from pyspark.sql import Window
+
+    rec = user_based_topk(
+        _cached_ratings(spark, sf_dir),
+        k_neighbors=K_NEIGHBORS,
+        k_items=K_ITEMS,
+        kernel="cosine",
+        prefilter_neighbors=PREFILTER,
+        max_raters_per_item=MAX_RATERS_PER_ITEM,
+    )
+    ratings = _cached_ratings(spark, sf_dir)
+    wp = Window.orderBy(F.desc("n_r"), F.asc("item_id"))
+    pops = (
+        ratings.groupBy("item_id")
+        .agg(F.count("*").alias("n_r"))
+        .select(
+            "item_id",
+            F.percent_rank().over(wp).alias("pop_pct"),
+            F.count("*").over(Window.partitionBy()).alias("n_catalog"),
+        )
+    )
+    return rec.join(pops, "item_id").agg(
+        F.countDistinct("item_id").alias("n_rec_items"),
+        F.max("n_catalog").cast("bigint").alias("n_catalog"),
+        qround(
+            F.countDistinct("item_id").cast("double") / F.max("n_catalog"),
+            6,
+        ).alias("coverage"),
+        qround(F.avg("pop_pct"), 6).alias("novelty"),
+    )

@@ -52,7 +52,7 @@ QUERIES: dict[str, QuerySpec] = {}
 DEMOTED: dict[str, QuerySpec] = {}
 
 #: ROTATION PLAN for round 5 (pre-staged so the swap is mechanical):
-#: promote the 19 demoted entries that will still lack a driver row
+#: promote the 20 demoted entries that will still lack a driver row
 #: after the round-4 run —
 #:   cf_negative_samples, corpus_line_dedup, corpus_mixture_sample,
 #:   customer_name_fuzzy_pairs, customer_rfm_segments, doc_pii_scrub,
@@ -60,14 +60,16 @@ DEMOTED: dict[str, QuerySpec] = {}
 #:   events_daily_dense, events_dq_audit, events_funnel,
 #:   events_transition_matrix, events_value_quantile_sketch,
 #:   item_cooccurrence_lift, item_pagerank, neardup_dedup_docs,
-#:   user_retention_cohorts, user_value_scd2
-#: — and demote 19 multi-round-green registered rows in exchange
+#:   user_retention_cohorts, user_value_scd2,
+#:   user_cf_coverage_novelty
+#: — and demote 20 multi-round-green registered rows in exchange
 #: (candidates: dedup_docs, doc_quality_scores, doc_stats_by_lang,
 #: doc_token_stats, top_tokens, embedding_centroids_by_label,
 #: embedding_neardup_pairs, events_daily, events_sessions,
 #: events_sliding_1h, events_asof_last_purchase, sales_cube,
 #: customer_running_revenue, corpus_samples, corpus_pack, doc_chunks,
-#: multimodal_features_frames, cf_predictions, itemmean_rmse_mae).
+#: multimodal_features_frames, cf_predictions, itemmean_rmse_mae,
+#: content_topk_cosine).
 #: Keep bench=True rows registered or demoted freely — the bench set
 #: is independent of the correctness window.
 
