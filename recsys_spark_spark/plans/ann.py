@@ -40,7 +40,7 @@ EMB_DIM = 64
 NEARDUP_COSINE = 0.45
 
 
-@register(
+@register_demoted(
     "embedding_neardup_pairs",
     oracle=f"""
 WITH flat AS (

@@ -28,7 +28,7 @@ from ..operators.dedup import (
     simhash_signatures,
 )
 from ..sources.readers import table
-from .registry import register, register_demoted
+from .registry import register
 
 NEARDUP_THRESHOLD = 0.5
 MAX_HAMMING = 3
@@ -139,7 +139,7 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_demoted(
+@register(
     "neardup_dedup_docs",
     oracle=f"""
 SELECT d.doc_id, d.lang, d.n_chars

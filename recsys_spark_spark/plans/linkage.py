@@ -25,14 +25,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import table
-from .registry import register_demoted
+from .registry import register
 
 #: drop deletion-variant buckets larger than this before the pair
 #: join (hot-bucket guard, same idiom as operators/knn.py max_bucket)
 MAX_BUCKET = 1000
 
 
-@register_demoted(
+@register(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "customer_name_fuzzy_pairs",
     oracle=f"""

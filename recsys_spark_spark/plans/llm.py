@@ -55,7 +55,7 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
+@register_demoted(
     "dedup_docs",
     oracle="""
 WITH norm AS (
@@ -137,7 +137,7 @@ def normalized_dup_groups(docs: DataFrame) -> DataFrame:
 from .text import BPE_PATTERN  # noqa: E402  (shared BPE-ish regex)
 
 
-@register(
+@register_demoted(
     "doc_token_stats",
     oracle=f"""
 SELECT doc_id,
@@ -181,7 +181,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- corpus token frequency ------------------------------------------------
-@register(
+@register_demoted(
     "top_tokens",
     oracle="""
 SELECT token, n, CAST(rk AS INTEGER) AS rank FROM (
@@ -220,7 +220,7 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- text quality / language stats by metadata -----------------------------
-@register(
+@register_demoted(
     "doc_stats_by_lang",
     oracle="""
 SELECT lang,
@@ -332,7 +332,7 @@ def embedding_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- embedding aggregation --------------------------------------------------
-@register(
+@register_demoted(
     "embedding_centroids_by_label",
     oracle="""
 WITH e AS (
@@ -365,7 +365,7 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- unigram-LM quality scoring -------------------------------------------
-@register_demoted(
+@register(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "doc_unigram_logprob",
     oracle="""

@@ -18,10 +18,10 @@ from ..operators.multimodal import (
     with_binary_content,
 )
 from ..sources.readers import table
-from .registry import register
+from .registry import register_demoted
 
 
-@register(
+@register_demoted(
     "multimodal_features_frames",
     oracle=f"""
 WITH feats AS (

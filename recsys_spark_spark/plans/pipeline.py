@@ -195,7 +195,7 @@ def _sample_pred(seed: str, permille):
     return hash60(F.col("doc_id").cast("string"), seed=seed) % 1000 < permille
 
 
-@register(
+@register_demoted(
     "corpus_samples",
     oracle=f"""
 SELECT doc_id, lang, n_chars,
@@ -255,7 +255,7 @@ PACK_BUDGET = 256
 PACK_SHARDS = 8
 
 
-@register(
+@register_demoted(
     "corpus_pack",
     oracle=f"""
 WITH t AS (
@@ -390,7 +390,7 @@ CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48
 
 
-@register(
+@register_demoted(
     "doc_chunks",
     bench=True,
     oracle=f"""
@@ -460,7 +460,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 LINE_TOKENS = 12
 
 
-@register_demoted(
+@register(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "corpus_line_dedup",
     oracle=f"""
@@ -594,7 +594,7 @@ def line_dedup(d: DataFrame, line_tokens: int = LINE_TOKENS) -> DataFrame:
 MIX_K = 0.1
 
 
-@register_demoted(
+@register(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "corpus_mixture_sample",
     oracle=f"""

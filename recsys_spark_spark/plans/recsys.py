@@ -327,7 +327,7 @@ def _cached_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ratings_from_sales(spark, sf_dir).cache()
 
 
-@register_demoted(
+@register(
     # rotation r5: driver-green r1-r4; slot freed for never-checked queries
     "user_sims", oracle=_pair_query_sql("user", ("cosine", "pearson"), MIN_CO)
 )
@@ -596,7 +596,7 @@ HAVING sum(abs(sim)) <> 0
 """.strip()
 
 
-@register(
+@register_demoted(
     "content_topk_cosine",
     oracle=_content_topk_sql(PREFILTER, K_NEIGHBORS, K_ITEMS),
 )
@@ -771,7 +771,7 @@ def _split(spark: SparkSession, sf_dir: str):
     return split_ratings(_cached_ratings(spark, sf_dir))
 
 
-@register(
+@register_demoted(
     "cf_predictions",
     oracle=f"""
 SELECT 'user' AS model, * FROM (
@@ -867,7 +867,7 @@ def user_cf_rmse_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver row; the swapped-out relational rows keep pytest parity.)
 
 
-@register(
+@register_demoted(
     "itemmean_rmse_mae",
     oracle=f"""
 WITH {SPLIT_RATINGS_CTE},
@@ -983,7 +983,7 @@ last_hybrid_timings: dict | None = None
 last_als_timings: dict | None = None
 
 
-@register("sequential_topk", bench=True)
+@register_demoted("sequential_topk", bench=True)
 def sequential_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M10/M11: cluster-sequence rule recommendations.  No DuckDB
     oracle (KMeans + FPGrowth are not SQL-expressible); correctness is
@@ -1029,7 +1029,7 @@ def rating_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("als_topk", bench=True)
+@register_demoted("als_topk", bench=True)
 def als_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS factorization top-5 (no DuckDB oracle — iterative ML, like
     sequential_topk; exactness of the GEMM serving is pinned by the
@@ -1067,7 +1067,7 @@ NEG_POOL = 512
 NEG_PER_USER = 10
 
 
-@register_demoted(
+@register(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "cf_negative_samples",
     oracle=f"""
@@ -1201,7 +1201,7 @@ FROM rec r JOIN pops p USING (item_id)
 """.strip()
 
 
-@register_demoted(
+@register(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "user_cf_coverage_novelty",
     oracle=_coverage_novelty_sql("cosine", PREFILTER, K_NEIGHBORS, K_ITEMS),

@@ -51,25 +51,39 @@ QUERIES: dict[str, QuerySpec] = {}
 #: across rounds so timings are comparable.
 DEMOTED: dict[str, QuerySpec] = {}
 
-#: ROTATION PLAN for round 5 (pre-staged so the swap is mechanical):
-#: promote the 20 demoted entries that will still lack a driver row
-#: after the round-4 run —
-#:   cf_negative_samples, corpus_line_dedup, corpus_mixture_sample,
-#:   customer_name_fuzzy_pairs, customer_rfm_segments, doc_pii_scrub,
-#:   doc_unigram_logprob, doc_url_domains, events_anomaly_daily,
-#:   events_daily_dense, events_dq_audit, events_funnel,
-#:   events_transition_matrix, events_value_quantile_sketch,
-#:   item_cooccurrence_lift, item_pagerank, neardup_dedup_docs,
-#:   user_retention_cohorts, user_value_scd2,
-#:   user_cf_coverage_novelty
-#: — and demote 20 multi-round-green registered rows in exchange
-#: (candidates: dedup_docs, doc_quality_scores, doc_stats_by_lang,
-#: doc_token_stats, top_tokens, embedding_centroids_by_label,
-#: embedding_neardup_pairs, events_daily, events_sessions,
-#: events_sliding_1h, events_asof_last_purchase, sales_cube,
-#: customer_running_revenue, corpus_samples, corpus_pack, doc_chunks,
-#: multimodal_features_frames, cf_predictions, itemmean_rmse_mae,
-#: content_topk_cosine).
+#: ROTATION HISTORY / PLAN.
+#:
+#: Round 5 (EXECUTED this round): promoted the 20 demoted entries that
+#: had never had a driver row (cf_negative_samples, corpus_line_dedup,
+#: corpus_mixture_sample, customer_name_fuzzy_pairs,
+#: customer_rfm_segments, doc_pii_scrub, doc_unigram_logprob,
+#: doc_url_domains, events_anomaly_daily, events_daily_dense,
+#: events_dq_audit, events_funnel, events_transition_matrix,
+#: events_value_quantile_sketch, item_cooccurrence_lift, item_pagerank,
+#: neardup_dedup_docs, user_retention_cohorts, user_value_scd2,
+#: user_cf_coverage_novelty) PLUS doc_winnow_fingerprints and
+#: user_sims; demoted 20 multi-round-green rows in exchange plus the
+#: two permanently-``no_oracle`` rows (sequential_topk, als_topk —
+#: their correctness lives in pytest goldens/NumPy twins regardless of
+#: tier, and their bench slots are tier-independent, so keeping them
+#: registered only burned 2 of the driver's 50 oracle slots).  After
+#: the round-5 driver run every oracled query has had a driver-green
+#: row in at least one round (r1–r5 union, verified against
+#: CORRECTNESS_r0{1..4}.json).
+#:
+#: ROTATION PLAN for round 6 (pre-staged so the swap is mechanical):
+#: promote the 11 longest-off-window demoted rows —
+#:   item_sims, rating_stats_per_user, q1_pricing_summary,
+#:   q3_top_revenue_orders, q5_region_revenue, top_orders_per_customer,
+#:   customer_semi_anti_joins, order_priority_pivot, events_json_props,
+#:   part_price_median_by_brand, order_customer_set_ops
+#: — plus 9 of the round-5-demoted set (dedup_docs,
+#: doc_quality_scores, doc_token_stats, top_tokens, events_daily,
+#: events_sessions, sales_cube, cf_predictions, content_topk_cosine),
+#: demoting in exchange 20 of the round-5-registered rows once their
+#: driver row is green (candidates: the 20 analytics/pipeline rows
+#: promoted in r5).  Keep sequential_topk / als_topk demoted
+#: permanently (no_oracle by design).
 #: Keep bench=True rows registered or demoted freely — the bench set
 #: is independent of the correctness window.
 

@@ -332,7 +332,7 @@ def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- time bucketing (W1/W2) ------------------------------------------------
-@register(
+@register_demoted(
     "events_daily",
     oracle="""
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
@@ -444,7 +444,7 @@ def events_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- sessionization --------------------------------------------------------
-@register(
+@register_demoted(
     "events_sessions",
     oracle="""
 WITH gaps AS (
@@ -568,7 +568,7 @@ KNOWN_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 _KNOWN_SQL = "(" + ", ".join(f"'{t}'" for t in KNOWN_EVENT_TYPES) + ")"
 
 
-@register_demoted(
+@register(
     "events_dq_audit",
     oracle=f"""
 SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -24,7 +24,7 @@ from ..operators.sketches import (
     merge_histograms,
 )
 from ..sources.readers import table
-from .registry import register_demoted
+from .registry import register
 
 _QS = (0.5, 0.9, 0.99)
 
@@ -37,7 +37,7 @@ _W_D = f"CAST({HIST_W} AS DOUBLE)"
 _EST = f"{_LO_D} + {_W_D} * c.bin + {_W_D} * (c.rq - h.cum_prev) / h.n"
 
 
-@register_demoted(
+@register(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "events_value_quantile_sketch",
     oracle=f"""

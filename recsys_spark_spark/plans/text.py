@@ -94,7 +94,7 @@ def _lang_score_sql(lang: str) -> str:
     )
 
 
-@register(
+@register_demoted(
     "doc_quality_scores",
     oracle=f"""
 WITH base AS (
@@ -173,7 +173,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- winnowing fingerprints ------------------------------------------------
-@register_demoted(
+@register(
     # rotation r5: driver-green r1-r4; slot freed for never-checked queries
     "doc_winnow_fingerprints",
     oracle=f"""
@@ -248,7 +248,7 @@ def _pii_aug_col():
     )
 
 
-@register_demoted(
+@register(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "doc_pii_scrub",
     oracle=f"""
@@ -321,7 +321,7 @@ def _url_aug_col():
     )
 
 
-@register_demoted(
+@register(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "doc_url_domains",
     oracle=f"""

@@ -15,7 +15,7 @@ from ..sources.readers import table
 from .registry import register, register_demoted
 
 
-@register(
+@register_demoted(
     "events_asof_last_purchase",
     oracle="""
 WITH u AS (
@@ -54,7 +54,7 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_demoted(
     "events_sliding_1h",
     oracle="""
 WITH starts AS (
@@ -92,7 +92,7 @@ def events_sliding_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_demoted(
     "sales_cube",
     oracle="""
 SELECT o.o_orderpriority AS priority, l.l_returnflag AS returnflag,
@@ -125,7 +125,7 @@ def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_demoted(
     "customer_running_revenue",
     oracle="""
 WITH t AS (
@@ -177,7 +177,7 @@ def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_demoted(
+@register(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "user_retention_cohorts",
     oracle="""
@@ -268,7 +268,7 @@ def retention_cohorts(e: DataFrame) -> DataFrame:
     )
 
 
-@register_demoted(
+@register(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "events_transition_matrix",
     oracle="""
@@ -336,7 +336,7 @@ def transition_matrix(e: DataFrame) -> DataFrame:
     )
 
 
-@register_demoted(
+@register(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "events_anomaly_daily",
     oracle="""
@@ -465,7 +465,7 @@ def daily_anomalies(e: DataFrame) -> DataFrame:
 FUNNEL_STEPS = ("signup", "view", "click", "purchase")
 
 
-@register_demoted(
+@register(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "events_funnel",
     oracle="""
@@ -582,7 +582,7 @@ def funnel(e: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
     )
 
 
-@register_demoted(
+@register(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "customer_rfm_segments",
     oracle="""
@@ -652,7 +652,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_demoted(
+@register(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "user_value_scd2",
     oracle="""
@@ -733,7 +733,7 @@ def scd2_history(
     )
 
 
-@register_demoted(
+@register(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "events_daily_dense",
     oracle="""

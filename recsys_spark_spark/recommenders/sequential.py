@@ -15,9 +15,10 @@ This rebuild keeps the semantics but every stage is a DataFrame op:
   dense ids by construction, replacing the reference's
   orderBy + monotonically_increasing_id hazard (W3, :322-327) and
   preserving the unmatched→last-period rule (W4, :278-312);
-- clustering: HashingTF → KMeans(k=h·w, seed) stands in for the
-  third-party SOM jar (M12 — honest divergence, no PySpark SOM; same
-  role: quantize baskets into h·w cluster ids, deterministic seed);
+- clustering: a real batch-Kohonen SOM (``recommenders/som.py``,
+  NumPy-twin-pinned) is the default (M12, ``cluster_method="som"``);
+  HashingTF → KMeans(k=h·w, seed) remains as an opt-in fallback
+  (same role: quantize baskets into h·w cluster ids, fixed seed);
 - sequences: period-tagged cluster strings "{cluster}_{relperiod}"
   via pure column expressions (U3's flatList UDF eliminated);
 - rules: pyspark.ml.fpm.FPGrowth (M13, 1:1) + rework filters as column
