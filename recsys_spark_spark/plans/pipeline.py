@@ -45,6 +45,12 @@ from .text import quality_exprs
 #: pipeline tunes this on a held-out labeled slice
 QUALITY_MIN = 0.46
 
+#: bench-only: when True, clean_corpus materializes its internal
+#: persists eagerly and publishes the stage split here (see its
+#: docstring — total work is unchanged, only WHEN it runs moves)
+PROFILE_CLEAN = False
+last_clean_timings: dict | None = None
+
 #: languages the downstream tokenizer does not support (demo value —
 #: non-vacuous: the synthetic corpus has 5 langs incl. 'zh')
 DROP_LANGS = ("zh",)
@@ -125,7 +131,15 @@ def clean_corpus(
     keeper — bounded under-deletion.  When full transitive-group
     resolution matters, run the pairs through
     operators/components.connected_components (the registered
-    ``neardup_components`` query) and keep ``id == component``."""
+    ``neardup_components`` query) and keep ``id == component``.
+
+    When ``PROFILE_CLEAN`` is set (bench.py does), the two internal
+    persists are materialized eagerly with timed actions and the
+    split is published in ``last_clean_timings`` — total work is
+    unchanged (both relations are computed exactly once into their
+    caches either way; profiling only moves WHEN), so the headline
+    number stays comparable while attributing the round-4 driver-box
+    drift (26.5 s driver vs 5.5–6.5 s local) to a named stage."""
     n_tokens, _, _, quality = quality_exprs()
     gate = (
         docs.select(
@@ -150,7 +164,22 @@ def clean_corpus(
     surv = gate.join(keep.select("doc_id"), "doc_id", "semi").persist()
 
     pairs = ngram_jaccard_pairs(surv, neardup_threshold)
-    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # tiny (dropped doc ids) — persisting lets the profile branch
+    # count it without the final anti-join recomputing the pair join
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct().persist()
+    if PROFILE_CLEAN:
+        import time as _time
+
+        global last_clean_timings
+        _t0 = _time.perf_counter()
+        surv.count()  # materialize gate + exact dedup into the persist
+        _t1 = _time.perf_counter()
+        dropped.count()  # materialize the shingle pair join + verify
+        _t2 = _time.perf_counter()
+        last_clean_timings = {
+            "gate_exact_dedup": round(_t1 - _t0, 3),
+            "neardup_pairs": round(_t2 - _t1, 3),
+        }
     return surv.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "lang", "n_tokens", "quality"
     )

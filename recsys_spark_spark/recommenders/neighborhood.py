@@ -128,6 +128,40 @@ def _rank_items(
     )
 
 
+def _axis_sims(
+    ratings: DataFrame,
+    kernel: str,
+    axis: str,
+    n_cols: int | None,
+    max_raters_per_item: int | None,
+    use_lsh_candidates: bool,
+) -> DataFrame:
+    """Directed pair similarities for one CF axis — the exact co-rated
+    self-join by default, or sign-LSH candidate generation with exact
+    rerank when ``use_lsh_candidates`` (the extreme-scale switch: same
+    similarity VALUES for every emitted pair, recall < 1 on the pair
+    SET; see operators/cf_lsh.py and tests/test_cf_lsh.py)."""
+    if use_lsh_candidates:
+        from ..operators.cf_lsh import lsh_pairwise_similarity
+
+        return lsh_pairwise_similarity(
+            ratings,
+            kernel=kernel,
+            axis=axis,
+            n_cols=n_cols,
+            directed=True,
+            max_raters_per_item=max_raters_per_item,
+        )
+    return pairwise_similarity(
+        ratings,
+        kernel=kernel,
+        axis=axis,
+        n_cols=n_cols,
+        directed=True,
+        max_raters_per_item=max_raters_per_item,
+    )
+
+
 def user_based_scored(
     ratings: DataFrame,
     k_neighbors: int = 25,
@@ -136,19 +170,20 @@ def user_based_scored(
     max_raters_per_item: int | None = None,
     prefilter_neighbors: int | None = None,
     materialize: bool = True,
+    use_lsh_candidates: bool = False,
 ) -> DataFrame:
     """Pre-rank scored candidates ``(user_id, item_id, score)`` for
     user k-NN — everything in :func:`user_based_topk` except the final
     per-user rank filter.  Cached when ``prefilter_neighbors`` is set
     (the model path) so the hybrid blend and the standalone top-K share
     one materialization (see _share_scored)."""
-    sims = pairwise_similarity(
+    sims = _axis_sims(
         ratings,
         kernel=kernel,
         axis="user",
         n_cols=n_cols,
-        directed=True,
         max_raters_per_item=max_raters_per_item,
+        use_lsh_candidates=use_lsh_candidates,
     ).select(
         F.col("user_a").alias("user_id"),
         F.col("user_b").alias("neighbor"),
@@ -233,6 +268,7 @@ def user_based_topk(
     max_raters_per_item: int | None = None,
     prefilter_neighbors: int | None = None,
     materialize: bool = True,
+    use_lsh_candidates: bool = False,
 ) -> DataFrame:
     """Top-K unrated items per user via user k-NN (reference M3).
 
@@ -248,6 +284,10 @@ def user_based_topk(
 
     ``materialize=False`` builds the plan without running any eager
     Spark job (see _share_scored).
+
+    ``use_lsh_candidates=True`` swaps the co-rated pair self-join for
+    sign-LSH candidate generation with exact rerank — the
+    extreme-scale switch (see _axis_sims / operators/cf_lsh.py).
     """
     scored = user_based_scored(
         ratings,
@@ -257,6 +297,7 @@ def user_based_topk(
         max_raters_per_item=max_raters_per_item,
         prefilter_neighbors=prefilter_neighbors,
         materialize=materialize,
+        use_lsh_candidates=use_lsh_candidates,
     )
     return _rank_items(scored, k_items, share=prefilter_neighbors is not None)
 
@@ -269,16 +310,17 @@ def item_based_scored(
     max_raters_per_item: int | None = None,
     prefilter_neighbors: int | None = None,
     materialize: bool = True,
+    use_lsh_candidates: bool = False,
 ) -> DataFrame:
     """Pre-rank scored candidates for item k-NN — :func:`item_based_topk`
     minus the final rank filter (see _share_scored)."""
-    sims = pairwise_similarity(
+    sims = _axis_sims(
         ratings,
         kernel=kernel,
         axis="item",
         n_cols=n_cols,
-        directed=True,
         max_raters_per_item=max_raters_per_item,
+        use_lsh_candidates=use_lsh_candidates,
     ).select(
         F.col("item_a").alias("item_id"),
         F.col("item_b").alias("neighbor_item"),
@@ -298,12 +340,15 @@ def item_based_topk(
     max_raters_per_item: int | None = None,
     prefilter_neighbors: int | None = None,
     materialize: bool = True,
+    use_lsh_candidates: bool = False,
 ) -> DataFrame:
     """Top-K unrated items per user via item k-NN (reference M5).
 
     For each unrated candidate item, its neighbors are the k most
     similar items *among the items the user rated*
     (ItemBasedTopKRecommender.scala:44-94).
+
+    ``use_lsh_candidates``: see :func:`user_based_topk`.
     """
     scored = item_based_scored(
         ratings,
@@ -313,6 +358,7 @@ def item_based_topk(
         max_raters_per_item=max_raters_per_item,
         prefilter_neighbors=prefilter_neighbors,
         materialize=materialize,
+        use_lsh_candidates=use_lsh_candidates,
     )
     return _rank_items(scored, k_items, share=prefilter_neighbors is not None)
 
