@@ -1,22 +1,32 @@
 """Multimodal column plumbing (BASELINE north star: image/audio/video
 as opaque binary columns with typed metadata).
 
-The container has no image/audio codecs, so the DECODE step is a
-clearly-marked stub (`decode_image` / `decode_audio` raise
-NotImplementedError); everything Spark-side is REAL and tested:
+IMAGE decode is REAL since round 5: P6 PPM (the netpbm raw-RGB
+format) needs no codec library — `decode_image` is a pure
+stdlib-bytes parser and `resize_images` runs a genuine
+nearest-neighbor resample over the decoded pixel raster inside
+Arrow-batched ``mapInPandas``.  Compressed formats (JPEG/PNG) would
+plug into the same harness via pillow when available.  AUDIO decode
+remains the one clearly-marked stub (`decode_audio`) — WAV parsing is
+feasible via the stdlib but no deterministic-oracle story exists for
+it yet.
+
+Everything Spark-side is real and tested:
 
 - the canonical schema (id, modality, content BINARY, meta struct);
 - Arrow-batched ``mapInPandas`` feature extraction over binary
   columns (bytes cross the JVM→Python boundary once per batch, not
   per row);
 - one-to-many frame sampling (the video-frame-extraction shape: each
-  input row yields n output rows from slices of the binary payload).
+  input row yields n output rows from slices of the binary payload);
+- decode → resample → fingerprint on real pixels (`resize_images`),
+  with corrupt payloads quarantined like NULLs, never crashing a job.
 
 Feature values are computed with hashlib/byte arithmetic so they are
 deterministic and — for an ASCII corpus — reproducible by the DuckDB
 oracle from the text column (plans/mm.py).
 
-Scale notes: binary payloads never shuffle here — both operators are
+Scale notes: binary payloads never shuffle here — all operators are
 narrow maps; partition sizing is governed by
 ``spark.sql.files.maxPartitionBytes`` against the blob column size,
 and the output of frame sampling multiplies rows, not bytes.
@@ -27,6 +37,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,19 +46,74 @@ FRAME_BYTES = 64
 FRAME_EVERY = 2
 
 
-def decode_image(content: bytes):  # pragma: no cover - stub by design
-    """STUB: real image decoding needs pillow/opencv, which are not in
-    this environment.  The Spark-side contract (binary in, array/struct
-    out via mapInPandas) is exercised by `binary_features` /
-    `frame_samples` with deterministic byte math instead."""
-    raise NotImplementedError(
-        "STUB: image decode requires an image codec (pillow); "
-        "not available in this environment"
+def _detached(fn, **extra_globals):
+    """Rebind ``fn`` to a fresh globals dict so cloudpickle ships it
+    BY VALUE inside UDF closures.  A module-level function referenced
+    from a mapInPandas body is otherwise pickled by REFERENCE to this
+    package — which executors cannot import when the driver merely
+    path-injected it (the vanilla-session rule every UDF in this
+    package follows; caught live by the round-5 verify drive)."""
+    import types
+
+    g = {"np": np, "__builtins__": __builtins__, **extra_globals}
+    return types.FunctionType(
+        fn.__code__, g, fn.__name__, fn.__defaults__, fn.__closure__
     )
 
 
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """RGB uint8 raster (h × w × 3) → P6 PPM bytes (netpbm spec:
+    ASCII header ``P6 <w> <h> <maxval>\\n`` + raw big-endian RGB)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected h×w×3 raster, got {pixels.shape}")
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """REAL image decode: P6 PPM (netpbm raw RGB) → h × w × 3 uint8
+    raster.  Pure stdlib byte parsing — magic, then three ASCII ints
+    (width, height, maxval) separated by whitespace with ``#``-to-EOL
+    comments allowed, one whitespace byte, then the raw raster.
+    Raises ValueError on malformed payloads (callers quarantine, same
+    convention as NULL payloads).  Compressed formats (JPEG/PNG) need
+    a codec library and plug into the same call sites via pillow."""
+    if not content.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    vals: list[int] = []
+    i = 2
+    while len(vals) < 3:
+        while i < len(content) and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":
+            j = content.find(b"\n", i)
+            if j < 0:
+                raise ValueError("unterminated header comment")
+            i = j + 1
+            continue
+        j = i
+        while j < len(content) and not content[j : j + 1].isspace():
+            j += 1
+        tok = content[i:j]
+        if not tok.isdigit():
+            raise ValueError(f"bad header token {tok!r}")
+        vals.append(int(tok))
+        i = j
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    i += 1  # exactly one whitespace byte after maxval per the spec
+    need = w * h * 3
+    raster = content[i : i + need]
+    if len(raster) != need:
+        raise ValueError(f"truncated raster: {len(raster)} of {need} bytes")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
 def decode_audio(content: bytes):  # pragma: no cover - stub by design
-    """STUB: see decode_image."""
+    """STUB: the one remaining decode stub.  Raw-PCM WAV is stdlib-
+    parseable (``struct``/``wave``) and would follow the decode_image
+    pattern; compressed audio (mp3/ogg) needs a codec library."""
     raise NotImplementedError(
         "STUB: audio decode requires an audio codec (soundfile); "
         "not available in this environment"
@@ -135,6 +201,100 @@ def frame_samples(
 #: fake-resize output geometry (bytes; stands in for pixels)
 RESIZE_W = 8
 RESIZE_H = 8
+
+#: synthetic PPM source geometry (with_ppm_content)
+PPM_W = 16
+PPM_H = 12
+
+
+def with_ppm_content(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = PPM_W,
+    height: int = PPM_H,
+) -> DataFrame:
+    """REAL P6 PPM payload per document: the pixel raster is
+    deterministic md5 blocks of the text (block i =
+    ``md5(text + ':' + i)`` — independently recomputable by any engine
+    with md5, no chaining), encoded through :func:`encode_ppm`.  This
+    is the encode half of a real decode test: downstream operators
+    must parse the header and raster like any netpbm file."""
+    n_bytes = width * height * 3
+    n_blocks = (n_bytes + 15) // 16
+    encode = _detached(encode_ppm)  # ship by value, not package ref
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                raster = b"".join(
+                    hashlib.md5(f"{text}:{i}".encode()).digest()
+                    for i in range(n_blocks)
+                )[:n_bytes]
+                pixels = np.frombuffer(raster, dtype=np.uint8).reshape(
+                    height, width, 3
+                )
+                payloads.append(encode(pixels))
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "content": payloads}
+            ).assign(modality="image", width=width, height=height)
+
+    return docs.mapInPandas(
+        build,
+        "id long, content binary, modality string, width int, height int",
+    )
+
+
+def resize_images(
+    df: DataFrame, width: int = RESIZE_W, height: int = RESIZE_H
+) -> DataFrame:
+    """REAL image resize: decode the P6 PPM payload
+    (:func:`decode_image`), nearest-neighbor resample the pixel raster
+    (source pixel ``(floor(y·sh/h), floor(x·sw/w))``), fingerprint the
+    resized raster — all inside one Arrow-batched ``mapInPandas``.
+    The fingerprint is md5 of the LOWERCASE HEX of the resized bytes
+    (not the raw bytes) so a SQL oracle without blob support can
+    replay it.  Malformed payloads raise ValueError in the decoder and
+    are QUARANTINED like NULLs (skipped, never crash the job)."""
+    decode = _detached(decode_image)  # ship by value, not package ref
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sws, shs, sigs = [], [], [], []
+            for did, content in zip(pdf["id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    pixels = decode(bytes(content))
+                except ValueError:
+                    continue  # corrupt-payload quarantine
+                sh, sw, _ = pixels.shape
+                ys = (np.arange(height) * sh) // height
+                xs = (np.arange(width) * sw) // width
+                resized = pixels[np.ix_(ys, xs)]
+                ids.append(did)
+                sws.append(sw)
+                shs.append(sh)
+                sigs.append(
+                    hashlib.md5(resized.tobytes().hex().encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "src_width": pd.Series(sws, dtype="int32"),
+                    "src_height": pd.Series(shs, dtype="int32"),
+                    "width": pd.Series([width] * len(ids), dtype="int32"),
+                    "height": pd.Series([height] * len(ids), dtype="int32"),
+                    "resized_md5": sigs,
+                }
+            )
+
+    return df.mapInPandas(
+        resize,
+        "id long, src_width int, src_height int, width int, height int, "
+        "resized_md5 string",
+    )
 
 
 def resize_frames(

@@ -65,6 +65,59 @@ def multimodal_features_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppm_resize_sql() -> str:
+    """DuckDB twin of the REAL decode→resize path: regenerates the
+    deterministic raster (md5 blocks of text), picks the same
+    nearest-neighbor byte positions as hex slices, and fingerprints
+    the resized raster — value-hash parity for genuinely decoded
+    pixels."""
+    from ..operators.multimodal import PPM_H, PPM_W, RESIZE_H, RESIZE_W
+
+    n_bytes = PPM_W * PPM_H * 3
+    n_blocks = (n_bytes + 15) // 16
+    raster_hex = " || ".join(
+        f"md5(text || ':{i}')" for i in range(n_blocks)
+    )
+    slices = []
+    for y in range(RESIZE_H):
+        sy = (y * PPM_H) // RESIZE_H
+        for x in range(RESIZE_W):
+            sx = (x * PPM_W) // RESIZE_W
+            off = (sy * PPM_W + sx) * 3
+            slices.append(f"substr(raster_hex, {off * 2 + 1}, 6)")
+    resized_hex = " || ".join(slices)
+    return f"""
+WITH raster AS (
+  SELECT doc_id, substr({raster_hex}, 1, {n_bytes * 2}) AS raster_hex
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST({PPM_W} AS INTEGER) AS src_width,
+       CAST({PPM_H} AS INTEGER) AS src_height,
+       CAST({RESIZE_W} AS INTEGER) AS width,
+       CAST({RESIZE_H} AS INTEGER) AS height,
+       md5({resized_hex}) AS resized_md5
+FROM raster
+""".strip()
+
+
+@register_demoted("multimodal_ppm_resize", oracle=_ppm_resize_sql())
+def multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode + resize (new r5, retiring the round-1..4
+    image stub): every document gets a genuine P6 PPM payload
+    (deterministic md5-block raster, real netpbm encoder), which
+    resize_images then DECODES (header parse + raster reshape) and
+    nearest-neighbor resamples inside Arrow-batched mapInPandas; the
+    oracle independently rebuilds the raster and the same resample
+    positions in SQL, so the decoded-pixel math is value-hash-checked
+    on every row.  Audio decode remains the engine's one documented
+    stub (operators/multimodal.py::decode_audio)."""
+    from ..operators.multimodal import resize_images, with_ppm_content
+
+    docs = table(spark, sf_dir, "documents")
+    return resize_images(with_ppm_content(docs))
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone per-payload feature extraction (library form; the
     registered query is multimodal_features_frames)."""

@@ -19,7 +19,10 @@ from recsys_spark_spark.sources.readers import table
 
 
 def test_decode_stubs_raise():
-    with pytest.raises(NotImplementedError, match="STUB"):
+    """Image decode is REAL since round 5 (P6 PPM) — a PNG payload is
+    now a ValueError (wrong magic), not a stub; audio remains the one
+    documented stub."""
+    with pytest.raises(ValueError, match="not a P6"):
         decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError, match="STUB"):
         decode_audio(b"RIFF")
@@ -107,3 +110,62 @@ def test_resize_frames_bounded_output_and_null_skip(spark):
         ).hexdigest()
         assert rows[i]["resized_md5"] == want
         assert (rows[i]["width"], rows[i]["height"]) == (4, 4)
+
+
+# --- real P6 PPM decode + resize (round 5) ---------------------------------
+
+
+def test_ppm_encode_decode_roundtrip():
+    import numpy as np
+
+    from recsys_spark_spark.operators.multimodal import decode_image, encode_ppm
+
+    rng = np.random.default_rng(3)
+    pixels = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    assert (decode_image(encode_ppm(pixels)) == pixels).all()
+
+
+def test_ppm_decode_handles_comments_and_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    from recsys_spark_spark.operators.multimodal import decode_image
+
+    raster = bytes(range(2 * 2 * 3))
+    with_comment = b"P6\n# a netpbm comment\n2 2\n255\n" + raster
+    assert (
+        decode_image(with_comment)
+        == np.frombuffer(raster, dtype=np.uint8).reshape(2, 2, 3)
+    ).all()
+    for bad in (
+        b"P5\n2 2\n255\n" + raster,          # wrong magic
+        b"P6\n2 2\n65535\n" + raster * 2,    # unsupported maxval
+        b"P6\n2 2\n255\n" + raster[:-1],     # truncated raster
+        b"P6\n2 x\n255\n" + raster,          # non-numeric header
+    ):
+        with pytest.raises(ValueError):
+            decode_image(bad)
+
+
+def test_resize_images_nearest_neighbor_hand_computed(spark):
+    """4×4 → 2×2 nearest neighbor picks source pixels (0,0) (0,2)
+    (2,0) (2,2); corrupt payloads and NULLs are quarantined."""
+    import hashlib
+
+    import numpy as np
+
+    from recsys_spark_spark.operators.multimodal import encode_ppm, resize_images
+
+    pixels = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    expected = pixels[np.ix_([0, 2], [0, 2])]
+    want_md5 = hashlib.md5(expected.tobytes().hex().encode()).hexdigest()
+    rows = [
+        (1, bytearray(encode_ppm(pixels))),
+        (2, bytearray(b"P6 garbage")),  # corrupt → quarantined
+        (3, None),                      # NULL → quarantined
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r["id"]: r for r in resize_images(df, 2, 2).collect()}
+    assert set(got) == {1}
+    assert got[1]["resized_md5"] == want_md5
+    assert (got[1]["src_width"], got[1]["src_height"]) == (4, 4)
