@@ -37,6 +37,16 @@ from ..functions.rounding import qround
 
 PR_ROUND = 7
 
+#: iterations beyond which each round's rank vector is
+#: ``localCheckpoint``-ed to truncate lineage (components.py pattern):
+#: the unrolled plan doubles in depth per iteration (join + aggregate
+#: + join), and past ~10 rounds Catalyst analysis/optimization time
+#: dominates — or OOMs the driver — on the exponentially-nested tree.
+#: Below the threshold the plan stays pure-lazy (cheaper for the
+#: registered 5-iteration query, and keeps its oracle WITH-chain
+#: replay untouched).
+CHECKPOINT_AFTER_ITERS = 10
+
 
 def corating_edges(
     ratings: DataFrame, max_items_per_user: int | None = None
@@ -101,6 +111,12 @@ def pagerank(
     pr = nodes.crossJoin(n_df).select(
         "id", (F.lit(1.0) / F.col("n")).alias("pr")
     )
+    # lineage truncation for long runs (CHECKPOINT_AFTER_ITERS): the
+    # per-round localCheckpoint caps the plan at one iteration's depth,
+    # exactly like the pointer-jumping loop in components.py — without
+    # it a 25-round run re-analyzes an exponentially nested tree each
+    # round (plan-build time grows ~2× per iteration past ~10)
+    checkpoint = iters > CHECKPOINT_AFTER_ITERS
     for _ in range(iters):
         contrib = (
             edges.join(pr, edges.src == pr.id)
@@ -120,4 +136,6 @@ def pagerank(
                 ).alias("pr"),
             )
         )
+        if checkpoint:
+            pr = pr.localCheckpoint(eager=True)
     return pr

@@ -68,3 +68,40 @@ def test_hot_user_cap_drops_user(spark):
     }
     # user 10 (5 items) is dropped; only user 11's pair remains
     assert got == {(0, 1): 1.0, (1, 0): 1.0}
+
+
+def test_high_iteration_checkpoint_same_ranks_and_bounded_planning(spark):
+    """iters > CHECKPOINT_AFTER_ITERS truncates lineage per round
+    (localCheckpoint, the components.py pattern) — ranks must be
+    IDENTICAL to the pure-lazy unrolled plan (checkpointing only moves
+    where execution happens), and a 25-round run must complete without
+    the exponentially nested plan re-analysis that motivated the guard."""
+    import time
+
+    from recsys_spark_spark.operators import pagerank as prmod
+
+    rows = [(0, l, 1.0) for l in range(1, 5)] + [
+        (l, 0, 1.0) for l in range(1, 5)
+    ] + [(1, 2, 1.0), (2, 1, 1.0)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w double")
+
+    # equality check at 12 iters: default (checkpointed, 12 > 10) vs
+    # forced-lazy via a raised threshold
+    chk = {r["id"]: r["pr"] for r in prmod.pagerank(edges, iters=12).collect()}
+    old = prmod.CHECKPOINT_AFTER_ITERS
+    try:
+        prmod.CHECKPOINT_AFTER_ITERS = 1000
+        lazy = {
+            r["id"]: r["pr"] for r in prmod.pagerank(edges, iters=12).collect()
+        }
+    finally:
+        prmod.CHECKPOINT_AFTER_ITERS = old
+    assert chk == lazy
+
+    # 25-iteration stress: completes, conserves mass, converged ranks
+    t0 = time.time()
+    ranks = {r["id"]: r["pr"] for r in prmod.pagerank(edges, iters=25).collect()}
+    elapsed = time.time() - t0
+    assert abs(sum(ranks.values()) - 1.0) < 1e-5
+    assert ranks[0] > ranks[3]  # hub still dominates a pure leaf
+    assert elapsed < 120, f"25-iter run took {elapsed:.0f}s — lineage grew"
