@@ -24,7 +24,7 @@ from ..operators.sketches import (
     merge_histograms,
 )
 from ..sources.readers import table
-from .registry import register
+from .registry import QUERIES, register, register_demoted
 
 _QS = (0.5, 0.9, 0.99)
 
@@ -97,6 +97,56 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         nbins=HIST_NBINS,
     )
     rolled = merge_histograms(daily, key_cols=["event_type"])
+    return histogram_quantiles(
+        rolled, key_cols=["event_type"], qs=_QS, lo=HIST_LO, w=HIST_W
+    )
+
+
+# the streamed twin shares the ORACLE VERBATIM with the batch query:
+# both must produce identical quantiles, so the single SQL string
+# certifies stream-maintained state against direct fact binning
+_SKETCH_ORACLE = QUERIES["events_value_quantile_sketch"].oracle
+
+
+@register_demoted(
+    "events_stream_quantile_sketch", oracle=_SKETCH_ORACLE, bench=True
+)
+def events_stream_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME p50/p90/p99-per-event_type answer as
+    events_value_quantile_sketch, but the daily histogram sketch is
+    maintained STREAMING-side and lands through the exactly-once
+    foreachBatch sink (new r5, perf-tracking the streaming story):
+
+        events readStream → windowed sketch aggregation
+        → idempotent batch_id-partitioned parquet (streaming/sinks.py)
+        → batch merge + quantile extraction over the READ-BACK store
+
+    The oracle is byte-identical to the batch query's, so the driver
+    hash certifies the full streaming path — watermarked state,
+    exactly-once sink layout, and sketch mergeability — against direct
+    ANSI-SQL fact binning.  One availableNow drain in update mode
+    emits every window exactly once (continuous deployments keep
+    append mode per the sink docstring).
+
+    100 TB shape: streaming state is bounded at days × types × nbins
+    count rows inside the watermark horizon (independent of event
+    volume); the sink writes one partition per micro-batch; the
+    quantile query touches only the sketch store, never the facts."""
+    import tempfile
+
+    from ..streaming.sinks import read_batched, write_stream_exactly_once
+    from ..streaming.windows import histogram_sketch_stream, read_events_stream
+
+    workdir = tempfile.mkdtemp(prefix="stream_sketch_")
+    stream = histogram_sketch_stream(read_events_stream(spark, sf_dir))
+    q = write_stream_exactly_once(
+        stream, f"{workdir}/store", f"{workdir}/ck", output_mode="update"
+    )
+    q.awaitTermination()
+    stored = read_batched(spark, f"{workdir}/store")
+    rolled = merge_histograms(stored, key_cols=["event_type"])
     return histogram_quantiles(
         rolled, key_cols=["event_type"], qs=_QS, lo=HIST_LO, w=HIST_W
     )

@@ -172,7 +172,8 @@ def test_bench_set_is_stable():
     """The bench set must not drift when the registered/demoted split
     rotates — round-over-round timing comparability depends on it.
     Additions are deliberate acts: update this list WITH the PERF.md
-    note explaining the total change (als_topk joined in round 4)."""
+    note explaining the total change (als_topk joined in round 4,
+    events_stream_quantile_sketch in round 5)."""
     from recsys_spark_spark.plans.registry import bench_queries
 
     assert sorted(bench_queries()) == [
@@ -183,6 +184,7 @@ def test_bench_set_is_stable():
         "embedding_knn_bruteforce",
         "embedding_knn_ivf",
         "embedding_knn_lsh",
+        "events_stream_quantile_sketch",
         "hybrid_topk",
         "item_topk_cosine",
         "neardup_minhash_lsh",
