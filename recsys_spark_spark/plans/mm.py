@@ -110,12 +110,59 @@ def multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-neighbor resamples inside Arrow-batched mapInPandas; the
     oracle independently rebuilds the raster and the same resample
     positions in SQL, so the decoded-pixel math is value-hash-checked
-    on every row.  Audio decode remains the engine's one documented
-    stub (operators/multimodal.py::decode_audio)."""
+    on every row."""
     from ..operators.multimodal import resize_images, with_ppm_content
 
     docs = table(spark, sf_dir, "documents")
     return resize_images(with_ppm_content(docs))
+
+
+def _wav_features_sql() -> str:
+    """DuckDB twin of the REAL WAV decode→feature path: regenerates
+    the deterministic int16 little-endian samples from the md5 blocks
+    and recomputes count/rate/peak/RMS — value-hash parity for
+    genuinely decoded audio."""
+    from ..operators.multimodal import WAV_RATE, WAV_SAMPLES
+
+    # sample j lives in md5 block j//8 at hex offset (j%8)*4
+    # (lo byte then hi byte — little endian)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(concat('0x',
+              substr(md5(text || '~' || (j // 8)), (j % 8) * 4 + 3, 2),
+              substr(md5(text || '~' || (j // 8)), (j % 8) * 4 + 1, 2))
+           AS INTEGER) AS u
+  FROM documents, generate_series(0, {WAV_SAMPLES - 1}) t(j)
+),
+sv AS (
+  SELECT doc_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+  FROM s
+)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST({WAV_SAMPLES} AS BIGINT) AS n_samples,
+       CAST({WAV_RATE} AS INTEGER) AS sample_rate,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       floor(sqrt(avg(CAST(v AS DOUBLE) * v)) * 1000000.0 + 0.5)
+         / 1000000.0 AS rms
+FROM sv GROUP BY doc_id
+""".strip()
+
+
+@register_demoted("multimodal_wav_features", oracle=_wav_features_sql())
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (new r5, retiring the engine's LAST decode
+    stub): every document gets a genuine RIFF/WAVE payload (16-bit
+    mono PCM, deterministic md5-block samples, real struct-packed
+    encoder), which audio_features then DECODES (RIFF chunk walk +
+    fmt validation + sample extraction) and reduces to
+    count/rate/peak/RMS; the oracle independently rebuilds the int16
+    samples from the md5 hex and recomputes the same features, so the
+    decoded-sample math is value-hash-checked on every row."""
+    from ..operators.multimodal import audio_features, with_wav_content
+
+    docs = table(spark, sf_dir, "documents")
+    return audio_features(with_wav_content(docs))
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,14 +18,14 @@ from recsys_spark_spark.operators.multimodal import (
 from recsys_spark_spark.sources.readers import table
 
 
-def test_decode_stubs_raise():
-    """Image decode is REAL since round 5 (P6 PPM) — a PNG payload is
-    now a ValueError (wrong magic), not a stub; audio remains the one
-    documented stub."""
+def test_decoders_reject_foreign_magic():
+    """Both decoders are REAL since round 5 (P6 PPM, RIFF/WAVE PCM) —
+    foreign/compressed payloads are ValueErrors (quarantined by
+    callers), no NotImplementedError stubs remain."""
     with pytest.raises(ValueError, match="not a P6"):
         decode_image(b"\x89PNG")
-    with pytest.raises(NotImplementedError, match="STUB"):
-        decode_audio(b"RIFF")
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_audio(b"ID3\x04mp3data")
 
 
 def test_binary_schema(spark, sf_dir):
@@ -169,3 +169,83 @@ def test_resize_images_nearest_neighbor_hand_computed(spark):
     assert set(got) == {1}
     assert got[1]["resized_md5"] == want_md5
     assert (got[1]["src_width"], got[1]["src_height"]) == (4, 4)
+
+
+# --- real RIFF/WAVE decode + features (round 5) -----------------------------
+
+
+def test_wav_encode_decode_roundtrip_and_stdlib_twin():
+    """Our encoder's output parses identically through the stdlib
+    ``wave`` module (independent RIFF implementation), and our decoder
+    round-trips it."""
+    import io
+    import wave as stdwave
+
+    import numpy as np
+
+    from recsys_spark_spark.operators.multimodal import decode_audio, encode_wav
+
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-32768, 32768, 200, dtype=np.int16)
+    payload = encode_wav(samples, 16000)
+
+    rate, got = decode_audio(payload)
+    assert rate == 16000 and (got == samples).all()
+
+    with stdwave.open(io.BytesIO(payload)) as w:
+        assert (w.getframerate(), w.getnchannels(), w.getsampwidth()) == (
+            16000, 1, 2,
+        )
+        twin = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    assert (twin == samples).all()
+
+
+def test_wav_decode_skips_unknown_chunks_and_rejects_malformed():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from recsys_spark_spark.operators.multimodal import decode_audio, encode_wav
+
+    samples = np.array([1, -2, 300, -32768], dtype=np.int16)
+    base = encode_wav(samples, 8000)
+    # splice a LIST chunk (odd-size, so word alignment is exercised)
+    # between fmt and data
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\0"
+    spliced = base[:36] + extra + base[36:]
+    rate, got = decode_audio(spliced)
+    assert rate == 8000 and (got == samples).all()
+
+    stereo = base[:22] + struct.pack("<H", 2) + base[24:]
+    for bad in (
+        base[:30],                      # truncated data chunk
+        base[:8] + b"AVI " + base[12:], # wrong form type
+        stereo,                         # channels=2 unsupported
+    ):
+        with pytest.raises(ValueError):
+            decode_audio(bad)
+
+
+def test_audio_features_hand_computed(spark):
+    """RMS/peak on known samples; corrupt and NULL payloads
+    quarantined."""
+    import math
+
+    import numpy as np
+
+    from recsys_spark_spark.operators.multimodal import audio_features, encode_wav
+
+    samples = np.array([3, -4, 0, 5], dtype=np.int16)
+    rms = math.floor(math.sqrt((9 + 16 + 0 + 25) / 4) * 1e6 + 0.5) / 1e6
+    rows = [
+        (1, bytearray(encode_wav(samples, 8000))),
+        (2, bytearray(b"RIFFjunk")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r["id"]: r for r in audio_features(df).collect()}
+    assert set(got) == {1}
+    r = got[1]
+    assert (r["n_samples"], r["sample_rate"], r["peak"]) == (4, 8000, 5)
+    assert r["rms"] == rms
