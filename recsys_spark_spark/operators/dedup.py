@@ -640,3 +640,143 @@ pairs AS (
 SELECT train_id, eval_id, shared_shingles
 FROM pairs WHERE shared_shingles >= {min_shared}
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# exact substring-duplication spans (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better": any ≥W-token window
+# occurring verbatim in more than one document marks a duplicated
+# region worth cutting)
+# --------------------------------------------------------------------------
+
+#: window length in whitespace tokens (the paper uses 50 BPE tokens;
+#: 16 whitespace tokens is the equivalent grain for this corpus and
+#: non-vacuous on the shipped data — 45 of 500 sf0.01 docs carry one)
+DUP_WINDOW = 16
+
+
+def duplicate_window_rows(
+    docs: DataFrame,
+    n: int = DUP_WINDOW,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Every stride-1 n-token window as ``(id, start, fp)`` — start is
+    1-based (package shingle convention), fp is md5 of the
+    space-joined window.  Documents shorter than n tokens have no
+    n-token window and contribute nothing (unlike the Jaccard
+    shingles, which keep short docs so set similarity stays defined).
+    One narrow map + explode — O(total tokens) rows, no shuffle."""
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return docs.where(F.size(toks) >= n).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.cast("long").alias("start"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice(toks, i, n)).cast("binary")
+                    ).alias("fp"),
+                ),
+            )
+        ).alias("w"),
+    ).select("id", "w.start", "w.fp")
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = DUP_WINDOW,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated regions per document:
+    ``(doc_id, span_start, span_end, n_windows)`` — every n-token
+    window inside [span_start, span_end] occurs in ≥ ``min_docs``
+    DISTINCT documents, and overlapping/adjacent duplicate windows are
+    merged into one span (island detection over window starts).
+
+    Scale shape (100 TB): the window relation is LINEAR in corpus
+    tokens; the only wide operations are one fp-keyed aggregate
+    (map-side-combinable count-distinct at 2 levels: (fp, id) then fp)
+    and the semi-join back — the classic inverted-index shape, no
+    suffix array and no pair join.  The per-doc island window runs
+    over duplicate windows only (tiny).  A pathological fp shared by
+    millions of docs costs one aggregate row, not a blowup — the
+    semi-join returns each window row once regardless of how many
+    documents share its fp."""
+    w = duplicate_window_rows(docs, n, id_col, text_col)
+    # two-level distinct count: (fp, id) pre-aggregate keeps the fp
+    # shuffle payload at one row per (fp, doc) even when a doc repeats
+    # a window internally
+    dup_fp = (
+        w.select("fp", "id")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("fp")
+    )
+    d = w.join(dup_fp, "fp", "semi")
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("id").orderBy("start")
+    brk = F.when(
+        F.lag("start").over(win).isNull()
+        | (F.col("start") > F.lag("start").over(win) + n),
+        1,
+    ).otherwise(0)
+    gid = F.sum("brk").over(
+        Window.partitionBy("id").orderBy("start").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    return (
+        d.withColumn("brk", brk)
+        .withColumn("g", gid)
+        .groupBy(F.col("id").alias("doc_id"), "g")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + (n - 1)).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+def duplicate_spans_sql(
+    n: int = DUP_WINDOW, min_docs: int = 2, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`duplicate_spans`."""
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {table}),
+w AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS start,
+         md5(array_to_string(
+               list_slice(t, CAST(i AS INTEGER), CAST(i AS INTEGER) + {n - 1}),
+               ' ')) AS fp
+  FROM toks, UNNEST(generate_series(1, len(t) - {n - 1})) AS g(i)
+),
+dupfp AS (
+  SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) >= {min_docs}
+),
+d AS (SELECT w.* FROM w JOIN dupfp USING (fp)),
+isl AS (
+  SELECT doc_id, start,
+         CASE WHEN lag(start) OVER win IS NULL
+                OR start > lag(start) OVER win + {n} THEN 1 ELSE 0 END AS brk
+  FROM d WINDOW win AS (PARTITION BY doc_id ORDER BY start)
+),
+gid AS (
+  SELECT doc_id, start,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS g
+  FROM isl
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       min(start) AS span_start,
+       max(start) + {n - 1} AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM gid GROUP BY doc_id, g
+""".strip()

@@ -16,6 +16,9 @@ from pyspark.sql import functions as F
 
 from ..operators.components import components_sql, connected_components
 from ..operators.dedup import (
+    DUP_WINDOW,
+    duplicate_spans,
+    duplicate_spans_sql,
     decontaminate_pairs,
     decontaminate_sql,
     minhash_neardup_pairs,
@@ -28,7 +31,7 @@ from ..operators.dedup import (
     simhash_signatures,
 )
 from ..sources.readers import table
-from .registry import register
+from .registry import register, register_demoted
 
 NEARDUP_THRESHOLD = 0.5
 MAX_HAMMING = 3
@@ -168,3 +171,21 @@ def neardup_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@register_demoted(
+    "doc_duplicate_spans", oracle=duplicate_spans_sql(DUP_WINDOW, 2)
+)
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication spans (new r5; Lee et al. 2022
+    lineage — "Deduplicating Training Data Makes Language Models
+    Better"): maximal per-document regions whose every 16-token window
+    occurs verbatim in ≥2 distinct documents.  The span-level
+    complement of the document-level near-dup family: L2 tools decide
+    which DOCUMENT to drop; this marks which TOKENS to cut when the
+    documents stay.  Inverted-index shape — linear window relation,
+    one fp-keyed aggregate, semi-join back, per-doc island merge — no
+    suffix array, no pair join (scale argument in the operator
+    docstring); non-vacuous on the shipped corpus (45 of 500 sf0.01
+    docs carry a span)."""
+    return duplicate_spans(table(spark, sf_dir, "documents"))

@@ -191,3 +191,49 @@ def test_decontamination_flags_injected_overlap(spark, sf_dir):
     }
     assert not (clone_ids & survivors), "a contaminated doc survived removal"
     pairs.unpersist()
+
+
+# --- exact substring-duplication spans (round 5) ----------------------------
+
+
+def test_duplicate_spans_planted(spark):
+    """Hand-computed span semantics: two docs share a verbatim 8-token
+    run inside otherwise-unique text → exactly one maximal span each,
+    covering exactly the shared run; a doc repeating a window only
+    WITHIN itself is not flagged (min_docs counts DISTINCT docs)."""
+    from recsys_spark_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(8))          # 8 shared tokens
+    doc1 = "a1 a2 a3 " + shared + " a4 a5"                # span tokens 4..11
+    doc2 = "b1 " + shared + " b2 b3 b4 b5 b6"             # span tokens 2..9
+    doc3 = ("c1 c2 c3 c4 " * 2).strip() + " d1 d2 d3 d4"  # self-repeat only
+    docs = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicate_spans(docs, n=4, min_docs=2).collect()
+    }
+    # with n=4, the shared 8-token run yields 5 overlapping windows
+    # that must merge into ONE span spanning exactly the run
+    assert got[1] == (4, 11, 5)
+    assert got[2] == (2, 9, 5)
+    assert 3 not in got
+
+
+def test_duplicate_spans_merges_only_adjacent(spark):
+    """Two duplicated runs separated by a unique gap stay two spans."""
+    from recsys_spark_spark.operators.dedup import duplicate_spans
+
+    run_a = " ".join(f"x{i}" for i in range(4))
+    run_b = " ".join(f"y{i}" for i in range(4))
+    d1 = run_a + " gap1 gap2 gap3 gap4 gap5 " + run_b
+    d2 = run_a + " other1 other2 other3 other4 other5 " + run_b
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(docs, n=4, min_docs=2).collect()
+    )
+    assert got == [(1, 1, 4), (1, 10, 13), (2, 1, 4), (2, 10, 13)]
