@@ -780,3 +780,152 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(count(*) AS BIGINT) AS n_windows
 FROM gid GROUP BY doc_id, g
 """.strip()
+
+
+def dedup_cut_docs(
+    docs: DataFrame,
+    n: int = DUP_WINDOW,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove all-but-one occurrence of every duplicated region — the
+    CUT half of the Lee et al. 2022 exact-substring dedup (the spans
+    query only detects): rebuild each document's text with the
+    duplicated tokens removed, keeping the single keeper occurrence.
+
+    Deterministic keeper rule: per duplicate window fingerprint the
+    keeper occurrence is the lexicographically smallest
+    ``(doc_id, start)``; a token position is cut iff ≥1 duplicate
+    window covers it AND NO keeper-occurrence window covers it (so
+    overlapping keeper/non-keeper windows resolve in favor of
+    keeping — conservative, never cuts the kept copy's context).
+
+    Returns every input document: ``(doc_id, text_clean,
+    n_cut_tokens)`` — untouched docs pass through verbatim with 0.
+
+    Scale shape: everything linear or duplicate-bounded — the window
+    relation is O(tokens); keeper election is one fp-keyed min; the
+    coverage explode is O(duplicate_windows × n) (duplicates only,
+    NOT the corpus); the rebuild is one posexplode + anti-join +
+    per-doc ordered re-assembly.  No suffix array, no pair join."""
+    from pyspark.sql import Window as _W  # noqa: F401  (doc parity)
+
+    w = duplicate_window_rows(docs, n, id_col, text_col)
+    dup_fp = (
+        w.select("fp", "id")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("fp")
+    )
+    d = w.join(dup_fp, "fp")
+    keepers = d.groupBy("fp").agg(
+        F.min(F.struct("id", "start")).alias("k")
+    )
+    occ = d.join(keepers, "fp").select(
+        "id",
+        "start",
+        (
+            (F.col("id") == F.col("k.id")) & (F.col("start") == F.col("k.start"))
+        ).alias("is_keeper"),
+    )
+    coverage = occ.select(
+        "id",
+        F.explode(F.sequence("start", F.col("start") + (n - 1))).alias("pos"),
+        "is_keeper",
+    )
+    cut = (
+        coverage.groupBy("id", "pos")
+        .agg(F.max("is_keeper").alias("any_keeper"))
+        .where(~F.col("any_keeper"))
+        .select("id", "pos")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "tok"),
+    ).select("id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    kept = toks.join(cut, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_clean")
+    )
+    n_cut = cut.groupBy("id").agg(F.count("*").alias("n_cut_tokens"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .join(n_cut.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_cut_tokens", F.lit(0).cast("long")).alias(
+                "n_cut_tokens"
+            ),
+        )
+    )
+
+
+def dedup_cut_sql(
+    n: int = DUP_WINDOW, min_docs: int = 2, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`dedup_cut_docs`."""
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {table}),
+w AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS start,
+         md5(array_to_string(
+               list_slice(t, CAST(i AS INTEGER), CAST(i AS INTEGER) + {n - 1}),
+               ' ')) AS fp
+  FROM toks, UNNEST(generate_series(1, len(t) - {n - 1})) AS g(i)
+),
+dupfp AS (
+  SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) >= {min_docs}
+),
+d AS (SELECT w.* FROM w JOIN dupfp USING (fp)),
+keepers AS (
+  SELECT fp, min(struct_pack(doc_id := doc_id, start := start)) AS k
+  FROM d GROUP BY fp
+),
+occ AS (
+  SELECT d.doc_id, d.start,
+         (d.doc_id = k.k.doc_id AND d.start = k.k.start) AS is_keeper
+  FROM d JOIN keepers k USING (fp)
+),
+coverage AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS pos, is_keeper
+  FROM occ, UNNEST(generate_series(start, start + {n - 1})) AS gp(p)
+),
+cut AS (
+  SELECT doc_id, pos FROM coverage
+  GROUP BY doc_id, pos HAVING NOT bool_or(is_keeper)
+),
+tk AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS pos, t[CAST(p AS INTEGER)] AS tok
+  FROM toks, UNNEST(generate_series(1, len(t))) AS gp(p)
+),
+kept AS (
+  SELECT tk.* FROM tk
+  WHERE NOT EXISTS (SELECT 1 FROM cut c
+                    WHERE c.doc_id = tk.doc_id AND c.pos = tk.pos)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+),
+ncut AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_tokens
+  FROM cut GROUP BY doc_id
+)
+SELECT CAST(dd.doc_id AS BIGINT) AS doc_id,
+       coalesce(r.text_clean, '') AS text_clean,
+       coalesce(nc.n_cut_tokens, 0) AS n_cut_tokens
+FROM {table} dd
+LEFT JOIN rebuilt r ON r.doc_id = dd.doc_id
+LEFT JOIN ncut nc ON nc.doc_id = dd.doc_id
+""".strip()

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 from ..operators.components import components_sql, connected_components
 from ..operators.dedup import (
     DUP_WINDOW,
+    dedup_cut_docs,
+    dedup_cut_sql,
     duplicate_spans,
     duplicate_spans_sql,
     decontaminate_pairs,
@@ -189,3 +191,15 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring); non-vacuous on the shipped corpus (45 of 500 sf0.01
     docs carry a span)."""
     return duplicate_spans(table(spark, sf_dir, "documents"))
+
+
+@register_demoted("doc_dedup_cut", oracle=dedup_cut_sql(DUP_WINDOW, 2))
+def doc_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT half of exact-substring dedup (new r5; Lee et al. 2022
+    "remove all but one occurrence"): every document rebuilt with its
+    duplicated tokens removed, keeping the lexicographically-smallest
+    occurrence per duplicate window; untouched docs pass through
+    verbatim.  Output = the full corpus (doc_id, text_clean,
+    n_cut_tokens) — the oracle value-hash-checks every rebuilt STRING,
+    not just counts (23 of 500 sf0.01 docs lose 1243 tokens)."""
+    return dedup_cut_docs(table(spark, sf_dir, "documents"))

@@ -237,3 +237,26 @@ def test_duplicate_spans_merges_only_adjacent(spark):
         for r in duplicate_spans(docs, n=4, min_docs=2).collect()
     )
     assert got == [(1, 1, 4), (1, 10, 13), (2, 1, 4), (2, 10, 13)]
+
+
+def test_dedup_cut_keeps_one_occurrence(spark):
+    """Hand-computed cut semantics: the shared run survives only in
+    the keeper doc (smallest (doc_id, start)); the other doc loses
+    exactly the run's tokens; untouched docs pass through verbatim
+    with n_cut_tokens=0."""
+    from recsys_spark_spark.operators.dedup import dedup_cut_docs
+
+    shared = " ".join(f"s{i}" for i in range(6))
+    doc1 = "a1 a2 " + shared + " a3"     # keeper (doc_id 1 < 2)
+    doc2 = "b1 " + shared + " b2 b3"
+    doc3 = "u1 u2 u3 u4 u5 u6 u7"        # untouched
+    docs = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_cut_tokens"])
+        for r in dedup_cut_docs(docs, n=4, min_docs=2).collect()
+    }
+    assert got[1] == (doc1, 0)
+    assert got[2] == ("b1 b2 b3", 6)
+    assert got[3] == (doc3, 0)
