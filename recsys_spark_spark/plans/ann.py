@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.pq import cosine_knn_pq, knn_pq_oracle_sql
 from ..operators.ivf import cosine_knn_ivf, knn_ivf_oracle_sql
 from ..operators.knn import cosine_knn_lsh, knn_lsh_oracle_sql
 from ..sources.readers import table
@@ -188,3 +189,22 @@ def embedding_knn_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = dequantized_embeddings(table(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id") < KNN_QUERIES)
     return cosine_knn_ivf(e, q, KNN_K)
+
+
+@register_demoted(
+    "embedding_knn_pq",
+    oracle=knn_pq_oracle_sql(KNN_QUERIES, KNN_K, EMB_DIM),
+)
+def embedding_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 memory-frontier path (new r5): product quantization — 16
+    subspaces × 32 codes = 80 bits per 64-dim vector (25× vs float32;
+    int8 gives 4×), ADC lookup-table scan over the encoded base, exact
+    cosine rerank of the 10k-deep shortlist.  Same deterministic
+    training recipe as IVF (hash-seeded init + one Lloyd step per
+    subspace, 7dp-quantized decisions) so the oracle replays codebook
+    training, encoding, the ADC shortlist and the rerank bit-for-bit.
+    recall@5 vs brute force = 0.96 at sf0.01 (sweep in
+    operators/pq.py)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < KNN_QUERIES)
+    return cosine_knn_pq(e, q, KNN_K)

@@ -1,0 +1,83 @@
+"""Product-quantization ANN (operators/pq.py): NumPy-twin training
+parity, end-to-end determinism under repartitioning (the
+per-partition ADC cut must be partition-invariant — the self-row /
+tie-break hazards were both caught live in round 5), and recall vs
+brute force.  Cross-engine value parity runs in test_oracle_parity
+(embedding_knn_pq)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from recsys_spark_spark.operators.pq import (
+    M_SUB,
+    _assign_codes,
+    _unit,
+    cosine_knn_pq,
+    train_codebooks,
+)
+from recsys_spark_spark.sources.readers import table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return table(spark, sf_dir, "embeddings").cache()
+
+
+def test_codebook_matches_numpy_twin(spark, emb):
+    """Distributed one-Lloyd-step training == the single-machine twin
+    (same seeds, same quantized assignment, same means)."""
+    from recsys_spark_spark.operators.ivf import seed_centroids
+    from recsys_spark_spark.operators.pq import K_CODES
+
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    X = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    U = _unit(X)
+    seeds = seed_centroids(emb, n_cells=K_CODES)
+    sub = X.shape[1] // M_SUB
+    C0 = _unit(seeds).reshape(K_CODES, M_SUB, sub).transpose(1, 0, 2).copy()
+    codes0 = _assign_codes(U, C0)
+    C1 = C0.copy()
+    for m in range(M_SUB):
+        for c in range(K_CODES):
+            mask = codes0[:, m] == c
+            if mask.any():
+                C1[m, c] = U[mask, m * sub : (m + 1) * sub].mean(0)
+    C_spark = train_codebooks(emb)
+    assert np.allclose(C1, C_spark, atol=1e-12)
+
+
+def test_pq_partition_invariant_and_deterministic(spark, emb):
+    """The per-partition ADC top-R cut must yield the identical final
+    ranking regardless of partitioning (superset property + total
+    tie-break order), and repeated runs must be bit-equal."""
+    q = emb.where(F.col("vec_id") < 20)
+    a = {(r["query_id"], r["rank"]): (r["match_id"], r["sim"])
+         for r in cosine_knn_pq(emb, q, 5).collect()}
+    b = {(r["query_id"], r["rank"]): (r["match_id"], r["sim"])
+         for r in cosine_knn_pq(emb.repartition(7), q, 5).collect()}
+    c = {(r["query_id"], r["rank"]): (r["match_id"], r["sim"])
+         for r in cosine_knn_pq(emb.repartition(2), q, 5).collect()}
+    assert a == b == c
+    assert len(a) == 20 * 5
+
+
+def test_pq_recall_vs_bruteforce(spark, emb):
+    """ADC + 10k-deep exact rerank must recover most true neighbors
+    (0.96 measured at sf0.01; the floor here is deliberately below the
+    point estimate — recall varies a few points with the corpus)."""
+    from recsys_spark_spark.plans.llm import KNN_K, KNN_QUERIES
+    from recsys_spark_spark.plans.registry import DEMOTED, QUERIES, _load_all
+
+    _load_all()
+    bf_fn = {**QUERIES, **DEMOTED}["embedding_knn_bruteforce"].fn
+    sf_dir = "/root/testdata/sf0.01"
+    e = table(spark, sf_dir, "embeddings").cache()
+    q = e.where(F.col("vec_id") < KNN_QUERIES)
+    bf = {(r["query_id"], r["match_id"]) for r in bf_fn(spark, sf_dir).collect()}
+    pq = {(r["query_id"], r["match_id"])
+          for r in cosine_knn_pq(e, q, KNN_K).collect()}
+    recall = len(bf & pq) / len(bf)
+    assert recall >= 0.90, f"PQ recall@{KNN_K} = {recall:.3f}"
