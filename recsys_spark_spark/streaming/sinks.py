@@ -101,3 +101,36 @@ def read_batched(spark: SparkSession, path: str) -> DataFrame:
     """Read the sink's output back as a plain dataset (drops the
     synthetic ``batch_id`` partition column)."""
     return spark.read.parquet(path).drop("batch_id")
+
+
+def compact_batched(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_partitions: int | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Offline compaction of a CLOSED batch_id-partitioned sink store
+    (the periodic batch job the module docstring points to): small
+    per-micro-batch directories are rewritten as one plain parquet
+    dataset at ``dst_path`` (the synthetic ``batch_id`` column is
+    dropped — the compacted store is a normal dataset, no longer
+    replay-idempotent, so compact only after the stream is stopped or
+    against a snapshot the stream has moved past).
+
+    Writes to a NEW path on purpose: an in-place rewrite that crashes
+    mid-way would destroy the only copy; the caller swaps paths (or
+    repoints readers) after the write returns, keeping the source
+    intact until then.
+
+    ``target_partitions`` coalesces the write (no shuffle — the read
+    partitions are many and small by construction, which is the
+    problem being fixed); ``max_records_per_file`` keeps downstream
+    splitting effective, matching sources/writers.py."""
+    df = read_batched(spark, src_path)
+    if target_partitions is not None:
+        df = df.coalesce(target_partitions)
+    w = df.write.mode("error")
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(dst_path)

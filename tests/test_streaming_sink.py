@@ -85,3 +85,31 @@ def test_sketch_stream_to_sink_to_quantiles(spark, sf_dir, tmp_path):
     )
     cols = ["event_type", "q", "n_total", "est"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, sf_dir, tmp_path):
+    """compact_batched: the compacted store holds exactly the same
+    rows in fewer files, and the source is left intact (new-path
+    contract)."""
+    import glob
+
+    from recsys_spark_spark.streaming.sinks import compact_batched
+
+    out = str(tmp_path / "many_batches")
+    writer = make_idempotent_batch_writer(out)
+    events = table(spark, sf_dir, "events").select(*COLS)
+    # simulate many tiny micro-batches
+    for b in range(8):
+        writer(events.where(F.col("user_id") % 8 == b).repartition(4), b)
+    before = _rows(read_batched(spark, out), COLS)
+    n_src_files = len(glob.glob(f"{out}/batch_id=*/part-*.parquet"))
+
+    compacted = str(tmp_path / "compacted")
+    compact_batched(spark, out, compacted, target_partitions=2)
+    after = _rows(spark.read.parquet(compacted), COLS)
+    n_dst_files = len(glob.glob(f"{compacted}/part-*.parquet"))
+
+    assert after == before
+    assert n_dst_files <= 2 < n_src_files
+    # source untouched
+    assert _rows(read_batched(spark, out), COLS) == before
