@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.pq import cosine_knn_pq, knn_pq_oracle_sql
+from ..operators.pq import (
+    cosine_knn_ivfpq,
+    cosine_knn_pq,
+    knn_ivfpq_oracle_sql,
+    knn_pq_oracle_sql,
+)
 from ..operators.ivf import cosine_knn_ivf, knn_ivf_oracle_sql
 from ..operators.knn import cosine_knn_lsh, knn_lsh_oracle_sql
 from ..sources.readers import table
@@ -208,3 +213,19 @@ def embedding_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < KNN_QUERIES)
     return cosine_knn_pq(e, q, KNN_K)
+
+
+@register_demoted(
+    "embedding_knn_ivfpq",
+    oracle=knn_ivfpq_oracle_sql(KNN_QUERIES, KNN_K, EMB_DIM),
+)
+def embedding_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 composition (new r5): IVF coarse pruning × PQ-compressed
+    scoring — the billion-scale index shape.  Probed-cell candidates
+    are scored through the 80-bit-code lookup tables (full vectors of
+    probed cells never touched), then the shortlist is exact-cosine
+    reranked.  Both parents' determinism recipes compose, so the
+    whole index build + search replays in the oracle."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < KNN_QUERIES)
+    return cosine_knn_ivfpq(e, q, KNN_K)
