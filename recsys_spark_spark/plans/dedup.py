@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import qround
 from ..operators.components import components_sql, connected_components
 from ..operators.dedup import (
     DUP_WINDOW,
@@ -203,3 +204,83 @@ def doc_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cut_tokens) — the oracle value-hash-checks every rebuilt STRING,
     not just counts (23 of 500 sf0.01 docs lose 1243 tokens)."""
     return dedup_cut_docs(table(spark, sf_dir, "documents"))
+
+
+#: the corpus_clean oracle's quality formula as a reusable CTE body
+#: (plans/pipeline.py keeps the Spark twin in text.quality_exprs)
+_QUALITY_CTE = """
+quality_scored AS (
+  SELECT doc_id,
+         floor(least(1.0, greatest(0.0,
+               0.3
+               + 1.2 * (CAST(len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+                         AS DOUBLE) / len(string_split(text, ' ')))
+               - 2.0 * (CASE WHEN length(text) > 0 THEN
+                         CAST(length(text) -
+                         length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+                         AS DOUBLE) / length(text) ELSE 0.0 END)
+               + least(CAST(len(string_split(text, ' ')) AS BIGINT), 40)
+                   / 200.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality
+  FROM documents
+)
+""".strip()
+
+
+@register_demoted(
+    "neardup_group_keepers",
+    oracle=f"""
+WITH comp AS (
+  SELECT * FROM ({components_sql(minhash_neardup_sql(NEARDUP_THRESHOLD))}) _c
+),
+{_QUALITY_CTE},
+ranked AS (
+  SELECT c.comp, c.id, q.quality,
+         row_number() OVER (
+           PARTITION BY c.comp ORDER BY q.quality DESC, c.id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.comp) AS n_docs
+  FROM comp c JOIN quality_scored q ON q.doc_id = c.id
+)
+SELECT CAST(comp AS BIGINT) AS group_id,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(id AS BIGINT) AS keep_doc_id,
+       quality AS keep_quality
+FROM ranked WHERE rn = 1
+""",
+)
+def neardup_group_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper election per transitive duplicate group
+    (new r5): production pipelines keep the BEST document of each
+    near-dup group, not the smallest id — keeper = argmax quality
+    (corpus-clean's heuristic score, 6dp-rounded BEFORE ranking so
+    the election is cross-engine stable), ties to the smallest
+    doc_id.  One row per duplicate group: (group_id = min-id
+    component label, n_docs, keep_doc_id, keep_quality).
+
+    Composition: MinHash pairs → distributed pointer-jumping
+    components → quality join → per-group rank-1 window; the window
+    runs over component members only (tiny), never the corpus."""
+    from .text import quality_exprs
+
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(docs, threshold=NEARDUP_THRESHOLD)
+    comp = connected_components(pairs)
+    _, _, _, quality = quality_exprs()
+    q = docs.select("doc_id", qround(quality, 6).alias("quality"))
+    w = Window.partitionBy("comp").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        comp.join(q, comp.id == q.doc_id)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count("*").over(Window.partitionBy("comp")))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("comp").cast("long").alias("group_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("doc_id").cast("long").alias("keep_doc_id"),
+            F.col("quality").alias("keep_quality"),
+        )
+    )

@@ -260,3 +260,39 @@ def test_dedup_cut_keeps_one_occurrence(spark):
     assert got[1] == (doc1, 0)
     assert got[2] == ("b1 b2 b3", 6)
     assert got[3] == (doc3, 0)
+
+
+def test_quality_keeper_prefers_best_doc_not_min_id(spark):
+    """Planted 3-doc near-dup group where the HIGHEST-quality member
+    has the LARGEST id — the keeper election must pick it (min-id
+    would pick doc 1)."""
+    from pyspark.sql import Window
+
+    from recsys_spark_spark.functions.rounding import qround
+    from recsys_spark_spark.operators.components import connected_components
+    from recsys_spark_spark.plans.text import quality_exprs
+
+    base = "the cat sat of the mat and the dog ran to the house in a field"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " !!!! #### $$$$"),     # punctuation-degraded
+            (2, base + " ???? @@@@ %%%%"),     # punctuation-degraded
+            (3, base + " it is a fine day"),   # clean → best quality
+        ],
+        "doc_id long, text string",
+    )
+    from recsys_spark_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    assert pairs.count() >= 2  # the three docs form one group
+    comp = connected_components(pairs)
+    _, _, _, quality = quality_exprs()
+    q = docs.select("doc_id", qround(quality, 6).alias("quality"))
+    w = Window.partitionBy("comp").orderBy(F.desc("quality"), F.asc("doc_id"))
+    keeper = (
+        comp.join(q, comp.id == q.doc_id)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    )
+    assert len(keeper) == 1 and keeper[0]["doc_id"] == 3
