@@ -694,3 +694,117 @@ def mixture_sample(d: DataFrame, k: float = MIX_K) -> DataFrame:
         .cast("int")
         .alias("in_mix"),
     )
+
+
+def _train_ready_sql() -> str:
+    """Oracle for corpus_train_ready — the four stages composed in one
+    WITH chain: quality/lang gate → exact dedup → transitive near-dup
+    deletion (recursive-CTE components over the MinHash pairs, table-
+    parameterized to the survivor CTE) → exact-substring span CUT
+    (table-parameterized likewise), with the final token recount."""
+    from ..operators.components import components_sql
+    from ..operators.dedup import (
+        DUP_WINDOW,
+        dedup_cut_sql,
+        minhash_neardup_sql,
+    )
+
+    pairs_on_surv = minhash_neardup_sql(NEARDUP_THRESHOLD, table="surv")
+    comp = components_sql(pairs_on_surv)
+    cut = dedup_cut_sql(DUP_WINDOW, 2, table="surv2")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         floor(least(1.0, greatest(0.0,
+               0.3
+               + 1.2 * (CAST(len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+                         AS DOUBLE) / len(string_split(text, ' ')))
+               - 2.0 * (CASE WHEN length(text) > 0 THEN
+                         CAST(length(text) -
+                         length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+                         AS DOUBLE) / length(text) ELSE 0.0 END)
+               + least(CAST(len(string_split(text, ' ')) AS BIGINT), 40)
+                   / 200.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality
+  FROM documents
+),
+gate0 AS (
+  SELECT * FROM scored
+  WHERE quality >= {QUALITY_MIN} AND lang NOT IN ({_DROP_LANGS_SQL})
+),
+keep0 AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM gate0 GROUP BY 1),
+surv AS (SELECT g.* FROM gate0 g JOIN keep0 k ON k.doc_id = g.doc_id),
+compq AS (SELECT * FROM ({comp}) _comp),
+surv2 AS (
+  SELECT s.* FROM surv s
+  WHERE s.doc_id NOT IN (SELECT id FROM compq WHERE id <> comp)
+),
+cutq AS (SELECT * FROM ({cut}) _cut)
+SELECT s.doc_id, s.lang, s.quality,
+       CASE WHEN c.text_clean = '' THEN 0
+            ELSE CAST(len(string_split(c.text_clean, ' ')) AS BIGINT)
+       END AS n_tokens_clean,
+       c.text_clean
+FROM surv2 s JOIN cutq c ON c.doc_id = s.doc_id
+""".strip()
+
+
+@register_demoted("corpus_train_ready", oracle=_train_ready_sql())
+def corpus_train_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus pipeline as ONE composed query (new
+    r5) — what a user actually materializes before tokenization:
+
+        quality/lang gate → exact dedup (min-id keeper per md5)
+        → TRANSITIVE near-dup deletion (MinHash pairs →
+          pointer-jumping components, the principled variant of
+          corpus_clean's pair rule)
+        → exact-substring span CUT among the survivors (Lee et al.
+          remove-all-but-one, doc_dedup_cut's keeper rule)
+        → rebuilt text + final token count.
+
+    Output: (doc_id, lang, quality, n_tokens_clean, text_clean) — the
+    oracle replays all four stages in one WITH chain and value-hashes
+    every rebuilt STRING, so the composition (not just each stage) is
+    driver-checkable.  Every stage reuses the registered operators'
+    exact machinery; scale arguments live at each operator."""
+    from ..operators.components import connected_components
+    from ..operators.dedup import (
+        DUP_WINDOW,
+        dedup_cut_docs,
+        minhash_neardup_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    n_tokens, _, _, quality = quality_exprs()
+    gate = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "text",
+            qround(quality, 6).alias("quality"),
+        )
+        .where(F.col("quality") >= QUALITY_MIN)
+        .where(~F.col("lang").isin(*DROP_LANGS))
+    )
+    keep = gate.groupBy(
+        F.md5(F.col("text").cast("binary")).alias("h")
+    ).agg(F.min("doc_id").alias("doc_id"))
+    surv = gate.join(keep.select("doc_id"), "doc_id", "semi").persist()
+
+    pairs = minhash_neardup_pairs(surv, threshold=NEARDUP_THRESHOLD)
+    comp = connected_components(pairs)
+    dropped = comp.where(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("doc_id")
+    )
+    surv2 = surv.join(dropped, "doc_id", "left_anti").persist()
+
+    cut = dedup_cut_docs(surv2, n=DUP_WINDOW)
+    return surv2.join(cut, "doc_id").select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.when(F.col("text_clean") == "", F.lit(0).cast("bigint"))
+        .otherwise(F.size(F.split("text_clean", " ")).cast("bigint"))
+        .alias("n_tokens_clean"),
+        "text_clean",
+    )
