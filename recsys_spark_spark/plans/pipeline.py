@@ -808,3 +808,76 @@ def corpus_train_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens_clean"),
         "text_clean",
     )
+
+
+#: expected PPS sample size (corpus_pps_sample)
+PPS_TARGET = 150
+
+
+@register_demoted(
+    "corpus_pps_sample",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         floor(least(1.0, greatest(0.0,
+               0.3
+               + 1.2 * (CAST(len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+                         AS DOUBLE) / len(string_split(text, ' ')))
+               - 2.0 * (CASE WHEN length(text) > 0 THEN
+                         CAST(length(text) -
+                         length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+                         AS DOUBLE) / length(text) ELSE 0.0 END)
+               + least(CAST(len(string_split(text, ' ')) AS BIGINT), 40)
+                   / 200.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality
+  FROM documents
+),
+tot AS (SELECT sum(quality) AS total_w FROM scored),
+probs AS (
+  SELECT s.doc_id, s.quality,
+         least(1.0, {PPS_TARGET} * s.quality / t.total_w) AS p
+  FROM scored s CROSS JOIN tot t
+)
+SELECT doc_id, quality,
+       floor(p * 1000000.0 + 0.5) / 1000000.0 AS incl_prob
+FROM probs
+WHERE ({hash60_sql("'pps:' || CAST(doc_id AS VARCHAR)")})
+        / 1152921504606846976.0 < p
+""",
+)
+def corpus_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPS (probability-proportional-to-size) sampling
+    with size = the corpus-clean quality score (new r5): doc i is kept
+    iff ``hash60('pps:' + doc_id) / 2^60 < min(1, N·wᵢ/Σw)`` —
+    Poisson-PPS (Hájek lineage), expected sample size N={PPS_TARGET},
+    inclusion probability ∝ quality.  The quality-weighted
+    subsampling a curriculum/mixture pipeline runs, in PURE RATIONAL
+    arithmetic: no ln/exp (the Efraimidis–Spirakis exponential-key
+    form needs per-row logs, which are not correctly-rounded across
+    engines), so both engines evaluate bit-identical inclusion tests.
+
+    100 TB shape: one narrow pass for quality, a 1-row total-weight
+    broadcast, one filter — no shuffle of the corpus at all; the
+    output also carries each row's inclusion probability (6 dp) for
+    downstream Horvitz–Thompson reweighting."""
+    from ..operators.dedup import hash60
+
+    docs = table(spark, sf_dir, "documents")
+    _, _, _, quality = quality_exprs()
+    scored = docs.select(
+        "doc_id", qround(quality, 6).alias("quality")
+    )
+    tot = scored.agg(F.sum("quality").alias("total_w"))
+    probs = scored.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "quality",
+        F.least(
+            F.lit(1.0), PPS_TARGET * F.col("quality") / F.col("total_w")
+        ).alias("p"),
+    )
+    u = hash60(
+        F.concat(F.lit("pps:"), F.col("doc_id").cast("string"))
+    ) / F.lit(float(1 << 60))
+    return probs.where(u < F.col("p")).select(
+        "doc_id", "quality", qround("p", 6).alias("incl_prob")
+    )
