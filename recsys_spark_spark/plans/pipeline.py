@@ -881,3 +881,60 @@ def corpus_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probs.where(u < F.col("p")).select(
         "doc_id", "quality", qround("p", 6).alias("incl_prob")
     )
+
+
+#: permille boundaries for the 3-way split: [0,960) train,
+#: [960,980) val, [980,1000) test
+SPLIT_TRAIN_PM = 960
+SPLIT_VAL_PM = 980
+
+
+@register_demoted(
+    "corpus_splits",
+    oracle=f"""
+SELECT doc_id, lang,
+       CASE WHEN pm < {SPLIT_TRAIN_PM} THEN 'train'
+            WHEN pm < {SPLIT_VAL_PM} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         ({hash60_sql("'split:' || lang || ':' || CAST(doc_id AS VARCHAR)")})
+           % 1000 AS pm
+  FROM documents
+)
+""",
+)
+def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED train/val/test assignment (new r5):
+    every document lands in exactly one split by
+    ``hash60('split:' + lang + ':' + doc_id) % 1000`` against fixed
+    permille boundaries (96/2/2) — the language is folded into the
+    hash so each stratum is split independently (a language's docs
+    cannot all collide into one split by id-pattern accident), and
+    membership is a PURE FUNCTION of the row: reproducible across
+    reruns, engines, and data arrivals (a late-arriving doc cannot
+    reshuffle anyone else's split — the property random-number splits
+    lose).  Disjointness and coverage are structural (CASE on one
+    hash), not probabilistic.
+
+    100 TB shape: one narrow map, no shuffle, no state."""
+    from ..operators.dedup import hash60
+
+    docs = table(spark, sf_dir, "documents")
+    pm = (
+        hash60(
+            F.concat(
+                F.lit("split:"), F.col("lang"), F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        % 1000
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(pm < SPLIT_TRAIN_PM, "train")
+        .when(pm < SPLIT_VAL_PM, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

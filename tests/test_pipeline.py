@@ -307,3 +307,23 @@ def test_mixture_sample_caps_rate_at_one(spark):
         for r in mixture_sample(d).select("source", "rate_ppm").distinct().collect()
     }
     assert out["tiny"] == 1000000  # min(1, ...) cap
+
+
+def test_corpus_splits_disjoint_total_and_stable(spark, sf_dir):
+    """Every doc in exactly one split; assignment is a pure function
+    (rerun-identical); split rates land near 96/2/2 per stratum."""
+    from recsys_spark_spark.plans.registry import DEMOTED, _load_all
+
+    _load_all()
+    fn = DEMOTED["corpus_splits"].fn
+    a = {r["doc_id"]: r["split"] for r in fn(spark, sf_dir).collect()}
+    b = {r["doc_id"]: r["split"] for r in fn(spark, sf_dir).collect()}
+    assert a == b
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert len(a) == n_docs  # total: every doc assigned exactly once
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert c["train"] / n_docs > 0.9
+    assert 0 < c["val"] and 0 < c["test"]
