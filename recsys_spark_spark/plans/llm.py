@@ -415,6 +415,118 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(table(spark, sf_dir, "documents"))
 
 
+# --- bigram-LM quality scoring --------------------------------------------
+@register_demoted(
+    "doc_bigram_logprob",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(l[1:len(l) - 1]) AS w1,
+         unnest(l[2:len(l)]) AS w2
+  FROM t WHERE len(l) >= 2
+),
+cb AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2
+),
+cctx AS (
+  SELECT w1, CAST(sum(cb) AS BIGINT) AS cctx FROM cb GROUP BY 1
+),
+v AS (
+  SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+),
+scored AS (
+  SELECT bg.doc_id,
+         ln((CAST(cb.cb AS DOUBLE) + 1.0)
+            / (CAST(cctx.cctx AS DOUBLE) + v.v)) AS lp
+  FROM bg JOIN cb USING (w1, w2) JOIN cctx USING (w1) CROSS JOIN v
+),
+per AS (
+  SELECT doc_id, list_sort(list(lp)) AS l FROM scored GROUP BY 1
+)
+SELECT doc_id, CAST(len(l) AS BIGINT) AS n_bigrams,
+       {mean_q} AS mean_logprob
+FROM per
+""".format(mean_q=qround_sql("list_reduce(l, (a, b) -> a + b) / len(l)", 6)),
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under an add-one
+    (Laplace) smoothed bigram LM trained on the corpus itself — the
+    next-order companion to doc_unigram_logprob.  A unigram score
+    cannot see scrambled or template text (same tokens, wrong order);
+    the bigram score can, which is why perplexity filters in the
+    CCNet/KenLM lineage are n-gram models, not bags of words.
+
+    Model: P(w2 | w1) = (c(w1,w2) + 1) / (ctx(w1) + V) with
+    ctx(w1) = Σ_w2 c(w1,w2) (bigram-context count, derived from the
+    bigram relation itself — no second token pass) and V = distinct
+    unigram types (the smoothing denominator).  Docs with fewer than
+    two tokens have no bigrams and drop out in BOTH engines.
+
+    Scale shape: bigrams come from zip_with over the pre-split token
+    array (row-local, NO self-join and no posexplode shuffle); the
+    count shuffle carries the bigram vocabulary (map-side combined),
+    ctx is a second small aggregate OVER that vocabulary, V is a
+    1-row broadcast, and the score join back is the same
+    inverted-index shape as the unigram query — everything linear in
+    corpus size.
+
+    Cross-engine determinism: identical to the unigram contract —
+    ln((cb + 1.0) / (cctx + V)) is evaluated as the IDENTICAL IEEE
+    op sequence on identical doubles in both engines, and each doc's
+    lp list is sorted and folded left-to-right before the 6-dp
+    rounding, so partition-order float summation cannot flake a
+    half-boundary."""
+    return bigram_logprob(table(spark, sf_dir, "documents"))
+
+
+def bigram_logprob(d: DataFrame) -> DataFrame:
+    """Library form of doc_bigram_logprob (so tests can score a
+    hand-computable corpus)."""
+    t = d.select("doc_id", F.split("text", " ").alias("l"))
+    bg = (
+        t.where(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(l, 1, size(l) - 1),"
+                    " slice(l, 2, size(l) - 1),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    cctx = cb.groupBy("w1").agg(F.sum("cb").alias("cctx"))
+    v = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .agg(F.countDistinct("token").cast("double").alias("v"))
+    )
+    scored = (
+        bg.join(cb, ["w1", "w2"])
+        .join(cctx, "w1")
+        .crossJoin(F.broadcast(v))
+    )
+    lp = F.log(
+        (F.col("cb").cast("double") + F.lit(1.0))
+        / (F.col("cctx").cast("double") + F.col("v"))
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(lp)).alias("l")
+    )
+    ordered_sum = F.aggregate("l", F.lit(0.0), lambda a, x: a + x)
+    return per.select(
+        "doc_id",
+        F.size("l").cast("bigint").alias("n_bigrams"),
+        qround(ordered_sum / F.size("l"), R6).alias("mean_logprob"),
+    )
+
+
 def unigram_logprob(d: DataFrame) -> DataFrame:
     """Library form of doc_unigram_logprob (so tests can score a
     hand-computable corpus)."""

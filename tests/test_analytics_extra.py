@@ -162,6 +162,26 @@ def test_unigram_logprob_hand_computed(spark):
     assert abs(out[2]["mean_logprob"] - expected2) < 2e-6
 
 
+def test_bigram_logprob_hand_computed(spark):
+    from recsys_spark_spark.plans.llm import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    # bigrams: (a,a):1 (a,b):1 (b,c):1; ctx: a:2 b:1; V = |{a,b,c,x}| = 4
+    lp_aa = math.log((1 + 1) / (2 + 4))
+    lp_ab = math.log((1 + 1) / (2 + 4))
+    lp_bc = math.log((1 + 1) / (1 + 4))
+    assert out[1]["n_bigrams"] == 2
+    exp1 = math.floor((lp_aa + lp_ab) / 2 * 1e6 + 0.5) / 1e6
+    assert abs(out[1]["mean_logprob"] - exp1) < 2e-6
+    assert out[2]["n_bigrams"] == 1
+    assert abs(out[2]["mean_logprob"] - math.floor(lp_bc * 1e6 + 0.5) / 1e6) < 2e-6
+    # single-token doc has no bigrams and drops out entirely
+    assert 3 not in out
+
+
 # --- negative sampling ------------------------------------------------------
 
 def test_negative_samples_exclude_positives_and_cap(spark):
