@@ -108,3 +108,35 @@ def test_zero_vector_cosine_is_zero_not_error(spark):
     assert all(r["sim"] is not None for r in got)
     got_ivf = cosine_knn_ivf(base, queries, 5, n_cells=4, n_probe=4).collect()
     assert got_ivf and all(r["sim"] is not None for r in got_ivf)
+
+
+def test_semdedup_hand_computed(spark):
+    """SemDeDup election on a hand-built set: vecs 0,1 are near-identical
+    (cosine ~1 > threshold) and share label 0 with vec 2 (orthogonal-ish);
+    vec 3 is a singleton in label 1.  The group {0,1} must keep exactly
+    the member LESS similar to the label-0 centroid."""
+    from recsys_spark_spark.plans.ann import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.01, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 0),
+        (3, [0.0, 0.0, 1.0], 1),
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    out = {r["vec_id"]: r for r in semdedup(e, 0.9).collect()}
+    assert len(out) == 4
+    # group: 0 and 1 share component min-id 0
+    assert out[0]["group_id"] == 0 and out[1]["group_id"] == 0
+    # singletons are their own group and kept
+    assert out[2]["group_id"] == 2 and out[2]["kept"] == 1
+    assert out[3]["group_id"] == 3 and out[3]["kept"] == 1
+    # centroid of label 0 ~ (0.666, 0.337, 0); vec 0 is slightly LESS
+    # similar to it than vec 1 (vec 1 tilts toward the centroid), so
+    # the SemDeDup rule keeps vec 0 and drops vec 1
+    assert out[0]["cent_sim"] < out[1]["cent_sim"]
+    assert out[0]["kept"] == 1 and out[1]["kept"] == 0
+    # exactly one keeper per group
+    assert out[0]["kept"] + out[1]["kept"] == 1
