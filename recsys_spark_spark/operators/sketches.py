@@ -184,3 +184,128 @@ def histogram_quantiles(
         cand.join(h.select(*key_cols, "bin", "cum_prev", "n"), [*key_cols, "bin"])
         .select(*key_cols, "q", "n_total", qround(est, 6).alias("est"))
     )
+
+
+# --- Count-Min sketch (heavy hitters) ---------------------------------------
+#
+# The frequency counterpart of the HLL/histogram patterns above
+# (Cormode & Muthukrishnan 2005): a depth×width grid of counters,
+# counter[j][h_j(x)] += weight.  Point estimate = min_j counter — an
+# OVERESTIMATE always (collisions only add), within εN with probability
+# 1−δ for width=⌈e/ε⌉, depth=⌈ln 1/δ⌉.  Merge = elementwise counter
+# ADDITION, so per-partition / per-day sketches roll up without
+# rescanning facts — the same mergeability contract as the histogram.
+# The hash rows use the repo's deterministic md5-derived `hash60`
+# (operators/dedup.py), so the whole sketch — grid, estimates, top-k —
+# replays bit-for-bit in DuckDB and carries a value-hash oracle.
+
+#: depth 4 ⇒ δ ≈ e⁻⁴ ≈ 1.8%; width 1024 ⇒ ε ≈ e/1024 ≈ 0.27% of N
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_hash_cols(token_col, depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+    """The d bucket expressions h_j(token) = hash60(token, "cms{j}") %
+    width — md5-derived, non-negative, engine-replayable."""
+    from .dedup import hash60
+
+    return [hash60(token_col, f"cms{j}") % width for j in range(depth)]
+
+
+def cms_cells(
+    vocab: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """(token, weight, r, b): each vocab row exploded to its d grid
+    coordinates.  Input is the WEIGHTED vocabulary (token, weight) —
+    building from the pre-aggregated vocab instead of the raw token
+    stream is mathematically identical (counters are sums) and keeps
+    the exploded relation at d×|vocab| rows, never d×|corpus|."""
+    cells = F.posexplode(F.array(*cms_hash_cols(F.col("token"), depth, width)))
+    return vocab.select("token", "weight", cells.alias("r", "b"))
+
+
+def cms_sketch(
+    vocab: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """The counter grid (r, b, c) — at most depth×width rows, map-side
+    combinable, mergeable across partitions/days/streams by (r, b)
+    counter addition."""
+    return (
+        cms_cells(vocab, depth, width)
+        .groupBy("r", "b")
+        .agg(F.sum("weight").alias("c"))
+    )
+
+
+def cms_topk_tokens(
+    docs: DataFrame,
+    k: int = 25,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Top-k corpus tokens by Count-Min ESTIMATE, with the exact count
+    alongside: (rank, token, est_count, exact_count).  est_count ≥
+    exact_count always (the CMS overestimate guarantee — property-
+    tested under forced collisions in tests/test_sketches.py); ties
+    rank by token ascending so the listing is deterministic.
+
+    Scale shape: one map-side-combined vocab aggregate over the token
+    stream, a d×|vocab| cell relation joined to the ≤ d×width grid,
+    and a TakeOrderedAndProject for the top-k — the ranking never
+    sees an unpartitioned window over the vocabulary."""
+    from pyspark.sql import Window
+
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("weight"))
+    cells = cms_cells(vocab, depth, width)
+    sketch = cms_sketch(vocab, depth, width)
+    est = (
+        cells.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("token")
+        .agg(
+            F.min("c").cast("bigint").alias("est_count"),
+            F.max("weight").cast("bigint").alias("exact_count"),
+        )
+    )
+    top = est.orderBy(F.desc("est_count"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("est_count"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "token", "est_count", "exact_count"
+    )
+
+
+def cms_topk_sql(k: int = 25, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> str:
+    """DuckDB twin of cms_topk_tokens — replays the md5 grid exactly."""
+    from .dedup import hash60_sql
+
+    cell_selects = "\nUNION ALL ".join(
+        f"SELECT token, weight, {j} AS r, "
+        f"({hash60_sql('token', f'cms{j}')} % {width}) AS b FROM vocab"
+        for j in range(depth)
+    )
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS weight FROM tok GROUP BY 1
+),
+cells AS (
+  {cell_selects}
+),
+sketch AS (
+  SELECT r, b, CAST(sum(weight) AS BIGINT) AS c FROM cells GROUP BY 1, 2
+),
+est AS (
+  SELECT token,
+         CAST(min(c) AS BIGINT) AS est_count,
+         CAST(max(weight) AS BIGINT) AS exact_count
+  FROM cells JOIN sketch USING (r, b) GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY est_count DESC, token ASC) AS INTEGER)
+         AS rank,
+       token, est_count, exact_count
+FROM est
+ORDER BY est_count DESC, token ASC
+LIMIT {k}
+""".strip()

@@ -150,3 +150,24 @@ def events_stream_quantile_sketch(
     return histogram_quantiles(
         rolled, key_cols=["event_type"], qs=_QS, lo=HIST_LO, w=HIST_W
     )
+
+
+# --- Count-Min heavy hitters -------------------------------------------------
+from ..operators.sketches import cms_topk_sql, cms_topk_tokens  # noqa: E402
+
+CMS_TOPK = 25
+
+
+@register_demoted("top_tokens_cms", oracle=cms_topk_sql(CMS_TOPK))
+def top_tokens_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 corpus tokens by Count-Min sketch estimate (Cormode &
+    Muthukrishnan 2005), exact count alongside — the frequency member
+    of the mergeable-sketch family (HLL = distinct, histogram =
+    quantiles, CMS = point frequencies / heavy hitters).  The grid is
+    ≤ depth×width counters regardless of corpus size and merges by
+    counter addition, so per-partition or per-day sketches roll up
+    without rescanning facts; the md5-derived hash rows make the whole
+    pipeline — grid, estimates, ranking — value-hash oracled, and the
+    CMS overestimate guarantee (est ≥ exact) is property-tested under
+    forced collisions in tests/test_sketches.py."""
+    return cms_topk_tokens(table(spark, sf_dir, "documents"), k=CMS_TOPK)

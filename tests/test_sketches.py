@@ -159,3 +159,71 @@ def test_histogram_quantiles_monotone_in_q(spark, sf_dir):
     assert est
     for t, qs in est.items():
         assert qs[0.5] <= qs[0.9] <= qs[0.99], (t, qs)
+
+
+# --- Count-Min sketch --------------------------------------------------------
+
+def _toy_docs(spark):
+    # token frequencies: heavy=40, mid=12, and 30 distinct rare tokens ×1
+    rows, did = [], 0
+    for _ in range(8):
+        rows.append((did, " ".join(["heavy"] * 5))); did += 1
+    for _ in range(4):
+        rows.append((did, " ".join(["mid"] * 3))); did += 1
+    rows.append((did, " ".join(f"rare{i}" for i in range(30))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cms_overestimates_and_finds_heavy_hitter_under_collisions(spark):
+    """With width=8 and 32 token types, collisions are forced in every
+    hash row — yet est ≥ exact must hold for EVERY token (counters only
+    add) and the true heaviest token must still rank first (its
+    estimate grows, everyone else's grows too, but min-of-rows damps
+    collision noise)."""
+    from recsys_spark_spark.operators.sketches import cms_topk_tokens
+
+    out = cms_topk_tokens(_toy_docs(spark), k=32, depth=4, width=8).collect()
+    assert all(r["est_count"] >= r["exact_count"] for r in out)
+    # collisions actually happened at this width
+    assert any(r["est_count"] > r["exact_count"] for r in out)
+    assert out[0]["token"] == "heavy" and out[0]["exact_count"] == 40
+    assert out[0]["rank"] == 1
+
+
+def test_cms_exact_at_generous_width(spark):
+    """At width ≫ vocab the grid is collision-free and every estimate
+    is exact — the ε→0 limit of the guarantee."""
+    from recsys_spark_spark.operators.sketches import cms_topk_tokens
+
+    out = cms_topk_tokens(_toy_docs(spark), k=32, depth=4, width=4096).collect()
+    assert out and all(r["est_count"] == r["exact_count"] for r in out)
+
+
+def test_cms_merge_equals_sketch_of_union(spark):
+    """Counter addition IS the merge: sketching two disjoint halves of
+    the corpus and adding grids elementwise equals the one-shot sketch
+    of the whole corpus, exactly."""
+    import pyspark.sql.functions as F
+    from recsys_spark_spark.operators.sketches import cms_sketch
+
+    docs = _toy_docs(spark)
+
+    def vocab(d):
+        return (
+            d.select(F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias("weight"))
+        )
+
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    merged = (
+        cms_sketch(vocab(half_a), depth=3, width=16)
+        .unionByName(cms_sketch(vocab(half_b), depth=3, width=16))
+        .groupBy("r", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    direct = cms_sketch(vocab(docs), depth=3, width=16)
+    m = {(r["r"], r["b"]): r["c"] for r in merged.collect()}
+    d = {(r["r"], r["b"]): r["c"] for r in direct.collect()}
+    assert m == d and m
