@@ -831,3 +831,141 @@ def daily_dense(e: DataFrame) -> DataFrame:
             "mean_value_ffill"
         ),
     )
+
+
+# --- interval (range) join: events in anomaly incident windows -------------
+#
+# The multi-match range join the as-of operator deliberately is NOT
+# (operators/asof.py carries exactly one right row per left row; an
+# incident window must collect EVERY overlapping event).  Catalyst has
+# no range-join optimization: `e.ts BETWEEN i.lo AND i.hi` with only a
+# low-selectivity equi-key (event_type, ~5 values) degenerates to a
+# per-key cross product — O(|events| × |windows per type|).  The scale
+# pattern is BUCKETIZATION: explode each interval to the fixed-grain
+# buckets (days) it covers, equi-join points to intervals on
+# (key, bucket), then apply the exact containment filter to trim the
+# bucket edges — O(|events| + Σ interval-days) with a real equi-key.
+
+from .registry import QUERIES as _QUERIES  # noqa: E402
+
+#: incidents extend ±6 h around the anomalous day span: boundaries are
+#: deliberately sub-day so the bucket join is a strict superset and
+#: the residual containment filter provably does work
+INCIDENT_PAD_H = 6
+
+# the oracle composes the anomaly oracle VERBATIM (one source of truth
+# for the flag rule), island-merges with the same date − rn trick, and
+# range-joins brute-force — correct at oracle scale, and exactly what
+# the bucketized plan must reproduce
+_ANOM_WINDOWS_ORACLE = f"""
+WITH anom AS (
+  SELECT event_type, CAST(day AS DATE) AS day
+  FROM ({_QUERIES["events_anomaly_daily"].oracle}) a
+  WHERE a.is_anomaly
+),
+runs AS (
+  SELECT event_type, day,
+         day - CAST(row_number() OVER (
+           PARTITION BY event_type ORDER BY day) AS INTEGER) AS grp
+  FROM anom
+),
+isl AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1
+  FROM runs GROUP BY event_type, grp
+),
+win AS (
+  SELECT event_type,
+         CAST(d0 AS TIMESTAMP) - INTERVAL {INCIDENT_PAD_H} HOUR AS w_start,
+         CAST(d1 + 1 AS TIMESTAMP) + INTERVAL {INCIDENT_PAD_H} HOUR AS w_end
+  FROM isl
+)
+SELECT e.event_id, e.event_type, e.user_id,
+       strftime(w.w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(w.w_end, '%Y-%m-%d %H:%M:%S') AS window_end
+FROM events e
+JOIN win w ON w.event_type = e.event_type
+          AND e.ts >= w.w_start AND e.ts < w.w_end
+"""
+
+
+@register_demoted("events_in_anomaly_windows", oracle=_ANOM_WINDOWS_ORACLE)
+def events_in_anomaly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every raw event inside an anomaly INCIDENT window — the
+    bucketized interval join (see section comment).  Incidents are
+    maximal runs of consecutive anomalous days per event_type
+    (events_anomaly_daily's |z| > 3 flags, island-merged with the
+    date − row_number() grouping trick) padded ±6 h; an event matches
+    when its type's incident contains its timestamp.  Output one row
+    per (event, containing window): (event_id, event_type, user_id,
+    window_start, window_end) — windows of the same type can overlap
+    after padding, so this is a genuine multi-match join, not as-of.
+
+    Oracle: the events_anomaly_daily oracle verbatim → the same
+    island merge → a brute-force range join (fine at oracle scale);
+    the Spark side's bucket explode + equi-join + containment filter
+    must produce the identical row set."""
+    e = table(spark, sf_dir, "events")
+    return events_in_windows(e, anomaly_windows(e))
+
+
+def anomaly_windows(e: DataFrame) -> DataFrame:
+    """(event_type, w_start, w_end): maximal consecutive anomalous-day
+    runs padded ±INCIDENT_PAD_H hours.  Tiny relation — the window
+    functions run over the anomalous (day, type) cells only."""
+    from pyspark.sql import Window
+
+    an = daily_anomalies(e).where("is_anomaly").select(
+        "event_type", F.col("day").cast("date").alias("day")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("day")
+    )
+    runs = an.withColumn("grp", F.date_sub(F.col("day"), rn))
+    isl = runs.groupBy("event_type", "grp").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    pad = F.expr(f"INTERVAL {INCIDENT_PAD_H} HOURS")
+    return isl.select(
+        "event_type",
+        (F.col("d0").cast("timestamp") - pad).alias("w_start"),
+        (F.date_add("d1", 1).cast("timestamp") + pad).alias("w_end"),
+    )
+
+
+def events_in_windows(e: DataFrame, windows: DataFrame) -> DataFrame:
+    """The bucketized interval join itself: explode each window to the
+    days it touches, equi-join events on (event_type, day), keep exact
+    containment [w_start, w_end).  The exploded bucket relation is
+    Σ interval-days rows; here it is broadcast (incidents are rare by
+    construction) — at a scale where incidents outgrow the broadcast
+    threshold the same plan shuffles on the (type, day) key instead,
+    still never a per-type cross product."""
+    buckets = windows.select(
+        "event_type",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                F.date_sub(F.to_date("w_start"), 0),
+                F.to_date(F.col("w_end") - F.expr("INTERVAL 1 MICROSECOND")),
+            )
+        ).alias("bday"),
+    )
+    ev = e.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        "ts",
+        F.date_trunc("day", "ts").cast("date").alias("bday"),
+    )
+    return (
+        ev.join(F.broadcast(buckets), ["event_type", "bday"])
+        .where((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .select(
+            "event_id",
+            "event_type",
+            "user_id",
+            F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("w_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        )
+    )

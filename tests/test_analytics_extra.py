@@ -408,3 +408,60 @@ def test_ranking_metrics_scores_unrecommended_users_as_zero(spark):
     u2 = out[2]
     assert (u2["p_at_k"], u2["r_at_k"], u2["ap_at_k"], u2["ndcg_at_k"],
             u2["rr_at_k"]) == (0.0, 0.0, 0.0, 0.0, 0.0)
+
+
+# --- bucketized interval join ------------------------------------------------
+
+def test_events_in_anomaly_windows_merge_and_pad(spark):
+    """Two adjacent spike days island-merge into ONE padded window;
+    the ±6 h pad pulls in off-day events near the boundary and the
+    containment filter excludes events just past it; other event
+    types never match a click window."""
+    from recsys_spark_spark.plans.windows_extra import (
+        anomaly_windows,
+        events_in_windows,
+    )
+
+    rows, eid = [], 0
+    # 8 baseline days (Jan 1-8) of 10/12 clicks at 12:00
+    for day in range(8):
+        for _ in range(10 if day % 2 == 0 else 12):
+            rows.append((eid, TS0 + dt.timedelta(days=day), 1, "click"))
+            eid += 1
+    # adjacent spikes: Jan 9 = 100, Jan 10 = 400 (both flag despite
+    # day 9 polluting day 10's trailing baseline)
+    for n, day in ((100, 8), (400, 9)):
+        for _ in range(n):
+            rows.append((eid, TS0 + dt.timedelta(days=day), 1, "click"))
+            eid += 1
+    # boundary probes: window should be [Jan 8 18:00, Jan 11 06:00)
+    probe = {
+        "in_before": (dt.datetime(2024, 1, 8, 19, 0), True),
+        "out_before": (dt.datetime(2024, 1, 8, 17, 0), False),
+        "in_after": (dt.datetime(2024, 1, 11, 5, 0), True),
+        "out_after": (dt.datetime(2024, 1, 11, 7, 0), False),
+    }
+    probe_ids = {}
+    for name, (ts, _) in probe.items():
+        rows.append((eid, ts, 1, "click"))
+        probe_ids[name] = eid
+        eid += 1
+    # views during the spike never match (windows are per-type)
+    for _ in range(5):
+        rows.append((eid, TS0 + dt.timedelta(days=8), 2, "view"))
+        eid += 1
+
+    e = _events(spark, rows)
+    wins = anomaly_windows(e).collect()
+    assert [
+        (w["event_type"], str(w["w_start"]), str(w["w_end"])) for w in wins
+    ] == [("click", "2024-01-08 18:00:00", "2024-01-11 06:00:00")]
+
+    out = events_in_windows(e, anomaly_windows(e)).collect()
+    got = {r["event_id"] for r in out}
+    assert all(r["event_type"] == "click" for r in out)
+    assert {r["window_start"] for r in out} == {"2024-01-08 18:00:00"}
+    for name, (_, expect_in) in probe.items():
+        assert (probe_ids[name] in got) is expect_in, name
+    # 100 + 400 spike events + the two in-window probes
+    assert len(out) == 502
