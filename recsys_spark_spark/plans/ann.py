@@ -74,10 +74,33 @@ WHERE floor((CASE WHEN na.nrm * nb.nrm = 0.0 THEN 0.0
 """.strip()
 
 
-def cosine_neardup_pairs(e: DataFrame, threshold: float) -> DataFrame:
+def cosine_neardup_pairs(
+    e: DataFrame,
+    threshold: float,
+    use_lsh_candidates: bool = False,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """All embedding pairs with cosine ≥ ``threshold`` (exact,
     dimension-join form) — library form so semdedup and tests can run
-    it on synthetic frames."""
+    it on synthetic frames.
+
+    ``use_lsh_candidates=True`` is the extreme-scale switch (same
+    contract as the CF axes' flag, operators/cf_lsh.py): candidate
+    pairs come from the sign-LSH banded bucket self-join
+    (operators/knn.py signatures) and ONLY candidates get the exact
+    cosine — every returned similarity is true, only recall is
+    probabilistic.  The PAIR regime needs WIDER bands than the knn
+    default (16 bands × 8 bits, not 32 × 4): a random pair collides
+    per-plane with p = 1 − θ/π ≈ 0.5 regardless of dimension, so
+    4-bit bands admit ≈ 87% of all pairs as candidates (no pruning),
+    while 8-bit bands admit ≈ 6% yet keep near-dups (cos ≥ 0.99 →
+    per-plane 0.97, per-band 0.78, 16 bands → recall 1−3·10⁻¹¹).
+    At this repo's demo threshold 0.45 LSH cannot prune by the same
+    math, which is why the registered query keeps the exact path and
+    the switch is recall/pruning-tested in its design regime
+    (tests/test_knn.py)."""
+    if use_lsh_candidates:
+        return _lsh_neardup_pairs(e, threshold, max_bucket)
     flat = e.select(
         "vec_id", F.posexplode("embedding").alias("pos", "v")
     ).select("vec_id", "pos", F.col("v").cast("double").alias("v"))
@@ -105,6 +128,82 @@ def cosine_neardup_pairs(e: DataFrame, threshold: float) -> DataFrame:
             qround(
                 F.when(F.col("na") * F.col("nb") == 0.0, 0.0).otherwise(
                     F.col("dot") / (F.col("na") * F.col("nb"))
+                ),
+                6,
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
+#: pair-regime banding: 128 planes in 16 bands of 8 bits (see
+#: cosine_neardup_pairs docstring for the collision math)
+PAIR_BAND_WIDTH = 8
+
+
+def _lsh_neardup_pairs(
+    e: DataFrame, threshold: float, max_bucket: int | None
+) -> DataFrame:
+    """The banded-candidate path of :func:`cosine_neardup_pairs`:
+    sign-LSH signatures → (band, sig) bucket self-join with id_a <
+    id_b → exact cosine rerank on candidates only.  O(n·bands +
+    Σ bucket²) instead of O(n²·dim) — buckets are balanced in the
+    high-τ regime and ``max_bucket`` guards degenerate signatures."""
+    from ..operators.knn import lsh_signatures
+
+    dim = e.select(F.size("embedding").alias("d")).first()["d"]
+    sigs = lsh_signatures(
+        e, "vec_id", "embedding", band_width=PAIR_BAND_WIDTH, dim=dim
+    )
+    if max_bucket is not None:
+        sizes = sigs.groupBy("band", "sig").agg(F.count("*").alias("_bn"))
+        sigs = (
+            sigs.join(sizes, ["band", "sig"])
+            .where(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    a = sigs.select(F.col("vec_id").alias("id_a"), "band", "sig")
+    b = sigs.select(F.col("vec_id").alias("id_b"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vec = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).select(
+        "vec_id",
+        "v",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x)).alias(
+            "nrm"
+        ),
+    )
+    va = vec.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = vec.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            qround(
+                F.when(F.col("na") * F.col("nb") == 0.0, 0.0).otherwise(
+                    dot / (F.col("na") * F.col("nb"))
                 ),
                 6,
             ).alias("sim"),
@@ -199,9 +298,13 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(table(spark, sf_dir, "embeddings"), NEARDUP_COSINE)
 
 
-def semdedup(e: DataFrame, threshold: float) -> DataFrame:
+def semdedup(
+    e: DataFrame, threshold: float, use_lsh_candidates: bool = False
+) -> DataFrame:
     """Library form of embedding_semdedup (so tests can run a
-    hand-computable vector set)."""
+    hand-computable vector set).  ``use_lsh_candidates`` swaps the
+    exact all-pairs stage for the banded sign-LSH candidates (see
+    cosine_neardup_pairs) — the production-regime scale path."""
     from pyspark.sql import Window
 
     flat = e.select(
@@ -237,7 +340,7 @@ def semdedup(e: DataFrame, threshold: float) -> DataFrame:
             ).alias("cent_sim"),
         )
     )
-    pairs = cosine_neardup_pairs(e, threshold)
+    pairs = cosine_neardup_pairs(e, threshold, use_lsh_candidates)
     comp = connected_components(pairs.select("id_a", "id_b")).select(
         F.col("id").alias("vec_id"), "comp"
     )

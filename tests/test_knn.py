@@ -140,3 +140,49 @@ def test_semdedup_hand_computed(spark):
     assert out[0]["kept"] == 1 and out[1]["kept"] == 0
     # exactly one keeper per group
     assert out[0]["kept"] + out[1]["kept"] == 1
+
+
+def test_neardup_pairs_lsh_switch_recall_and_pruning(spark):
+    """The banded-candidate switch in its design regime (τ=0.9):
+    200 background vectors plus 12 planted near-identical pairs — the
+    switch must return EXACTLY the exact path's pair set (analytic
+    recall at cos≥0.97 is 1−5e-15) while examining far fewer than all
+    n(n−1)/2 pairs."""
+    import numpy as np
+    from recsys_spark_spark.plans.ann import cosine_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for _ in range(200):
+        rows.append((vid, rng.normal(size=16).tolist())); vid += 1
+    for _ in range(12):
+        v = rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        w = v + rng.normal(size=16) * 0.02  # cosine ≥ ~0.999
+        rows.append((vid, v.tolist())); vid += 1
+        rows.append((vid, w.tolist())); vid += 1
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(e, 0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(e, 0.9, use_lsh_candidates=True).collect()
+    }
+    assert len(exact) >= 12  # the planted pairs are all above τ
+    planted = {(200 + 2 * i, 201 + 2 * i) for i in range(12)}
+    assert planted <= exact
+    # every planted near-identical pair survives banding (analytic
+    # recall at cos≥0.999 is 1−3e-20 per pair), and overall recall at
+    # τ=0.9 is ≥ 0.9 (borderline cos≈0.9 pairs carry ~0.996 each)
+    assert planted <= lsh
+    assert lsh <= exact  # precision 1.0: rerank is exact
+    assert len(lsh) >= 0.9 * len(exact)
+    # and the candidate stage actually pruned: at 8-bit bands ~6% of
+    # random pairs collide in some band — assert well under 25%
+    cand = cosine_neardup_pairs(e, -1.0, use_lsh_candidates=True).count()
+    n = len(rows)
+    assert cand < 0.25 * n * (n - 1) / 2, (cand, n)
