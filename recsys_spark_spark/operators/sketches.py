@@ -309,3 +309,22 @@ FROM est
 ORDER BY est_count DESC, token ASC
 LIMIT {k}
 """.strip()
+
+
+def daily_cms_user_sketch(
+    e: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """(day, r, b, n): per-day Count-Min grid of user_id occurrences —
+    the batch twin of streaming/windows.py::cms_user_sketch_stream.
+    Coarser grains (weekly / total heavy-user queries) merge by
+    (r, b) counter addition, never rescanning events."""
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.col("user_id").cast("string").alias("token"),
+    ).agg(F.count("*").alias("weight"))
+    cells = F.posexplode(F.array(*cms_hash_cols(F.col("token"), depth, width)))
+    return (
+        daily.select("day", "weight", cells.alias("r", "b"))
+        .groupBy("day", "r", "b")
+        .agg(F.sum("weight").alias("n"))
+    )

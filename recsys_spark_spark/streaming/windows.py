@@ -222,3 +222,38 @@ def histogram_sketch_stream(
             "n",
         )
     )
+
+
+def cms_user_sketch_stream(
+    events: DataFrame,
+    watermark: str = "1 day",
+    depth: int | None = None,
+    width: int | None = None,
+) -> DataFrame:
+    """Streaming maintenance of the daily Count-Min user-frequency
+    sketch (operators/sketches.py::daily_cms_user_sketch): each event
+    increments its user's d grid counters inside the day window.
+
+    Same lambda-free contract as histogram_sketch_stream: state is one
+    count row per (day, r, b) inside the watermark horizon — at most
+    days × depth × width rows, INDEPENDENT of event volume and of the
+    number of distinct users (the whole point of sketching heavy-user
+    detection: per-user streaming state would be unbounded).  Counter
+    updates are additions, so the drained stream equals the batch grid
+    bit for bit and merges to coarser grains by (r, b) addition; the
+    hash rows are the batch operator's own cms_hash_cols, so streamed
+    state can never drift from what batch point queries expect."""
+    from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_hash_cols
+
+    d = CMS_DEPTH if depth is None else depth
+    w = CMS_WIDTH if width is None else width
+    cells = F.posexplode(
+        F.array(*cms_hash_cols(F.col("user_id").cast("string"), d, w))
+    )
+    return (
+        events.select("ts", cells.alias("r", "b"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("dw"), "r", "b")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("dw.start").cast("date").alias("day"), "r", "b", "n")
+    )

@@ -113,3 +113,43 @@ def test_histogram_sketch_stream_matches_batch(spark, sf_dir):
     )
     cols = ["day", "event_type", "bin", "n"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_cms_user_sketch_stream_matches_batch_and_serves_heavy_users(
+    spark, sf_dir
+):
+    """The streamed daily CMS grid equals the batch-built one counter
+    for counter (additions are order-insensitive), and the merged grid
+    answers heavy-user point queries with the CMS overestimate
+    guarantee intact."""
+    from recsys_spark_spark.operators.sketches import (
+        cms_hash_cols,
+        daily_cms_user_sketch,
+    )
+    from recsys_spark_spark.streaming.windows import cms_user_sketch_stream
+
+    stream = cms_user_sketch_stream(read_events_stream(spark, sf_dir))
+    got = run_stream_once(stream, "cms_user_stream_test")
+    e = table(spark, sf_dir, "events")
+    want = daily_cms_user_sketch(e)
+    cols = ["day", "r", "b", "n"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+    # merge to the total grain and point-query every user against the
+    # exact count: est = min over rows, always >= exact
+    merged = got.groupBy("r", "b").agg(F.sum("n").alias("c"))
+    exact = e.groupBy(F.col("user_id").cast("string").alias("token")).agg(
+        F.count("*").alias("exact")
+    )
+    cells = F.posexplode(F.array(*cms_hash_cols(F.col("token"))))
+    est = (
+        exact.select("token", "exact", cells.alias("r", "b"))
+        .join(merged, ["r", "b"])
+        .groupBy("token")
+        .agg(F.min("c").alias("est"), F.max("exact").alias("exact"))
+    )
+    rows = est.collect()
+    assert rows and all(r["est"] >= r["exact"] for r in rows)
+    top_est = max(rows, key=lambda r: (r["est"], r["token"]))
+    top_exact = max(rows, key=lambda r: (r["exact"], r["token"]))
+    assert top_est["token"] == top_exact["token"]
