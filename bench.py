@@ -90,6 +90,17 @@ def main() -> None:
             # the queries that follow (the round-4 driver artifact
             # showed exactly those queries drifting 2-4×)
             _als.release_last_state()
+        elif name == "events_stream_quantile_sketch":
+            from recsys_spark_spark.plans import sketch as _sketch
+
+            st = dict(_sketch.last_stream_sketch_timings or {})
+            # drain = stream construction + availableNow drain through
+            # the exactly-once sink; the remainder is the batch
+            # read-back + merge + quantile execution (+ result hash)
+            st["readback_quantiles"] = round(
+                t_total - st.get("stream_drain", 0.0), 3
+            )
+            stages[name] = st
         elif name == "corpus_clean":
             c = dict(_pipeline.last_clean_timings or {})
             c["assembly"] = round(t_total - sum(c.values()), 3)

@@ -107,6 +107,11 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # certifies stream-maintained state against direct fact binning
 _SKETCH_ORACLE = QUERIES["events_value_quantile_sketch"].oracle
 
+#: bench attribution (same pattern as recsys.last_*_timings): the
+#: drain wall time of the last events_stream_quantile_sketch call —
+#: bench.py derives the batch read-back/quantile share from it
+last_stream_sketch_timings: dict | None = None
+
 #: state-store partitions for the streamed sketch — sized to the
 #: state's key cardinality (days × types windows), not the session's
 #: batch shuffle width; see the query docstring for the measured A/B
@@ -149,10 +154,13 @@ def events_stream_quantile_sketch(
     STARTS and pinned by the checkpoint thereafter, so the batch
     merge/quantile stages below still run at the session width."""
     import tempfile
+    import time
 
     from ..streaming.sinks import read_batched, write_stream_exactly_once
     from ..streaming.windows import histogram_sketch_stream, read_events_stream
 
+    global last_stream_sketch_timings
+    t0 = time.perf_counter()
     workdir = tempfile.mkdtemp(prefix="stream_sketch_")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
@@ -164,6 +172,9 @@ def events_stream_quantile_sketch(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    last_stream_sketch_timings = {
+        "stream_drain": round(time.perf_counter() - t0, 3)
+    }
     stored = read_batched(spark, f"{workdir}/store")
     rolled = merge_histograms(stored, key_cols=["event_type"])
     return histogram_quantiles(
