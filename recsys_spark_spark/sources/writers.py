@@ -92,3 +92,78 @@ def write_orc(
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+# --- Z-order clustering ------------------------------------------------------
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """A Morton (Z-order) key column interleaving the bits of the
+    given NUMERIC columns (public technique behind Delta's OPTIMIZE
+    ZORDER BY; Morton 1966): each column is min-max-normalized into
+    [0, 2^bits) and their bits interleaved, so rows close in EVERY
+    dimension get close keys.  Sorting files by this key gives every
+    column partial clustering — per-file min/max footer stats then
+    prune multi-dimension box predicates, where a linear sort clusters
+    only its leading column and a filter on any other column touches
+    every file.
+
+    The min/max normalization stats are ONE collected row (O(cols)
+    driver state, documented per repo convention); the key itself is
+    a pure column expression — bits × cols shift/or terms, JVM-side,
+    no UDF."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).first()
+    scaled = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        v = F.least(
+            F.floor(
+                (F.col(c).cast("double") - F.lit(mn)) / F.lit(span)
+                * F.lit(float(1 << bits))
+            ).cast("long"),
+            F.lit((1 << bits) - 1),
+        )
+        scaled.append(v)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, v in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(v, b).bitwiseAND(F.lit(1)),
+                    b * len(cols) + i,
+                )
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet clustered along the Z-order curve of ``cols``:
+    repartitionByRange on the Morton key (contiguous curve segments
+    per file — range partitioning is what makes the footer min/max
+    stats tight) + sortWithinPartitions for tight row-group stats
+    inside each file.  Read-side filters on ANY of ``cols`` then skip
+    files/row groups whose stats exclude the predicate — the
+    multi-dimension complement of write_partitioned's directory
+    pruning (which spends its one layout dimension on a single
+    low-cardinality column)."""
+    z = zorder_key(df, cols, bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

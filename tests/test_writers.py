@@ -86,3 +86,72 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     assert pruned.count() == events.where(
         F.col("event_type") == one_type
     ).count()
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order vs linear sort, judged by the parquet footer stats a
+    reader actually prunes with: on a (user × day) grid, a linear
+    user_id sort clusters user perfectly but a DAY-range predicate
+    must touch every file; the Z-ordered layout prunes files for
+    range predicates on EITHER column."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.sources.writers import write_zordered
+
+    n_files = 16
+    # 100 × 100 grid: user_id and day independent/uniform
+    df = (
+        spark.range(10_000)
+        .select(
+            (F.col("id") % 100).alias("user_id"),
+            (F.col("id") / 100).cast("long").alias("day"),
+        )
+    )
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    write_zordered(df, zpath, ["user_id", "day"], n_files)
+    (
+        df.repartitionByRange(n_files, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def file_ranges(path, col):
+        out = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        mn = c.statistics.min if mn is None else min(mn, c.statistics.min)
+                        mx = c.statistics.max if mx is None else max(mx, c.statistics.max)
+            out.append((mn, mx))
+        return out
+
+    def touched(path, col, lo, hi):
+        return sum(
+            1 for mn, mx in file_ranges(path, col) if not (mx < lo or mn > hi)
+        )
+
+    assert len(file_ranges(zpath, "day")) == n_files
+    # day-range predicate (10% of the day domain): the user-sorted
+    # layout has no day clustering — every file matches; Z-order
+    # confines the band to a fraction of the files
+    lin_day = touched(lpath, "day", 40, 49)
+    z_day = touched(zpath, "day", 40, 49)
+    assert lin_day == n_files
+    assert z_day <= n_files // 2, (z_day, lin_day)
+    # user-range predicate: Z-order gives user_id partial clustering
+    # too (a linear day sort would be the mirror image)
+    z_user = touched(zpath, "user_id", 40, 49)
+    assert z_user <= n_files // 2, z_user
+    # and the data round-trips identically
+    assert (
+        spark.read.parquet(zpath).orderBy("user_id", "day").collect()
+        == df.orderBy("user_id", "day").collect()
+    )
