@@ -167,3 +167,49 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Materialize a training corpus as deterministically-sharded
+    parquet plus a manifest — the deliverable end of the corpus
+    pipeline (corpus_train_ready × corpus_splits), addressed the way
+    a data loader consumes it:
+
+        path/split=train/shard=17/part-*.parquet ...
+        path/_manifest/  (one row per (split, shard): n_docs
+                          [, n_tokens])
+
+    shard = pmod(xxhash64(id)) — a pure function of the row, so a
+    rerun or a different cluster layout lands every document in the
+    SAME shard (resumable exports, stable loader addressing), and a
+    loader can stride shards across workers without a coordinator.
+    Directory partitioning by (split, shard) means a loader reading
+    split=train/shard=k touches exactly its own files.  The manifest
+    is computed from the SAME DataFrame in the same job — loaders get
+    per-shard row/token budgets without listing files.  Returns the
+    manifest DataFrame."""
+    from pyspark.sql import functions as F
+
+    sharded = docs.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    )
+    (
+        sharded.repartition(split_col, "shard")
+        .write.mode(mode)
+        .partitionBy(split_col, "shard")
+        .parquet(path)
+    )
+    aggs = [F.count("*").alias("n_docs")]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).cast("bigint").alias("n_tokens"))
+    manifest = sharded.groupBy(split_col, "shard").agg(*aggs)
+    manifest.coalesce(1).write.mode(mode).parquet(f"{path}/_manifest")
+    return manifest

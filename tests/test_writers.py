@@ -155,3 +155,57 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
         spark.read.parquet(zpath).orderBy("user_id", "day").collect()
         == df.orderBy("user_id", "day").collect()
     )
+
+
+def test_training_shard_export_roundtrip_and_manifest(spark, tmp_path, sf_dir):
+    """The corpus pipeline's deliverable: train_ready docs × splits →
+    sharded parquet + manifest.  Sharding is a pure function of
+    doc_id (rerun-stable), directories partition by (split, shard),
+    and the manifest's per-shard doc/token budgets match what a
+    loader reads back."""
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.plans.pipeline import corpus_splits, corpus_train_ready
+    from recsys_spark_spark.sources.writers import write_training_shards
+
+    ready = corpus_train_ready(spark, sf_dir)
+    splits = corpus_splits(spark, sf_dir).select("doc_id", "split")
+    docs = ready.join(splits, "doc_id")
+    n_in = docs.count()
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        docs, path, n_shards=8, token_col="n_tokens_clean"
+    ).collect()
+
+    back = spark.read.parquet(path)
+    assert back.count() == n_in
+    # every (split, shard) directory's contents match its manifest row
+    got = {
+        (r["split"], r["shard"]): (r["n_docs"], r["n_tokens"])
+        for r in back.groupBy("split", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens_clean").cast("bigint").alias("n_tokens"),
+        )
+        .collect()
+    }
+    want = {
+        (r["split"], r["shard"]): (r["n_docs"], r["n_tokens"]) for r in manifest
+    }
+    assert got == want and got
+    # sharding is a pure function of doc_id: a second export of the
+    # same docs assigns every doc the identical (split, shard)
+    path2 = str(tmp_path / "shards2")
+    write_training_shards(docs, path2, n_shards=8, token_col="n_tokens_clean")
+    a = {
+        r["doc_id"]: (r["split"], r["shard"])
+        for r in spark.read.parquet(path).select("doc_id", "split", "shard").collect()
+    }
+    b = {
+        r["doc_id"]: (r["split"], r["shard"])
+        for r in spark.read.parquet(path2).select("doc_id", "split", "shard").collect()
+    }
+    assert a == b
+    # loader addressing: reading one shard directory touches only it
+    one = spark.read.parquet(path).where("split = 'train' AND shard = 3")
+    assert one.count() == want.get(("train", 3), (0,))[0]
