@@ -72,17 +72,18 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: CORRECTNESS_r0{1..4}.json).
 #:
 #: ROTATION PLAN for round 6 (pre-staged so the swap is mechanical):
-#: promote FIRST the 15 round-5-born queries that have never had a
+#: promote FIRST the 16 round-5-born queries that have never had a
 #: driver row —
 #:   multimodal_ppm_resize, multimodal_wav_features,
 #:   events_stream_quantile_sketch, doc_duplicate_spans,
 #:   doc_dedup_cut, embedding_knn_pq, embedding_knn_ivfpq,
 #:   neardup_group_keepers, corpus_train_ready, corpus_pps_sample,
 #:   corpus_splits, doc_bigram_logprob, embedding_semdedup,
-#:   top_tokens_cms, events_in_anomaly_windows  (15 round-5-born in all)
-#: — plus the 5 longest-off-window demoted rows —
+#:   top_tokens_cms, events_in_anomaly_windows,
+#:   events_dau_wau_stickiness  (16 round-5-born in all)
+#: — plus the 4 longest-off-window demoted rows —
 #:   item_sims, rating_stats_per_user, q1_pricing_summary,
-#:   q3_top_revenue_orders, q5_region_revenue
+#:   q3_top_revenue_orders
 #: demoting in exchange 20 of the round-5-registered
 #: rows once their driver row is green (candidates: the 20
 #: analytics/pipeline rows promoted in r5).  Keep sequential_topk /

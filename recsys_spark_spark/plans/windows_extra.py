@@ -969,3 +969,67 @@ def events_in_windows(e: DataFrame, windows: DataFrame) -> DataFrame:
             F.date_format("w_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
         )
     )
+
+
+# --- DAU / WAU stickiness ----------------------------------------------------
+@register_demoted(
+    "events_dau_wau_stickiness",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+),
+contrib AS (
+  SELECT user_id, day + CAST(off.o AS INTEGER) AS day
+  FROM ud CROSS JOIN (SELECT unnest(range(7)) AS o) off
+),
+wau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM contrib GROUP BY 1
+)
+SELECT CAST(d.day AS VARCHAR) AS day, d.dau, w.wau,
+       floor((CAST(d.dau AS DOUBLE) / w.wau) * 1000000.0 + 0.5)
+         / 1000000.0 AS stickiness
+FROM dau d JOIN wau w USING (day)
+""",
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU stickiness per day — the standard
+    product-analytics engagement ratio.  WAU(d) counts distinct users
+    active in [d−6, d]; only days with DAU (observed days) are
+    emitted, but their WAU still sees the full trailing week.
+
+    A trailing COUNT(DISTINCT) is NOT a window aggregate (distinct
+    doesn't decompose over frames).  The scale shape: reduce events to
+    the DISTINCT (user, day) relation once — the only pass over raw
+    events — then each (user, day) row CONTRIBUTES to the 7 target
+    days [day, day+6] via one explode (×7, map-side, no self-join, no
+    per-day rescan), and WAU is a distinct count per target day.
+    O(7 × active-pairs), shuffles on compact (user, day) keys.
+    Stickiness rounds at 6 dp (registry convention)."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", 6))
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            qround(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

@@ -465,3 +465,39 @@ def test_events_in_anomaly_windows_merge_and_pad(spark):
         assert (probe_ids[name] in got) is expect_in, name
     # 100 + 400 spike events + the two in-window probes
     assert len(out) == 502
+
+
+def test_dau_wau_stickiness_trailing_semantics(spark):
+    """WAU(d) sees the full trailing week even across inactive days,
+    and only observed days are emitted."""
+    import pyspark.sql.functions as F
+
+    def day(d):
+        return dt.datetime(2024, 3, 1 + d, 10, 0, 0)
+
+    rows = [
+        (1, day(0), 100, "view"),   # A active day 0
+        (2, day(0), 200, "view"),   # B active day 0
+        (3, day(4), 200, "view"),   # B again day 4
+        (4, day(8), 300, "view"),   # C day 8 (A/B's day-0 is outside
+                                    # [day 2, day 8]; B's day-4 inside)
+    ]
+    e = _events(spark, rows)
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    out = {
+        str(r["day"]): (r["dau"], r["wau"])
+        for r in dau.join(wau, "day").collect()
+    }
+    assert out == {
+        "2024-03-01": (2, 2),   # A+B
+        "2024-03-05": (1, 2),   # B active; trailing week = {A, B}
+        "2024-03-09": (1, 2),   # C active; trailing week = {B, C}
+    }
