@@ -257,3 +257,34 @@ def cms_user_sketch_stream(
         .agg(F.count("*").alias("n"))
         .select(F.col("dw.start").cast("date").alias("day"), "r", "b", "n")
     )
+
+
+def daily_user_sketch_stream(
+    events: DataFrame, watermark: str = "1 day", lg_k: int | None = None
+) -> DataFrame:
+    """Streaming maintenance of the daily HLL distinct-user sketch
+    (operators/sketches.py::daily_user_sketches) — the third sketch
+    family streamed (histogram = quantiles, CMS = frequencies, HLL =
+    distinct counts).
+
+    HLL register updates are max() operations, so the drained stream's
+    sketch BYTES equal the batch build's for the same input multiset
+    (the order/partitioning-insensitivity already asserted for the
+    batch sketch carries over to micro-batched arrival); coarser
+    grains merge with hll_union_agg over the maintained daily rows,
+    never rescanning events.  State is one register array per day
+    inside the watermark horizon — independent of event volume and of
+    distinct-user count."""
+    from ..operators.sketches import LG_K
+
+    k = LG_K if lg_k is None else lg_k
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("d"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(k)).alias("sketch"))
+        .select(
+            F.col("d.start").cast("date").alias("day"),
+            "sketch",
+            F.hll_sketch_estimate("sketch").alias("est_users"),
+        )
+    )

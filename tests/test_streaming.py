@@ -153,3 +153,27 @@ def test_cms_user_sketch_stream_matches_batch_and_serves_heavy_users(
     top_est = max(rows, key=lambda r: (r["est"], r["token"]))
     top_exact = max(rows, key=lambda r: (r["exact"], r["token"]))
     assert top_est["token"] == top_exact["token"]
+
+
+def test_hll_user_sketch_stream_matches_batch(spark, sf_dir):
+    """The streamed daily HLL sketch equals the batch one — register
+    updates are max() ops, so micro-batched arrival yields the same
+    sketch bytes and estimates — and the merged (union) estimate over
+    streamed rows equals the batch rollup exactly."""
+    from recsys_spark_spark.operators.sketches import (
+        daily_user_sketches,
+        rollup_sketches,
+    )
+    from recsys_spark_spark.streaming.windows import daily_user_sketch_stream
+
+    stream = daily_user_sketch_stream(read_events_stream(spark, sf_dir))
+    got = run_stream_once(stream, "hll_user_stream_test")
+    want = daily_user_sketches(table(spark, sf_dir, "events")).withColumn(
+        "day", F.col("day").cast("date")
+    )
+    g = {r["day"]: (bytes(r["sketch"]), r["est_users"]) for r in got.collect()}
+    w = {r["day"]: (bytes(r["sketch"]), r["est_users"]) for r in want.collect()}
+    assert g == w and g
+    merged_stream = rollup_sketches(got).first()["est_users_total"]
+    merged_batch = rollup_sketches(want).first()["est_users_total"]
+    assert merged_stream == merged_batch
