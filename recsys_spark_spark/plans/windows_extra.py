@@ -897,8 +897,12 @@ def events_in_anomaly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     date − row_number() grouping trick) padded ±6 h; an event matches
     when its type's incident contains its timestamp.  Output one row
     per (event, containing window): (event_id, event_type, user_id,
-    window_start, window_end) — windows of the same type can overlap
-    after padding, so this is a genuine multi-match join, not as-of.
+    window_start, window_end).  The join is multi-match by contract
+    (one row per containing window — pinned by an overlapping-windows
+    pytest on events_in_windows); at the shipped 6 h pad same-type
+    incidents cannot overlap (islands are ≥ 1 day apart, so overlap
+    needs pad ≥ 12 h), which keeps THIS query's output one-row-per-
+    event while the operator stays general.
 
     Oracle: the events_anomaly_daily oracle verbatim → the same
     island merge → a brute-force range join (fine at oracle scale);
@@ -1010,7 +1014,12 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-day rescan), and WAU is a distinct count per target day.
     O(7 × active-pairs), shuffles on compact (user, day) keys.
     Stickiness rounds at 6 dp (registry convention)."""
-    e = table(spark, sf_dir, "events")
+    return dau_wau_stickiness(table(spark, sf_dir, "events"))
+
+
+def dau_wau_stickiness(e: DataFrame) -> DataFrame:
+    """Library form of events_dau_wau_stickiness (so tests can plant
+    a hand-computable activity pattern)."""
     ud = e.select(
         "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
     ).distinct()

@@ -110,9 +110,18 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
     The min/max normalization stats are ONE collected row (O(cols)
     driver state, documented per repo convention); the key itself is
     a pure column expression — bits × cols shift/or terms, JVM-side,
-    no UDF."""
+    no UDF.
+
+    The key is a SIGNED 64-bit long, so the interleave budget is 63
+    bits: ``bits`` is clamped to ``63 // len(cols)`` (bits beyond the
+    sign bit would flip the sort order, and Java shifts mask mod 64 —
+    both silent corruptions of the curve).  An empty or all-NULL
+    column degenerates to constant 0 in the key (span 1) instead of
+    erroring, so an empty export writes an empty dataset like the
+    sibling writers."""
     from pyspark.sql import functions as F
 
+    bits = min(bits, 63 // len(cols))
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
@@ -120,6 +129,8 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
     scaled = []
     for c in cols:
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None:  # empty input / all-NULL column
+            mn, mx = 0.0, 0.0
         span = (mx - mn) or 1.0
         v = F.least(
             F.floor(
@@ -193,9 +204,10 @@ def write_training_shards(
     loader can stride shards across workers without a coordinator.
     Directory partitioning by (split, shard) means a loader reading
     split=train/shard=k touches exactly its own files.  The manifest
-    is computed from the SAME DataFrame in the same job — loaders get
-    per-shard row/token budgets without listing files.  Returns the
-    manifest DataFrame."""
+    is aggregated from the WRITTEN FILES (read back after the shard
+    write), so it cannot disagree with what's on disk even under a
+    nondeterministic upstream, and the corpus lineage is executed
+    once, not twice.  Returns the manifest DataFrame."""
     from pyspark.sql import functions as F
 
     sharded = docs.withColumn(
@@ -210,6 +222,9 @@ def write_training_shards(
     aggs = [F.count("*").alias("n_docs")]
     if token_col is not None:
         aggs.append(F.sum(token_col).cast("bigint").alias("n_tokens"))
-    manifest = sharded.groupBy(split_col, "shard").agg(*aggs)
+    # aggregate the files just written (an `_`-prefixed subdirectory is
+    # invisible to parquet readers, so the manifest never shadows data)
+    back = docs.sparkSession.read.parquet(path)
+    manifest = back.groupBy(split_col, "shard").agg(*aggs)
     manifest.coalesce(1).write.mode(mode).parquet(f"{path}/_manifest")
     return manifest

@@ -470,7 +470,6 @@ def test_events_in_anomaly_windows_merge_and_pad(spark):
 def test_dau_wau_stickiness_trailing_semantics(spark):
     """WAU(d) sees the full trailing week even across inactive days,
     and only observed days are emitted."""
-    import pyspark.sql.functions as F
 
     def day(d):
         return dt.datetime(2024, 3, 1 + d, 10, 0, 0)
@@ -482,22 +481,42 @@ def test_dau_wau_stickiness_trailing_semantics(spark):
         (4, day(8), 300, "view"),   # C day 8 (A/B's day-0 is outside
                                     # [day 2, day 8]; B's day-4 inside)
     ]
-    e = _events(spark, rows)
-    ud = e.select(
-        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
-    ).distinct()
-    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
-    contrib = ud.select(
-        "user_id",
-        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day"),
-    )
-    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    from recsys_spark_spark.plans.windows_extra import dau_wau_stickiness
+
     out = {
-        str(r["day"]): (r["dau"], r["wau"])
-        for r in dau.join(wau, "day").collect()
+        r["day"]: (r["dau"], r["wau"])
+        for r in dau_wau_stickiness(_events(spark, rows)).collect()
     }
     assert out == {
         "2024-03-01": (2, 2),   # A+B
         "2024-03-05": (1, 2),   # B active; trailing week = {A, B}
         "2024-03-09": (1, 2),   # C active; trailing week = {B, C}
+    }
+
+
+def test_events_in_windows_multi_match_on_overlap(spark):
+    """events_in_windows is a genuine multi-match join: an event inside
+    two overlapping windows of its type yields one row per window.
+    (At the shipped INCIDENT_PAD_H=6 same-type incident windows cannot
+    overlap — islands are >= 1 day apart, so overlap needs pad >= 12 h
+    — but the operator accepts arbitrary windows and must multi-match;
+    this pins that path.)"""
+    import datetime as dt2
+
+    from recsys_spark_spark.plans.windows_extra import events_in_windows
+
+    e = _events(spark, [(1, dt2.datetime(2024, 5, 2, 1, 0), 7, "click")])
+    wins = spark.createDataFrame(
+        [
+            ("click", dt2.datetime(2024, 5, 1, 18, 0), dt2.datetime(2024, 5, 2, 6, 0)),
+            ("click", dt2.datetime(2024, 5, 2, 0, 0), dt2.datetime(2024, 5, 3, 6, 0)),
+            ("view", dt2.datetime(2024, 5, 1, 0, 0), dt2.datetime(2024, 5, 4, 0, 0)),
+        ],
+        "event_type string, w_start timestamp, w_end timestamp",
+    )
+    out = events_in_windows(e, wins).collect()
+    assert len(out) == 2
+    assert {r["window_start"] for r in out} == {
+        "2024-05-01 18:00:00",
+        "2024-05-02 00:00:00",
     }

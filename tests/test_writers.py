@@ -209,3 +209,27 @@ def test_training_shard_export_roundtrip_and_manifest(spark, tmp_path, sf_dir):
     # loader addressing: reading one shard directory touches only it
     one = spark.read.parquet(path).where("split = 'train' AND shard = 3")
     assert one.count() == want.get(("train", 3), (0,))[0]
+
+
+def test_zorder_bit_budget_and_empty_input(spark, tmp_path):
+    """The Morton key is a signed 64-bit long: with 4 columns the
+    default 16 bits/col would hit the sign bit (and >4 would wrap on
+    Java's mod-64 shifts), so the per-column width clamps to
+    63 // n_cols — keys stay non-negative and order-preserving; and an
+    empty input writes an empty dataset instead of crashing on NULL
+    normalization stats."""
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.sources.writers import write_zordered, zorder_key
+
+    empty = spark.range(0).select(F.col("id").alias("a"), F.col("id").alias("b"))
+    write_zordered(empty, str(tmp_path / "z_empty"), ["a", "b"], 4)
+    assert spark.read.parquet(str(tmp_path / "z_empty")).count() == 0
+
+    df = spark.range(1000).select(
+        *[(F.col("id") * (i + 1) % 97).alias(f"c{i}") for i in range(4)]
+    )
+    z = df.select(
+        zorder_key(df, [f"c{i}" for i in range(4)]).alias("z")
+    ).agg(F.min("z").alias("mn"), F.max("z").alias("mx")).first()
+    assert z["mn"] >= 0 and z["mx"] < (1 << 63)
