@@ -642,3 +642,67 @@ def dq_audit(e: DataFrame) -> DataFrame:
         F.date_trunc("second", F.min("ts")).alias("min_ts"),
         F.date_trunc("second", F.max("ts")).alias("max_ts"),
     )
+
+
+# --- order→ship latency ------------------------------------------------------
+@register_demoted(
+    "order_ship_latency",
+    oracle="""
+WITH l AS (
+  SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS order_month,
+         o.o_orderpriority AS priority,
+         date_diff('day', date_trunc('day', o.o_orderdate),
+                   date_trunc('day', li.l_shipdate)) AS lat
+  FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey
+)
+SELECT order_month, priority,
+       count(*) AS n_lines,
+       floor((CAST(sum(lat) AS DOUBLE) / count(*)) * 1000000.0 + 0.5)
+         / 1000000.0 AS avg_latency_days,
+       CAST(max(lat) AS BIGINT) AS max_latency_days,
+       CAST(sum(CASE WHEN lat > 60 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_60d
+FROM l GROUP BY 1, 2
+""",
+)
+def order_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency profile per (order month, priority): line
+    count, mean/max latency in days, and an SLA-breach count (> 60
+    days) — the fulfillment-ops rollup of the orders⋈lineitem join.
+
+    Latency is an exact integer day diff (both engines date-truncate
+    before differencing — the tz-independent discipline the readers
+    establish for the NTZ/nanos encodings); the mean is the one float
+    and is computed as SUM(int)/COUNT through the identical double
+    expression both sides, 6-dp rounded.  Scale shape: one equi-join
+    shuffled on the order key (or broadcast at dimension-sized
+    orders), then a low-cardinality (month × priority) aggregate with
+    map-side partials."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    lat = F.timestamp_diff(
+        "DAY",
+        F.date_trunc("DAY", "o_orderdate"),
+        F.date_trunc("DAY", "l_shipdate"),
+    )
+    return (
+        j.select(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "order_month"
+            ),
+            F.col("o_orderpriority").alias("priority"),
+            lat.alias("lat"),
+        )
+        .groupBy("order_month", "priority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            qround(
+                F.sum("lat").cast("double") / F.count("*"), R6
+            ).alias("avg_latency_days"),
+            F.max("lat").cast("bigint").alias("max_latency_days"),
+            F.sum(F.when(F.col("lat") > 60, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_over_60d"),
+        )
+    )

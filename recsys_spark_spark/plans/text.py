@@ -358,3 +358,103 @@ def doc_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_urls"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+# --- Zipf rank-frequency fit -------------------------------------------------
+
+#: fit over the top-N tokens by frequency — the head of the
+#: rank-frequency curve where Zipf's law is informative
+ZIPF_TOP_N = 200
+
+#: shared slope/intercept/r² algebra over the quantized (x, y) sums —
+#: ONE formula string instantiated for both engines so the IEEE op
+#: sequence cannot drift between them
+_ZIPF_SLOPE = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+_ZIPF_INTERCEPT = f"(sy - ({_ZIPF_SLOPE}) * sx) / n"
+_ZIPF_R2 = (
+    "((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+    " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+)
+
+
+@register_demoted(
+    "doc_zipf_fit",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY cnt DESC, token ASC) AS rk, cnt
+  FROM vocab
+),
+pts AS (
+  SELECT floor(ln(CAST(rk AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS x,
+         floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS y
+  FROM ranked WHERE rk <= {top_n}
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       floor(({slope}) * 1000000.0 + 0.5) / 1000000.0 AS slope,
+       floor(({intercept}) * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+       floor(({r2}) * 1000000.0 + 0.5) / 1000000.0 AS r2
+FROM s
+""".format(
+        top_n=ZIPF_TOP_N,
+        slope=_ZIPF_SLOPE,
+        intercept=_ZIPF_INTERCEPT,
+        r2=_ZIPF_R2,
+    ),
+)
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token distribution: least-squares
+    slope/intercept/R² of ln(frequency) against ln(rank) for the top
+    200 tokens — the classic corpus-health statistic (natural text
+    slopes ≈ −1; template/synthetic corpora flatten or kink the
+    curve; Zipf 1949, Piantadosi 2014 for the modern treatment).
+
+    Cross-engine determinism: ln(rank)/ln(count) are 6-dp-quantized
+    BEFORE the regression sums, so both engines aggregate identical
+    doubles (ln is not correctly-rounded across engines — the same
+    hazard the PPS sampler avoids); sum order then differs only at
+    ~1e-13 on 200 terms, absorbed by the 6-dp output rounding, and the
+    slope/intercept/R² algebra is instantiated from ONE shared formula
+    string in both engines.  Scale shape: the vocab aggregate is the
+    only corpus-sized pass; the top-200 selection is
+    TakeOrderedAndProject (no unpartitioned vocab window) and the
+    regression runs over 200 rows."""
+    return zipf_fit(table(spark, sf_dir, "documents"))
+
+
+def zipf_fit(d: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
+    """Library form of doc_zipf_fit (so tests can fit a planted
+    power-law corpus)."""
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    top = vocab.orderBy(F.desc("cnt"), F.asc("token")).limit(top_n)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    pts = top.select(
+        qround(F.log(F.row_number().over(w).cast("double")), 6).alias("x"),
+        qround(F.log(F.col("cnt").cast("double")), 6).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_tokens"),
+        qround(F.expr(_ZIPF_SLOPE), 6).alias("slope"),
+        qround(F.expr(_ZIPF_INTERCEPT), 6).alias("intercept"),
+        qround(F.expr(_ZIPF_R2), 6).alias("r2"),
+    )

@@ -520,3 +520,23 @@ def test_events_in_windows_multi_match_on_overlap(spark):
         "2024-05-01 18:00:00",
         "2024-05-02 00:00:00",
     }
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    """A corpus built with freq(rank) ∝ 1/rank must fit slope ≈ −1
+    with near-perfect R²; a uniform corpus fits slope ≈ 0."""
+    from recsys_spark_spark.plans.text import zipf_fit
+
+    power = " ".join(
+        " ".join([f"tok{r}"] * (1000 // r)) for r in range(1, 51)
+    )
+    d = spark.createDataFrame([(1, power)], "doc_id long, text string")
+    out = zipf_fit(d, top_n=50).first()
+    assert out["n_tokens"] == 50
+    assert -1.1 < out["slope"] < -0.9, out["slope"]
+    assert out["r2"] > 0.98
+
+    uniform = " ".join(" ".join([f"u{r}"] * 20) for r in range(50))
+    du = spark.createDataFrame([(1, uniform)], "doc_id long, text string")
+    flat = zipf_fit(du, top_n=50).first()
+    assert abs(flat["slope"]) < 0.05, flat["slope"]
