@@ -72,7 +72,7 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: CORRECTNESS_r0{1..4}.json).
 #:
 #: ROTATION PLAN for round 6 (pre-staged so the swap is mechanical):
-#: promote FIRST the 18 round-5-born queries that have never had a
+#: promote FIRST the 19 round-5-born queries that have never had a
 #: driver row —
 #:   multimodal_ppm_resize, multimodal_wav_features,
 #:   events_stream_quantile_sketch, doc_duplicate_spans,
@@ -80,10 +80,10 @@ DEMOTED: dict[str, QuerySpec] = {}
 #:   neardup_group_keepers, corpus_train_ready, corpus_pps_sample,
 #:   corpus_splits, doc_bigram_logprob, embedding_semdedup,
 #:   top_tokens_cms, events_in_anomaly_windows,
-#:   events_dau_wau_stickiness, order_ship_latency, doc_zipf_fit
-#:   (18 round-5-born in all)
-#: — plus the 2 longest-off-window demoted rows —
-#:   item_sims, rating_stats_per_user
+#:   events_dau_wau_stickiness, order_ship_latency, doc_zipf_fit,
+#:   item_graph_triangles  (19 round-5-born in all)
+#: — plus the 1 longest-off-window demoted row —
+#:   item_sims
 #: demoting in exchange 20 of the round-5-registered
 #: rows once their driver row is green (candidates: the 20
 #: analytics/pipeline rows promoted in r5).  Keep sequential_topk /

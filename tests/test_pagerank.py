@@ -105,3 +105,26 @@ def test_high_iteration_checkpoint_same_ranks_and_bounded_planning(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-5
     assert ranks[0] > ranks[3]  # hub still dominates a pure leaf
     assert elapsed < 120, f"25-iter run took {elapsed:.0f}s — lineage grew"
+
+
+def test_triangle_stats_on_planted_graph(spark):
+    """K4 plus a pendant: every K4 vertex sits in C(3,2)=3 triangles
+    with clustering 1.0; the pendant has degree 1, zero triangles,
+    clustering pinned 0.0; total distinct triangles = 4 (each counted
+    once at its lowest-(degree,id) vertex — the orientation contract)."""
+    from recsys_spark_spark.plans.graph import triangle_stats
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)]
+    und = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["item_id"]: r for r in triangle_stats(und).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[5]["degree"] == 1 and out[5]["n_triangles"] == 0
+    assert out[5]["clustering"] == 0.0
+    for v in (2, 3, 4):
+        assert out[v]["degree"] == 3 and out[v]["n_triangles"] == 3
+        assert out[v]["clustering"] == 1.0
+    # vertex 1 has the pendant: deg 4, still 3 triangles, cc = 6/12
+    assert out[1]["degree"] == 4 and out[1]["n_triangles"] == 3
+    assert out[1]["clustering"] == 0.5
+    # global count: sum of per-node counts = 3 × distinct triangles
+    assert sum(r["n_triangles"] for r in out.values()) == 3 * 4
