@@ -72,7 +72,7 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: CORRECTNESS_r0{1..4}.json).
 #:
 #: ROTATION PLAN for round 6 (pre-staged so the swap is mechanical):
-#: promote FIRST the 19 round-5-born queries that have never had a
+#: promote FIRST the 21 round-5-born queries that have never had a
 #: driver row —
 #:   multimodal_ppm_resize, multimodal_wav_features,
 #:   events_stream_quantile_sketch, doc_duplicate_spans,
@@ -81,12 +81,13 @@ DEMOTED: dict[str, QuerySpec] = {}
 #:   corpus_splits, doc_bigram_logprob, embedding_semdedup,
 #:   top_tokens_cms, events_in_anomaly_windows,
 #:   events_dau_wau_stickiness, order_ship_latency, doc_zipf_fit,
-#:   item_graph_triangles  (19 round-5-born in all)
-#: — plus the 1 longest-off-window demoted row —
-#:   item_sims
-#: demoting in exchange 20 of the round-5-registered
-#: rows once their driver row is green (candidates: the 20
-#: analytics/pipeline rows promoted in r5).  Keep sequential_topk /
+#:   item_graph_triangles, brand_region_market_share,
+#:   doc_readability  (21 round-5-born in all)
+#: (21 already fill the swap budget — item_sims, previously queued,
+#: moves to the r7 rotation head) demoting in exchange 21 of the
+#: round-5-registered rows once their driver row is green (candidates:
+#: the 20 analytics/pipeline rows promoted in r5 plus
+#: doc_unigram_logprob).  Keep sequential_topk /
 #: als_topk demoted permanently (no_oracle by design).
 #: Keep bench=True rows registered or demoted freely — the bench set
 #: is independent of the correctness window.

@@ -706,3 +706,66 @@ def order_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_over_60d"),
         )
     )
+
+
+# --- 6-way join: brand market share per region -------------------------------
+@register_demoted(
+    "brand_region_market_share",
+    oracle="""
+WITH rev AS (
+  SELECT r.r_name AS region, p.p_brand AS brand,
+         sum(li.l_extendedprice * (1 - li.l_discount)) AS rev
+  FROM lineitem li
+  JOIN orders o   ON o.o_orderkey = li.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = n.n_regionkey
+  JOIN part p     ON p.p_partkey = li.l_partkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT region, sum(rev) AS t FROM rev GROUP BY 1)
+SELECT rev.region, rev.brand,
+       floor(rev.rev * 100.0 + 0.5) / 100.0 AS revenue,
+       floor((rev.rev / tot.t) * 1000000.0 + 0.5) / 1000000.0 AS share
+FROM rev JOIN tot USING (region)
+""",
+)
+def brand_region_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue share within each customer region — the TPC-H
+    q8-flavored JOIN-DEPTH stress: six tables
+    (lineitem⋈orders⋈customer⋈nation⋈region⋈part) that Catalyst must
+    reorder so the three dimension chains broadcast against the one
+    fact scan instead of shuffling lineitem repeatedly; the share is a
+    window-free two-level aggregate (revenue grain, then a per-region
+    total joined back).
+
+    Rounding: revenue at 2 dp (cents — engine summation order differs
+    at ~1e-7 relative on ~600k doubles, sales_cube precedent); share
+    computed from the UNROUNDED revenues through the identical double
+    division both engines, 6 dp."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    p = table(spark, sf_dir, "part")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+    )
+    tot = rev.groupBy("region").agg(F.sum("rev").alias("t"))
+    return rev.join(F.broadcast(tot), "region").select(
+        "region",
+        "brand",
+        qround(F.col("rev"), 2).alias("revenue"),
+        qround(F.col("rev") / F.col("t"), 6).alias("share"),
+    )

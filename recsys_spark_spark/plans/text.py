@@ -458,3 +458,63 @@ def zipf_fit(d: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
         qround(F.expr(_ZIPF_INTERCEPT), 6).alias("intercept"),
         qround(F.expr(_ZIPF_R2), 6).alias("r2"),
     )
+
+
+# --- Flesch readability ------------------------------------------------------
+@register_demoted(
+    "doc_readability",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       floor((206.835
+              - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+              - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+             * 1000000.0 + 0.5) / 1000000.0 AS flesch
+FROM m WHERE n_words > 0
+""",
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948; the L4 quality
+    family's readability axis): 206.835 − 1.015·(words/sentence) −
+    84.6·(syllables/word), with the standard dictionary-free syllable
+    heuristic — one syllable per VOWEL GROUP ([aeiouy]+ run) — and
+    sentence count = punctuation-run count clamped to ≥ 1 (a fragment
+    is one sentence).  All three counts are exact integers from
+    regexes in the Java∩RE2∩DuckDB-safe tier (PII-module discipline);
+    the score is the single float, computed through the identical
+    double expression in both engines, 6 dp.  One narrow map over the
+    corpus — no shuffle at all."""
+    return readability(table(spark, sf_dir, "documents"))
+
+
+def readability(t: DataFrame) -> DataFrame:
+    """Library form of doc_readability (so tests can score a
+    hand-countable sentence)."""
+    n_words = F.size(F.split("text", " ")).cast("bigint")
+    n_sent = F.greatest(
+        F.expr("regexp_count(text, '[.!?]+')"), F.lit(1)
+    ).cast("bigint")
+    n_syl = F.expr("regexp_count(lower(text), '[aeiouy]+')").cast("bigint")
+    m = t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return m.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        qround(flesch, 6).alias("flesch"),
+    )

@@ -540,3 +540,21 @@ def test_zipf_fit_recovers_planted_power_law(spark):
     du = spark.createDataFrame([(1, uniform)], "doc_id long, text string")
     flat = zipf_fit(du, top_n=50).first()
     assert abs(flat["slope"]) < 0.05, flat["slope"]
+
+
+def test_readability_hand_computed(spark):
+    """'the cat sat. on a mat!' → 6 words, 2 sentences, 6 vowel groups
+    (e,a,a,o,a,a); a punctuation-free fragment clamps to 1 sentence."""
+    from recsys_spark_spark.plans.text import readability
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. on a mat!"), (2, "no punctuation here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in readability(docs).collect()}
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (6, 2, 6)
+    expected = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    exp6 = math.floor(expected * 1e6 + 0.5) / 1e6
+    assert abs(r1["flesch"] - exp6) < 2e-6
+    assert out[2]["n_sentences"] == 1  # clamp
