@@ -144,6 +144,28 @@ def main() -> None:
             }
         )
     )
+    # The round-5 driver artifact arrived HEAD-truncated: its tail
+    # capture kept only the end of the (long) line above, losing the
+    # grand total.  Repeat the essentials in a compact, fully valid
+    # bench record as the very LAST line so no tail window can lose
+    # them.  like_for_like = the round-4 comparison set (the bench set
+    # grows by deliberate addition — r5 added the streamed sketch).
+    like_for_like = round(
+        total - timings.get("events_stream_quantile_sketch", 0.0), 3
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "grand": total,
+                "like_for_like_r4_set": like_for_like,
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
     spark.stop()
 
 

@@ -224,7 +224,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_demoted(
+@register(
     "embedding_semdedup",
     oracle=f"""
 WITH flat AS (
@@ -443,7 +443,7 @@ def embedding_knn_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_knn_ivf(e, q, KNN_K)
 
 
-@register_demoted(
+@register(
     "embedding_knn_pq",
     oracle=knn_pq_oracle_sql(KNN_QUERIES, KNN_K, EMB_DIM),
 )
@@ -462,7 +462,7 @@ def embedding_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_knn_pq(e, q, KNN_K)
 
 
-@register_demoted(
+@register(
     "embedding_knn_ivfpq",
     oracle=knn_ivfpq_oracle_sql(KNN_QUERIES, KNN_K, EMB_DIM),
 )

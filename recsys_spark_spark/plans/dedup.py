@@ -145,7 +145,7 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_demoted(
     "neardup_dedup_docs",
     oracle=f"""
 SELECT d.doc_id, d.lang, d.n_chars
@@ -176,7 +176,7 @@ def neardup_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_demoted(
+@register(
     "doc_duplicate_spans", oracle=duplicate_spans_sql(DUP_WINDOW, 2)
 )
 def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,7 +194,7 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(table(spark, sf_dir, "documents"))
 
 
-@register_demoted("doc_dedup_cut", oracle=dedup_cut_sql(DUP_WINDOW, 2))
+@register("doc_dedup_cut", oracle=dedup_cut_sql(DUP_WINDOW, 2))
 def doc_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CUT half of exact-substring dedup (new r5; Lee et al. 2022
     "remove all but one occurrence"): every document rebuilt with its
@@ -227,7 +227,7 @@ quality_scored AS (
 """.strip()
 
 
-@register_demoted(
+@register(
     "neardup_group_keepers",
     oracle=f"""
 WITH comp AS (

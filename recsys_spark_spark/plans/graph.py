@@ -79,7 +79,7 @@ SELECT id AS item_id, pr AS pagerank FROM it{iters}
 """
 
 
-@register(
+@register_demoted(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "item_pagerank",
     oracle=_pagerank_sql(),
@@ -158,7 +158,7 @@ FROM deg LEFT JOIN pern ON pern.id = deg.id
 """
 
 
-@register_demoted("item_graph_triangles", oracle=_triangles_sql())
+@register("item_graph_triangles", oracle=_triangles_sql())
 def item_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-item triangle count + local clustering coefficient over the
     STRONG-TIE item co-rating graph (edges = co-rated by ≥ 4 users) —

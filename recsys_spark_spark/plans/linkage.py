@@ -25,14 +25,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import table
-from .registry import register
+from .registry import register, register_demoted
 
 #: drop deletion-variant buckets larger than this before the pair
 #: join (hot-bucket guard, same idiom as operators/knn.py max_bucket)
 MAX_BUCKET = 1000
 
 
-@register(
+@register_demoted(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "customer_name_fuzzy_pairs",
     oracle=f"""

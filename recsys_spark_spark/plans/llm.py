@@ -365,7 +365,7 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- unigram-LM quality scoring -------------------------------------------
-@register(
+@register_demoted(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "doc_unigram_logprob",
     oracle="""
@@ -416,7 +416,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- bigram-LM quality scoring --------------------------------------------
-@register_demoted(
+@register(
     "doc_bigram_logprob",
     oracle="""
 WITH t AS (

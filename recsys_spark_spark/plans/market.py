@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import qround, qround_sql
 from ..sources.readers import table
-from .registry import register
+from .registry import register, register_demoted
 
 #: drop baskets larger than this before the pair self-join (hot-key
 #: guard; testdata max basket is 13 lines, so this is a provable no-op
@@ -40,7 +40,7 @@ TOP_N = 100
 _LIFT = "CAST(nab AS DOUBLE) * nb.n / (CAST(ia.c AS DOUBLE) * ib.c)"
 
 
-@register(
+@register_demoted(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "item_cooccurrence_lift",
     oracle=f"""

@@ -18,7 +18,7 @@ from ..operators.multimodal import (
     with_binary_content,
 )
 from ..sources.readers import table
-from .registry import register_demoted
+from .registry import register, register_demoted
 
 
 @register_demoted(
@@ -101,7 +101,7 @@ FROM raster
 """.strip()
 
 
-@register_demoted("multimodal_ppm_resize", oracle=_ppm_resize_sql())
+@register("multimodal_ppm_resize", oracle=_ppm_resize_sql())
 def multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode + resize (new r5, retiring the round-1..4
     image stub): every document gets a genuine P6 PPM payload
@@ -149,7 +149,7 @@ FROM sv GROUP BY doc_id
 """.strip()
 
 
-@register_demoted("multimodal_wav_features", oracle=_wav_features_sql())
+@register("multimodal_wav_features", oracle=_wav_features_sql())
 def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode (new r5, retiring the engine's LAST decode
     stub): every document gets a genuine RIFF/WAVE payload (16-bit

@@ -489,7 +489,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 LINE_TOKENS = 12
 
 
-@register(
+@register_demoted(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "corpus_line_dedup",
     oracle=f"""
@@ -623,7 +623,7 @@ def line_dedup(d: DataFrame, line_tokens: int = LINE_TOKENS) -> DataFrame:
 MIX_K = 0.1
 
 
-@register(
+@register_demoted(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "corpus_mixture_sample",
     oracle=f"""
@@ -749,7 +749,7 @@ FROM surv2 s JOIN cutq c ON c.doc_id = s.doc_id
 """.strip()
 
 
-@register_demoted("corpus_train_ready", oracle=_train_ready_sql())
+@register("corpus_train_ready", oracle=_train_ready_sql())
 def corpus_train_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-corpus pipeline as ONE composed query (new
     r5) — what a user actually materializes before tokenization:
@@ -814,7 +814,7 @@ def corpus_train_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
 PPS_TARGET = 150
 
 
-@register_demoted(
+@register(
     "corpus_pps_sample",
     oracle=f"""
 WITH scored AS (
@@ -842,7 +842,8 @@ SELECT doc_id, quality,
        floor(p * 1000000.0 + 0.5) / 1000000.0 AS incl_prob
 FROM probs
 WHERE ({hash60_sql("'pps:' || CAST(doc_id AS VARCHAR)")})
-        / 1152921504606846976.0 < p
+        / 1152921504606846976.0
+      < floor(p * 10000000.0 + 0.5) / 10000000.0
 """,
 )
 def corpus_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -878,7 +879,11 @@ def corpus_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = hash60(
         F.concat(F.lit("pps:"), F.col("doc_id").cast("string"))
     ) / F.lit(float(1 << 60))
-    return probs.where(u < F.col("p")).select(
+    # quantize p (7 dp, the repo's rank/membership convention) BEFORE
+    # the inclusion test in BOTH engines: total_w is a float sum whose
+    # accumulation order differs between Spark and DuckDB, so an
+    # unquantized p could flip a knife-edge row by one ulp
+    return probs.where(u < qround("p", 7)).select(
         "doc_id", "quality", qround("p", 6).alias("incl_prob")
     )
 
@@ -889,7 +894,7 @@ SPLIT_TRAIN_PM = 960
 SPLIT_VAL_PM = 980
 
 
-@register_demoted(
+@register(
     "corpus_splits",
     oracle=f"""
 SELECT doc_id, lang,

@@ -1067,7 +1067,7 @@ NEG_POOL = 512
 NEG_PER_USER = 10
 
 
-@register(
+@register_demoted(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "cf_negative_samples",
     oracle=f"""
@@ -1201,7 +1201,7 @@ FROM rec r JOIN pops p USING (item_id)
 """.strip()
 
 
-@register(
+@register_demoted(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "user_cf_coverage_novelty",
     oracle=_coverage_novelty_sql("cosine", PREFILTER, K_NEIGHBORS, K_ITEMS),

@@ -71,26 +71,41 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: row in at least one round (r1–r5 union, verified against
 #: CORRECTNESS_r0{1..4}.json).
 #:
-#: ROTATION PLAN for round 6 (pre-staged so the swap is mechanical):
-#: promote FIRST the 21 round-5-born queries that have never had a
-#: driver row —
-#:   multimodal_ppm_resize, multimodal_wav_features,
-#:   events_stream_quantile_sketch, doc_duplicate_spans,
-#:   doc_dedup_cut, embedding_knn_pq, embedding_knn_ivfpq,
-#:   neardup_group_keepers, corpus_train_ready, corpus_pps_sample,
-#:   corpus_splits, doc_bigram_logprob, embedding_semdedup,
-#:   top_tokens_cms, events_in_anomaly_windows,
-#:   events_dau_wau_stickiness, order_ship_latency, doc_zipf_fit,
-#:   item_graph_triangles, brand_region_market_share,
-#:   doc_readability  (21 round-5-born in all)
-#: (21 already fill the swap budget — item_sims, previously queued,
-#: moves to the r7 rotation head) demoting in exchange 21 of the
-#: round-5-registered rows once their driver row is green (candidates:
-#: the 20 analytics/pipeline rows promoted in r5 plus
-#: doc_unigram_logprob).  Keep sequential_topk /
-#: als_topk demoted permanently (no_oracle by design).
-#: Keep bench=True rows registered or demoted freely — the bench set
-#: is independent of the correctness window.
+#: Round 6 (EXECUTED this round): promoted the 21 round-5-born queries
+#: that had never had a driver row (multimodal_ppm_resize,
+#: multimodal_wav_features, events_stream_quantile_sketch,
+#: doc_duplicate_spans, doc_dedup_cut, embedding_knn_pq,
+#: embedding_knn_ivfpq, neardup_group_keepers, corpus_train_ready,
+#: corpus_pps_sample, corpus_splits, doc_bigram_logprob,
+#: embedding_semdedup, top_tokens_cms, events_in_anomaly_windows,
+#: events_dau_wau_stickiness, order_ship_latency, doc_zipf_fit,
+#: item_graph_triangles, brand_region_market_share, doc_readability);
+#: demoted in exchange 21 rows that earned their FIRST driver-green in
+#: CORRECTNESS_r05 (the 20 analytics/pipeline rows promoted in r5 plus
+#: doc_winnow_fingerprints — all now recency ≤ 1 round).
+#:
+#: ROTATION PLAN for round 7 (pre-staged so the swap is mechanical):
+#: promote FIRST the round-6-born queries that have never had a driver
+#: row —
+#:   item_sims (queued since r5), embedding_semdedup_scale (the
+#:   production-threshold LSH-path SemDeDup), multimodal_video_frames
+#:   (real concatenated-P6 decode), plus any other r6-born rows —
+#: then, with the remaining swap budget, re-promote the OLDEST
+#: driver-row-recency demoted rows (r1–r4-green relational/text tier:
+#: q1_pricing_summary, q3_top_revenue_orders, q5_region_revenue,
+#: top_orders_per_customer, customer_semi_anti_joins,
+#: order_priority_pivot, events_daily, events_sessions,
+#: part_price_median_by_brand, order_customer_set_ops, dedup_docs,
+#: doc_quality_scores, doc_token_stats, top_tokens, doc_stats_by_lang,
+#: embedding_centroids_by_label, embedding_neardup_pairs, doc_chunks,
+#: corpus_samples, corpus_pack, content_topk_cosine, cf_predictions,
+#: itemmean_rmse_mae, rating_stats_per_user, multimodal_features_frames,
+#: events_asof_last_purchase, events_sliding_1h, sales_cube,
+#: customer_running_revenue — oldest first), demoting in exchange the
+#: 21 rows promoted in r6 once CORRECTNESS_r06 shows them green.
+#: Keep sequential_topk / als_topk demoted permanently (no_oracle by
+#: design).  Keep bench=True rows registered or demoted freely — the
+#: bench set is independent of the correctness window.
 
 
 def register(name: str, oracle: str | None = None, bench: bool = False):

@@ -568,7 +568,7 @@ KNOWN_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 _KNOWN_SQL = "(" + ", ".join(f"'{t}'" for t in KNOWN_EVENT_TYPES) + ")"
 
 
-@register(
+@register_demoted(
     "events_dq_audit",
     oracle=f"""
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -645,7 +645,7 @@ def dq_audit(e: DataFrame) -> DataFrame:
 
 
 # --- order→ship latency ------------------------------------------------------
-@register_demoted(
+@register(
     "order_ship_latency",
     oracle="""
 WITH l AS (
@@ -709,7 +709,7 @@ def order_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- 6-way join: brand market share per region -------------------------------
-@register_demoted(
+@register(
     "brand_region_market_share",
     oracle="""
 WITH rev AS (

@@ -24,7 +24,7 @@ from ..operators.sketches import (
     merge_histograms,
 )
 from ..sources.readers import table
-from .registry import QUERIES, register, register_demoted
+from .registry import DEMOTED, register, register_demoted
 
 _QS = (0.5, 0.9, 0.99)
 
@@ -37,7 +37,7 @@ _W_D = f"CAST({HIST_W} AS DOUBLE)"
 _EST = f"{_LO_D} + {_W_D} * c.bin + {_W_D} * (c.rq - h.cum_prev) / h.n"
 
 
-@register(
+@register_demoted(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "events_value_quantile_sketch",
     oracle=f"""
@@ -105,7 +105,7 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the streamed twin shares the ORACLE VERBATIM with the batch query:
 # both must produce identical quantiles, so the single SQL string
 # certifies stream-maintained state against direct fact binning
-_SKETCH_ORACLE = QUERIES["events_value_quantile_sketch"].oracle
+_SKETCH_ORACLE = DEMOTED["events_value_quantile_sketch"].oracle
 
 #: bench attribution (same pattern as recsys.last_*_timings): the
 #: drain wall time of the last events_stream_quantile_sketch call —
@@ -118,7 +118,7 @@ last_stream_sketch_timings: dict | None = None
 STREAM_STATE_PARTITIONS = 8
 
 
-@register_demoted(
+@register(
     "events_stream_quantile_sketch", oracle=_SKETCH_ORACLE, bench=True
 )
 def events_stream_quantile_sketch(
@@ -188,7 +188,7 @@ from ..operators.sketches import cms_topk_sql, cms_topk_tokens  # noqa: E402
 CMS_TOPK = 25
 
 
-@register_demoted("top_tokens_cms", oracle=cms_topk_sql(CMS_TOPK))
+@register("top_tokens_cms", oracle=cms_topk_sql(CMS_TOPK))
 def top_tokens_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 corpus tokens by Count-Min sketch estimate (Cormode &
     Muthukrishnan 2005), exact count alongside — the frequency member

@@ -173,7 +173,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- winnowing fingerprints ------------------------------------------------
-@register(
+@register_demoted(
     # rotation r5: driver-green r1-r4; slot freed for never-checked queries
     "doc_winnow_fingerprints",
     oracle=f"""
@@ -248,7 +248,7 @@ def _pii_aug_col():
     )
 
 
-@register(
+@register_demoted(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "doc_pii_scrub",
     oracle=f"""
@@ -321,7 +321,7 @@ def _url_aug_col():
     )
 
 
-@register(
+@register_demoted(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "doc_url_domains",
     oracle=f"""
@@ -377,7 +377,7 @@ _ZIPF_R2 = (
 )
 
 
-@register_demoted(
+@register(
     "doc_zipf_fit",
     oracle="""
 WITH tok AS (
@@ -461,7 +461,7 @@ def zipf_fit(d: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
 
 
 # --- Flesch readability ------------------------------------------------------
-@register_demoted(
+@register(
     "doc_readability",
     oracle="""
 WITH m AS (

@@ -177,7 +177,7 @@ def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_demoted(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "user_retention_cohorts",
     oracle="""
@@ -268,7 +268,7 @@ def retention_cohorts(e: DataFrame) -> DataFrame:
     )
 
 
-@register(
+@register_demoted(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "events_transition_matrix",
     oracle="""
@@ -336,7 +336,7 @@ def transition_matrix(e: DataFrame) -> DataFrame:
     )
 
 
-@register(
+@register_demoted(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "events_anomaly_daily",
     oracle="""
@@ -465,7 +465,7 @@ def daily_anomalies(e: DataFrame) -> DataFrame:
 FUNNEL_STEPS = ("signup", "view", "click", "purchase")
 
 
-@register(
+@register_demoted(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "events_funnel",
     oracle="""
@@ -582,7 +582,7 @@ def funnel(e: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
     )
 
 
-@register(
+@register_demoted(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "customer_rfm_segments",
     oracle="""
@@ -652,7 +652,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_demoted(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "user_value_scd2",
     oracle="""
@@ -733,7 +733,7 @@ def scd2_history(
     )
 
 
-@register(
+@register_demoted(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "events_daily_dense",
     oracle="""
@@ -846,7 +846,7 @@ def daily_dense(e: DataFrame) -> DataFrame:
 # (key, bucket), then apply the exact containment filter to trim the
 # bucket edges — O(|events| + Σ interval-days) with a real equi-key.
 
-from .registry import QUERIES as _QUERIES  # noqa: E402
+from .registry import DEMOTED as _DEMOTED  # noqa: E402
 
 #: incidents extend ±6 h around the anomalous day span: boundaries are
 #: deliberately sub-day so the bucket join is a strict superset and
@@ -860,7 +860,7 @@ INCIDENT_PAD_H = 6
 _ANOM_WINDOWS_ORACLE = f"""
 WITH anom AS (
   SELECT event_type, CAST(day AS DATE) AS day
-  FROM ({_QUERIES["events_anomaly_daily"].oracle}) a
+  FROM ({_DEMOTED["events_anomaly_daily"].oracle}) a
   WHERE a.is_anomaly
 ),
 runs AS (
@@ -888,7 +888,7 @@ JOIN win w ON w.event_type = e.event_type
 """
 
 
-@register_demoted("events_in_anomaly_windows", oracle=_ANOM_WINDOWS_ORACLE)
+@register("events_in_anomaly_windows", oracle=_ANOM_WINDOWS_ORACLE)
 def events_in_anomaly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every raw event inside an anomaly INCIDENT window — the
     bucketized interval join (see section comment).  Incidents are
@@ -976,7 +976,7 @@ def events_in_windows(e: DataFrame, windows: DataFrame) -> DataFrame:
 
 
 # --- DAU / WAU stickiness ----------------------------------------------------
-@register_demoted(
+@register(
     "events_dau_wau_stickiness",
     oracle="""
 WITH ud AS (

@@ -139,7 +139,12 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
             ).cast("long"),
             F.lit((1 << bits) - 1),
         )
-        scaled.append(v)
+        # NULL values would otherwise propagate through the
+        # floor/shift/OR chain into a NULL key, collapsing every
+        # NULL-bearing row into one unsorted range partition — map
+        # NULLs to bucket 0 so the documented all-NULL degeneration
+        # (constant 0, span 1) actually holds row-wise too
+        scaled.append(F.coalesce(v, F.lit(0).cast("long")))
     z = F.lit(0).cast("long")
     for b in range(bits):
         for i, v in enumerate(scaled):

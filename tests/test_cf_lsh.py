@@ -169,6 +169,46 @@ def test_lsh_topk_runs_end_to_end(spark, clustered_ratings):
     assert per_user.count() == 600
 
 
+def test_lsh_releases_cached_state(spark, clustered_ratings):
+    """lsh_pairwise_similarity caches the rating relation (it feeds the
+    signature pass and both profile sides); release_last_state() must
+    return the session's persistent-RDD set to baseline — a library
+    entry point may not leak a session-lifetime cache per call
+    (round-5 lesson, recommenders/als.py::release_last_state)."""
+    from recsys_spark_spark.operators.cf_lsh import release_last_state
+
+    def persistent_ids():
+        return set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+
+    release_last_state()  # drain anything earlier tests left behind
+    base = persistent_ids()
+    sims = lsh_pairwise_similarity(clustered_ratings, "cosine", "user")
+    sims.count()  # materialize while the cache is alive
+    assert len(persistent_ids()) > len(base)  # the cache exists...
+    release_last_state()
+    assert persistent_ids() == base  # ...and is fully released
+
+
+def test_lsh_tolerates_duplicate_ent_key_rows(spark):
+    """Duplicate (ent, key) rating rows must not throw
+    DUPLICATE_MAP_KEY from map_from_entries — they pre-aggregate by
+    sum, defining the effective matrix (for the dot product this
+    equals the exact path's Σᵢⱼ rᵃᵢ·rᵇⱼ cross-term expansion)."""
+    rows = [
+        (1, 10, 2.0), (1, 10, 3.0), (1, 11, 4.0),  # dup (1,10) → 5.0
+        (2, 10, 5.0), (2, 11, 4.0),
+    ]
+    r = spark.createDataFrame(rows, "user_id int, item_id int, rating double")
+    sims = lsh_pairwise_similarity(
+        r, "cosine", "user", band_width=1, max_bucket=None, directed=False
+    ).collect()
+    assert len(sims) == 1
+    # cosine over summed vectors a=(5,4), b=(5,4)
+    assert abs(sims[0].sim - 1.0) < 1e-9
+
+
 def test_lsh_plan_has_no_corated_self_join(spark, clustered_ratings):
     """Plan guard: the LSH axis must plan the banded candidate join +
     map_zip_with candidate-only stats; the exact path's key self-join

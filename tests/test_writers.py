@@ -233,3 +233,25 @@ def test_zorder_bit_budget_and_empty_input(spark, tmp_path):
         zorder_key(df, [f"c{i}" for i in range(4)]).alias("z")
     ).agg(F.min("z").alias("mn"), F.max("z").alias("mx")).first()
     assert z["mn"] >= 0 and z["mx"] < (1 << 63)
+
+
+def test_zorder_null_values_map_to_bucket_zero(spark):
+    """A NULL in any z-order column must not propagate to a NULL
+    Morton key (which would collapse all NULL-bearing rows into one
+    unsorted range partition): NULLs map to bucket 0, and an all-NULL
+    column degenerates to constant 0 in the key exactly as the
+    docstring claims."""
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.sources.writers import zorder_key
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5), (None, 9), (None, None)],
+        "a int, b int",
+    )
+    keys = df.select(zorder_key(df, ["a", "b"], bits=8).alias("z")).collect()
+    assert all(k.z is not None for k in keys)
+    # all-NULL column: key reduces to the other column's bits only
+    df2 = spark.createDataFrame([(1, None), (2, None)], "a int, b int")
+    ks = [r.z for r in df2.select(zorder_key(df2, ["a", "b"], 8).alias("z")).collect()]
+    assert all(k is not None for k in ks) and ks[0] != ks[1]
