@@ -1,7 +1,7 @@
 """Multimodal column plumbing (BASELINE north star: image/audio/video
 as opaque binary columns with typed metadata).
 
-BOTH decoders are REAL since round 5 — no codec library needed:
+ALL THREE decoders are REAL — no codec library needed:
 
 - IMAGE: P6 PPM (netpbm raw RGB) — `decode_image` is a pure
   stdlib-bytes parser and `resize_images` runs a genuine
@@ -9,11 +9,18 @@ BOTH decoders are REAL since round 5 — no codec library needed:
   Arrow-batched ``mapInPandas``;
 - AUDIO: RIFF/WAVE 16-bit mono PCM — `decode_audio` walks the chunk
   structure with ``struct`` and `audio_features` reduces the decoded
-  samples to count/rate/peak/RMS.
+  samples to count/rate/peak/RMS;
+- VIDEO (new r6, retiring the engine's last deterministic-fake
+  harness): a concatenated-P6 container — `split_ppm_container`
+  walks the container by PARSING each frame's own header (frame
+  length derived from its parsed width × height, never assumed), and
+  `video_frame_features` decodes every sampled frame's pixel raster
+  and nearest-neighbor-resamples it, per frame, inside one
+  Arrow-batched ``mapInPandas``.
 
-Compressed formats (JPEG/PNG, mp3/ogg) would plug into the same call
-sites via pillow/soundfile when available — foreign magic is a
-ValueError and quarantined, never a crash.
+Compressed formats (JPEG/PNG, mp3/ogg, mp4) would plug into the same
+call sites via pillow/soundfile/pyav when available — foreign magic is
+a ValueError and quarantined, never a crash.
 
 Everything Spark-side is real and tested:
 
@@ -112,6 +119,53 @@ def decode_image(content: bytes) -> np.ndarray:
     if len(raster) != need:
         raise ValueError(f"truncated raster: {len(raster)} of {need} bytes")
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def split_ppm_container(content: bytes) -> list[bytes]:
+    """REAL video-container demux: split a concatenated-P6 container
+    into its frames by parsing each frame's own netpbm header (magic,
+    three ASCII ints with ``#``-to-EOL comments, one whitespace byte) —
+    the frame length is DERIVED from the parsed width × height, never
+    assumed constant, so mixed-geometry containers demux correctly.
+    Raises ValueError on a malformed frame or trailing garbage
+    (callers quarantine, same convention as decode_image)."""
+    frames: list[bytes] = []
+    pos, n = 0, len(content)
+    while pos < n:
+        if content[pos : pos + 2] != b"P6":
+            raise ValueError(
+                f"frame {len(frames)}: no P6 magic at byte {pos}"
+            )
+        vals: list[int] = []
+        i = pos + 2
+        while len(vals) < 3:
+            while i < n and content[i : i + 1].isspace():
+                i += 1
+            if content[i : i + 1] == b"#":
+                j = content.find(b"\n", i)
+                if j < 0:
+                    raise ValueError("unterminated header comment")
+                i = j + 1
+                continue
+            j = i
+            while j < n and not content[j : j + 1].isspace():
+                j += 1
+            tok = content[i:j]
+            if not tok.isdigit():
+                raise ValueError(f"bad header token {tok!r}")
+            vals.append(int(tok))
+            i = j
+        w, h, _maxval = vals
+        i += 1  # exactly one whitespace byte after maxval per the spec
+        end = i + w * h * 3
+        if end > n:
+            raise ValueError(
+                f"frame {len(frames)}: truncated raster "
+                f"({n - i} of {w * h * 3} bytes)"
+            )
+        frames.append(content[pos:end])
+        pos = end
+    return frames
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
@@ -432,42 +486,119 @@ def resize_images(
     )
 
 
-def resize_frames(
-    df: DataFrame, width: int = RESIZE_W, height: int = RESIZE_H
+#: synthetic video source shape (with_video_content)
+VIDEO_FRAMES = 6
+
+
+def with_video_content(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_frames: int = VIDEO_FRAMES,
+    width: int = PPM_W,
+    height: int = PPM_H,
 ) -> DataFrame:
-    """Image-resize harness: (id, width, height, resized_md5) via
-    Arrow-batched mapInPandas — the third mapInPandas shape the
-    multimodal family needs next to 1:1 features and 1:many frame
-    sampling (a real pipeline decodes, resizes with pillow/opencv,
-    and re-encodes here).
+    """REAL video payload per document: ``n_frames`` concatenated P6
+    PPM frames (the classic uncompressed video-container shape —
+    netpbm streams are legal concatenations of netpbm images).  Frame
+    f's raster is deterministic md5 blocks of the text
+    (block i = ``md5(text + '@' + f + ':' + i)`` — independently
+    recomputable by any engine with md5), each frame packed through
+    the real :func:`encode_ppm`.  The encode half of a real
+    demux-and-decode test."""
+    n_bytes = width * height * 3
+    n_blocks = (n_bytes + 15) // 16
+    encode = _detached(encode_ppm)  # ship by value, not package ref
 
-    DETERMINISTIC FAKE for the stubbed decode (no codecs in this
-    environment): the payload is truncated / zero-padded to
-    width×height bytes — a stand-in with the same data-flow shape
-    (bounded output size regardless of input size) so the schema,
-    batching, NULL quarantine, and downstream joins are all real and
-    tested.  Swap the body for decode_image → resize → encode when a
-    codec is available."""
-    target = width * height
-
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pdf = pdf[pdf["content"].notna()]  # NULL quarantine
-            out_bytes = [
-                (bytes(b)[:target]).ljust(target, b"\0")
-                for b in pdf["content"]
-            ]
+            payloads = []
+            for text in pdf[text_col]:
+                frames = []
+                for f in range(n_frames):
+                    raster = b"".join(
+                        hashlib.md5(f"{text}@{f}:{i}".encode()).digest()
+                        for i in range(n_blocks)
+                    )[:n_bytes]
+                    pixels = np.frombuffer(raster, dtype=np.uint8).reshape(
+                        height, width, 3
+                    )
+                    frames.append(encode(pixels))
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "content": payloads}
+            ).assign(modality="video", n_frames=n_frames)
+
+    return docs.mapInPandas(
+        build, "id long, content binary, modality string, n_frames int"
+    )
+
+
+def video_frame_features(
+    df: DataFrame,
+    every: int = FRAME_EVERY,
+    width: int = RESIZE_W,
+    height: int = RESIZE_H,
+) -> DataFrame:
+    """REAL video decode (new r6, retiring the engine's last
+    deterministic-fake harness): demux the concatenated-P6 container
+    by header parsing (:func:`split_ppm_container`), keep every
+    ``every``-th frame, DECODE each kept frame's pixel raster
+    (:func:`decode_image`) and nearest-neighbor resample it — all
+    inside one Arrow-batched ``mapInPandas``.  Emits per sampled
+    frame: source geometry, md5 of the decoded raster hex, and md5 of
+    the resized raster hex (hex form so a SQL oracle without blob
+    support replays both).  Malformed containers/frames raise
+    ValueError in the parsers and are QUARANTINED like NULLs."""
+    split = _detached(split_ppm_container)  # ship by value
+    decode = _detached(decode_image)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidxs, sws, shs, fsigs, rsigs = [], [], [], [], [], []
+            for did, content in zip(pdf["id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    frames = split(bytes(content))
+                except ValueError:
+                    continue  # corrupt-container quarantine
+                for fi in range(0, len(frames), every):
+                    try:
+                        pixels = decode(frames[fi])
+                    except ValueError:
+                        continue  # corrupt-frame quarantine
+                    sh, sw, _ = pixels.shape
+                    ys = (np.arange(height) * sh) // height
+                    xs = (np.arange(width) * sw) // width
+                    resized = pixels[np.ix_(ys, xs)]
+                    ids.append(did)
+                    fidxs.append(fi)
+                    sws.append(sw)
+                    shs.append(sh)
+                    fsigs.append(
+                        hashlib.md5(
+                            pixels.tobytes().hex().encode()
+                        ).hexdigest()
+                    )
+                    rsigs.append(
+                        hashlib.md5(
+                            resized.tobytes().hex().encode()
+                        ).hexdigest()
+                    )
             yield pd.DataFrame(
                 {
-                    "id": pdf["id"],
-                    "width": width,
-                    "height": height,
-                    "resized_md5": [
-                        hashlib.md5(b).hexdigest() for b in out_bytes
-                    ],
+                    "id": ids,
+                    "frame_idx": pd.Series(fidxs, dtype="int32"),
+                    "src_width": pd.Series(sws, dtype="int32"),
+                    "src_height": pd.Series(shs, dtype="int32"),
+                    "frame_md5": fsigs,
+                    "resized_md5": rsigs,
                 }
             )
 
     return df.mapInPandas(
-        resize, "id long, width int, height int, resized_md5 string"
+        extract,
+        "id long, frame_idx int, src_width int, src_height int, "
+        "frame_md5 string, resized_md5 string",
     )

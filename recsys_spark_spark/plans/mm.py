@@ -165,6 +165,73 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(with_wav_content(docs))
 
 
+def _video_frames_sql() -> str:
+    """DuckDB twin of the REAL demux→decode→resize video path: for
+    each SAMPLED frame it regenerates that frame's deterministic
+    raster (md5 blocks of text keyed by frame index), fingerprints the
+    decoded raster hex, picks the same nearest-neighbor byte positions
+    as hex slices, and fingerprints the resized raster — value-hash
+    parity for genuinely demuxed and decoded frames (one UNION ALL arm
+    per sampled frame; the sampling stride is FRAME_EVERY)."""
+    from ..operators.multimodal import (
+        FRAME_EVERY,
+        PPM_H,
+        PPM_W,
+        RESIZE_H,
+        RESIZE_W,
+        VIDEO_FRAMES,
+    )
+
+    n_bytes = PPM_W * PPM_H * 3
+    n_blocks = (n_bytes + 15) // 16
+    slices = []
+    for y in range(RESIZE_H):
+        sy = (y * PPM_H) // RESIZE_H
+        for x in range(RESIZE_W):
+            sx = (x * PPM_W) // RESIZE_W
+            off = (sy * PPM_W + sx) * 3
+            slices.append(f"substr(raster_hex, {off * 2 + 1}, 6)")
+    resized_hex = " || ".join(slices)
+    arms = []
+    for f in range(0, VIDEO_FRAMES, FRAME_EVERY):
+        raster_hex = " || ".join(
+            f"md5(text || '@{f}:{i}')" for i in range(n_blocks)
+        )
+        arms.append(
+            f"""
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST({f} AS INTEGER) AS frame_idx,
+       CAST({PPM_W} AS INTEGER) AS src_width,
+       CAST({PPM_H} AS INTEGER) AS src_height,
+       md5(raster_hex) AS frame_md5,
+       md5({resized_hex}) AS resized_md5
+FROM (
+  SELECT doc_id, substr({raster_hex}, 1, {n_bytes * 2}) AS raster_hex
+  FROM documents
+)""".strip()
+        )
+    return "\nUNION ALL\n".join(arms)
+
+
+@register_demoted("multimodal_video_frames", oracle=_video_frames_sql())
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video demux + per-frame decode + resize (new r6, retiring
+    the engine's LAST deterministic-fake harness): every document gets
+    a genuine concatenated-P6 video container (VIDEO_FRAMES real
+    netpbm frames, deterministic md5-block rasters), which
+    video_frame_features then DEMUXES by parsing each frame's own
+    header, samples every FRAME_EVERY-th frame, DECODES its pixel
+    raster and nearest-neighbor resamples it; the oracle independently
+    rebuilds each sampled frame's raster and the same resample
+    positions in SQL, so the demux boundaries AND the decoded-pixel
+    math are value-hash-checked on every emitted frame.  Queued at the
+    r7 rotation head for its first driver row."""
+    from ..operators.multimodal import video_frame_features, with_video_content
+
+    docs = table(spark, sf_dir, "documents")
+    return video_frame_features(with_video_content(docs))
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone per-payload feature extraction (library form; the
     registered query is multimodal_features_frames)."""

@@ -84,32 +84,76 @@ def test_null_content_rows_are_skipped_not_crashed(spark):
     assert {r["id"] for r in frames} == {1}
 
 
-def test_resize_frames_bounded_output_and_null_skip(spark):
-    """resize_frames: output is exactly width*height bytes regardless
-    of input size (truncate long, zero-pad short), NULLs quarantined —
-    checked against a driver-side md5 twin."""
-    import hashlib
+# --- real concatenated-P6 video demux + decode (round 6) --------------------
+
+
+def test_split_ppm_container_mixed_geometry_and_malformed():
+    """The demux derives each frame's length from ITS OWN parsed
+    header (mixed geometries split correctly); malformed containers
+    raise."""
+    import numpy as np
+    import pytest
 
     from recsys_spark_spark.operators.multimodal import (
-        resize_frames,
-        with_binary_content,
+        encode_ppm,
+        split_ppm_container,
     )
 
-    texts = {1: "x" * 500, 2: "ab", 3: None}
-    docs = spark.createDataFrame(
-        list(texts.items()), "doc_id bigint, text string"
+    a = encode_ppm(np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3))
+    b = encode_ppm(np.arange(4 * 1 * 3, dtype=np.uint8).reshape(4, 1, 3))
+    c = encode_ppm(np.zeros((1, 1, 3), dtype=np.uint8))
+    assert split_ppm_container(a + b + c) == [a, b, c]
+    assert split_ppm_container(b"") == []
+    for bad in (
+        a + b"garbage",     # trailing garbage after the last frame
+        (a + b)[:-1],       # truncated final raster
+        b"P5\n1 1\n255\n" + b"\0" * 3,  # wrong magic
+    ):
+        with pytest.raises(ValueError):
+            split_ppm_container(bad)
+
+
+def test_video_frame_features_hand_computed(spark):
+    """Demux + per-frame decode + 2×2 nearest-neighbor resize against
+    a driver-side NumPy twin; every-2 sampling keeps frames 0 and 2;
+    corrupt containers and NULLs are quarantined."""
+    import hashlib
+
+    import numpy as np
+
+    from recsys_spark_spark.operators.multimodal import (
+        encode_ppm,
+        video_frame_features,
     )
-    rows = {
-        r["id"]: r
-        for r in resize_frames(with_binary_content(docs), 4, 4).collect()
+
+    rng = np.random.default_rng(17)
+    frames = [
+        rng.integers(0, 256, (4, 4, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    container = b"".join(encode_ppm(f) for f in frames)
+    rows = [
+        (1, bytearray(container)),
+        (2, bytearray(b"P6 not a real container")),  # corrupt → quarantined
+        (3, None),                                   # NULL → quarantined
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {
+        (r["id"], r["frame_idx"]): r
+        for r in video_frame_features(df, every=2, width=2, height=2).collect()
     }
-    assert set(rows) == {1, 2}
-    for i in (1, 2):
-        want = hashlib.md5(
-            texts[i].encode()[:16].ljust(16, b"\0")
+    assert set(got) == {(1, 0), (1, 2)}
+    for fi in (0, 2):
+        r = got[(1, fi)]
+        assert (r["src_width"], r["src_height"]) == (4, 4)
+        want_frame = hashlib.md5(
+            frames[fi].tobytes().hex().encode()
         ).hexdigest()
-        assert rows[i]["resized_md5"] == want
-        assert (rows[i]["width"], rows[i]["height"]) == (4, 4)
+        resized = frames[fi][np.ix_([0, 2], [0, 2])]
+        want_resized = hashlib.md5(
+            resized.tobytes().hex().encode()
+        ).hexdigest()
+        assert r["frame_md5"] == want_frame
+        assert r["resized_md5"] == want_resized
 
 
 # --- real P6 PPM decode + resize (round 5) ---------------------------------
