@@ -186,3 +186,46 @@ def test_neardup_pairs_lsh_switch_recall_and_pruning(spark):
     cand = cosine_neardup_pairs(e, -1.0, use_lsh_candidates=True).count()
     n = len(rows)
     assert cand < 0.25 * n * (n - 1) / 2, (cand, n)
+
+
+def test_semdedup_scale_uses_banded_pair_plan(spark, sf_dir):
+    """embedding_semdedup_scale's pair stage (VERDICT r5 #6) must PLAN
+    the banded (band, sig) bucket self-join, never the exact path's
+    per-dimension pair join — and the twin augmentation must create
+    real work at τ=0.9: every twin pairs with its original, so the
+    election runs over TWIN_N genuine 2-member groups."""
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.plans.ann import (
+        SEMDEDUP_SCALE_TAU,
+        TWIN_N,
+        TWIN_OFFSET,
+        _augmented_embeddings,
+        cosine_neardup_pairs,
+    )
+    from recsys_spark_spark.sources.readers import table
+
+    aug = _augmented_embeddings(table(spark, sf_dir, "embeddings"))
+    lsh_pairs = cosine_neardup_pairs(
+        aug, SEMDEDUP_SCALE_TAU, use_lsh_candidates=True
+    )
+    plan = lsh_pairs._jdf.queryExecution().optimizedPlan().toString()
+    # banded candidate join on (band, sig)...
+    assert "band#" in plan and "sig#" in plan
+    # ...and no per-dimension (pos = pos) pair enumeration: the only
+    # pos-equi join allowed in the LSH plan is none at all (the exact
+    # rerank zips the two full vectors row-locally via zip_with)
+    assert "pos#" not in plan
+    exact_plan = (
+        cosine_neardup_pairs(aug, SEMDEDUP_SCALE_TAU)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "pos#" in exact_plan and "band#" not in exact_plan
+    # the twins do real work: every (orig, orig+OFFSET) pair crosses τ
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_pairs.where(F.col("id_b") >= TWIN_OFFSET).collect()
+    }
+    assert {(i, i + TWIN_OFFSET) for i in range(TWIN_N)} <= got
