@@ -133,51 +133,9 @@ def normalized_dup_groups(docs: DataFrame) -> DataFrame:
 
 
 # --- text statistics (L4) --------------------------------------------------
-
-from .text import BPE_PATTERN  # noqa: E402  (shared BPE-ish regex)
-
-
-@register_demoted(
-    "doc_token_stats",
-    oracle=f"""
-SELECT doc_id,
-       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-       CAST(length(text) AS BIGINT) AS n_chars,
-       floor((CAST(length(replace(text, ' ', '')) AS DOUBLE)
-             / len(string_split(text, ' '))) * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token,
-       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
-       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
-       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens
-FROM documents
-""",
-)
-def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token statistics: whitespace tokenizer counts plus
-    BPE-ish regex token counts (word runs / digit runs / punctuation
-    marks) — all JVM-side column functions (no UDF), one scan.
-    (Absorbs the former doc_bpe_token_counts registry entry — same
-    grain.)"""
-    d = table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-
-    def n(pat: str):
-        return F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("bigint")
-
-    return d.select(
-        "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
-        F.length("text").cast("bigint").alias("n_chars"),
-        qround(
-            F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
-            / F.size(toks),
-            R6,
-        ).alias("chars_per_token"),
-        n(BPE_PATTERN).alias("n_bpe_tokens"),
-        n("[a-z]+").alias("n_word_tokens"),
-        n("[0-9]+").alias("n_num_tokens"),
-    )
+# (the former doc_token_stats registry entry was absorbed into
+# plans/text.py::doc_quality_scores in the r6 rotation-latency merge —
+# same per-doc grain, one scan)
 
 
 # --- corpus token frequency ------------------------------------------------

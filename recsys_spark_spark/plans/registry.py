@@ -84,6 +84,29 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: CORRECTNESS_r05 (the 20 analytics/pipeline rows promoted in r5 plus
 #: doc_winnow_fingerprints — all now recency ≤ 1 round).
 #:
+#: ROTATION-LATENCY AUDIT (r6, VERDICT r5 #8).  Measured driver-row
+#: recency after the r6 window runs (rounds since last green row,
+#: from CORRECTNESS_r01–r05 + the r6 registration):
+#:   recency 0: 50 (the r6 registered window)
+#:   recency 1: 21 (demoted this round, green r5)
+#:   recency 2: 19 (green r4; was 20 before the merge below)
+#:   recency 3: 11 (green r3 — the q1/q3/q5 relational tier + item_sims)
+#:   never: 4 (sequential_topk + als_topk no-oracle BY DESIGN;
+#:             multimodal_video_frames + embedding_semdedup_scale
+#:             r6-born, queued at the r7 head)
+#: Steady-state arithmetic: 103 oracled queries / 50-row window =
+#: 2.06-round cycle, so occasional recency-3 is structural unless the
+#: oracled count drops to ≤100.  Actions taken: (a) doc_token_stats
+#: was MERGED into doc_quality_scores (same per-doc grain, one scan —
+#: the r3 user_sims merge pattern), 104 → 103 oracled; (b) the r7 plan
+#: below promotes ALL 30 recency ≥2 rows plus the never-born (34 ≤ 50
+#: budget), restoring max recency ≤ 2 after r7; (c) two further
+#: same-grain merges are staged for AFTER their members' driver rows
+#: land: doc_bigram_logprob → doc_unigram_logprob (both (doc_id,
+#: logprob); bigram lands r6) and doc_readability → doc_quality_scores
+#: (per-doc scores; lands r6) — executing both in r7 brings the count
+#: to 101, a 2.02-round cycle.
+#:
 #: ROTATION PLAN for round 7 (pre-staged so the swap is mechanical):
 #: promote FIRST the round-6-born queries that have never had a driver
 #: row —
@@ -91,18 +114,21 @@ DEMOTED: dict[str, QuerySpec] = {}
 #:   production-threshold LSH-path SemDeDup), multimodal_video_frames
 #:   (real concatenated-P6 decode), plus any other r6-born rows —
 #: then, with the remaining swap budget, re-promote the OLDEST
-#: driver-row-recency demoted rows (r1–r4-green relational/text tier:
-#: q1_pricing_summary, q3_top_revenue_orders, q5_region_revenue,
-#: top_orders_per_customer, customer_semi_anti_joins,
-#: order_priority_pivot, events_daily, events_sessions,
-#: part_price_median_by_brand, order_customer_set_ops, dedup_docs,
-#: doc_quality_scores, doc_token_stats, top_tokens, doc_stats_by_lang,
-#: embedding_centroids_by_label, embedding_neardup_pairs, doc_chunks,
-#: corpus_samples, corpus_pack, content_topk_cosine, cf_predictions,
-#: itemmean_rmse_mae, rating_stats_per_user, multimodal_features_frames,
+#: driver-row-recency demoted rows, oldest first per the audit above —
+#: recency 3 (green r3): q1_pricing_summary, q3_top_revenue_orders,
+#: q5_region_revenue, top_orders_per_customer, customer_semi_anti_joins,
+#: order_priority_pivot, events_json_props, item_sims,
+#: part_price_median_by_brand, order_customer_set_ops,
+#: rating_stats_per_user; then recency 2 (green r4): dedup_docs,
+#: doc_quality_scores (post-merge, now also carrying the token stats),
+#: top_tokens, doc_stats_by_lang, embedding_centroids_by_label,
+#: embedding_neardup_pairs, doc_chunks, corpus_samples, corpus_pack,
+#: content_topk_cosine, cf_predictions, itemmean_rmse_mae,
+#: multimodal_features_frames, events_daily, events_sessions,
 #: events_asof_last_purchase, events_sliding_1h, sales_cube,
-#: customer_running_revenue — oldest first), demoting in exchange the
-#: 21 rows promoted in r6 once CORRECTNESS_r06 shows them green.
+#: customer_running_revenue — demoting in exchange the rows promoted
+#: in r6 once CORRECTNESS_r06 shows them green.  Execute the two
+#: staged merges (audit note (c)) in the same commit.
 #: Keep sequential_topk / als_topk demoted permanently (no_oracle by
 #: design).  Keep bench=True rows registered or demoted freely — the
 #: bench set is independent of the correctness window.

@@ -98,7 +98,7 @@ def _lang_score_sql(lang: str) -> str:
     "doc_quality_scores",
     oracle=f"""
 WITH base AS (
-  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+  SELECT doc_id, lang, text, string_split(text, ' ') AS toks,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          CAST(len(list_filter(string_split(text, ' '),
                               t -> t IN {_sql_list(STOPWORDS)})) AS DOUBLE)
@@ -124,7 +124,14 @@ SELECT doc_id, n_tokens,
        lang AS labeled_lang,
        CASE {" ".join(f"WHEN s_{lg} = best THEN '{lg}'" for lg in sorted(LANG_MARKERS))}
        END AS pred_lang,
-       best AS lang_score
+       best AS lang_score,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       floor((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(toks)) * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens
 FROM (
   SELECT *, greatest({", ".join(f"s_{lg}" for lg in sorted(LANG_MARKERS))}) AS best
   FROM scored
@@ -132,9 +139,11 @@ FROM (
 """,
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document quality + marker-token language-ID in one
-    per-document pass (merged from the former separate doc_lang_id
-    registry entry — same grain, one scan).
+    """Heuristic document quality + marker-token language-ID + token
+    statistics in one per-document pass (merged from the former
+    separate doc_lang_id AND — r6 rotation-latency merge —
+    doc_token_stats registry entries; all the same per-doc grain, one
+    scan).
 
     Quality: stopword density up (natural prose has function words),
     punctuation-noise down, mild length prior — the standard cheap
@@ -144,7 +153,11 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Language-ID: per-language function-word hit count, argmax with
     lexicographic tie-break (the first CASE arm wins, langs sorted) —
     the n-gram-heuristic pattern; swap LANG_MARKERS for real
-    per-language lists on a natural corpus."""
+    per-language lists on a natural corpus.
+
+    Token statistics (ex-doc_token_stats): whitespace tokenizer counts
+    plus BPE-ish regex token counts (word runs / digit runs /
+    punctuation marks) — all JVM-side column functions (no UDF)."""
     d = table(spark, sf_dir, "documents")
     n_tokens, stop_ratio, punct_ratio, quality = quality_exprs()
     toks = F.split("text", " ")
@@ -153,6 +166,9 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         # factory closure: the HOF lambda must be unary (a second
         # parameter would be interpreted as the element index)
         return F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("bigint")
+
+    def _n(pat: str):
+        return F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("bigint")
 
     scores = {lg: _score(LANG_MARKERS[lg]) for lg in sorted(LANG_MARKERS)}
     best = F.greatest(*scores.values())
@@ -169,6 +185,16 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("labeled_lang"),
         pred.alias("pred_lang"),
         best.alias("lang_score"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        qround(
+            F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
+            / F.size(toks),
+            R6,
+        ).alias("chars_per_token"),
+        _n(BPE_PATTERN).alias("n_bpe_tokens"),
+        _n("[a-z]+").alias("n_word_tokens"),
+        _n("[0-9]+").alias("n_num_tokens"),
     )
 
 
