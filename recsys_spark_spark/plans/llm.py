@@ -177,6 +177,71 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BPE merge-pair counting (tokenizer training primitive) -----------------
+
+#: how many top merge candidates to emit
+BPE_PAIRS_TOPK = 25
+
+
+@register_demoted(
+    "corpus_bpe_pair_counts",
+    oracle=f"""
+WITH wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) >= 2
+  GROUP BY 1
+),
+pairs AS (
+  SELECT substr(word, CAST(t.i AS INTEGER), 2) AS pair, n
+  FROM wc, UNNEST(generate_series(1, length(word) - 1)) AS t(i)
+)
+SELECT pair, cnt, CAST(rk AS INTEGER) AS rank FROM (
+  SELECT pair, cnt,
+         row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rk
+  FROM (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM pairs GROUP BY 1)
+) WHERE rk <= {BPE_PAIRS_TOPK}
+""",
+)
+def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed core of BPE tokenizer training (Sennrich et al.
+    2016): corpus-wide adjacent symbol-pair frequencies at the
+    character stage — the counts whose argmax is the first merge rule.
+    A full trainer repeats this relation per merge; ONE iteration is
+    the 100 TB primitive worth benchmarking because every iteration
+    has the same shape (the merge itself only rewrites the word
+    vocabulary, which is orders of magnitude smaller than the corpus).
+
+    Scale shape: the corpus collapses to the DISTINCT-WORD vocabulary
+    first (groupBy(word).count() — map-side combinable, shuffle width
+    = |vocab| not corpus), pairs explode over the VOCAB only (each
+    word yields len−1 pairs), and the final rank is a
+    TakeOrderedAndProject top-{BPE_PAIRS_TOPK} like top_tokens — the
+    raw corpus is scanned exactly once."""
+    d = table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    # sequence(1, len-1) is safe only because len >= 2 (Spark's
+    # sequence DESCENDS for stop < start rather than returning empty)
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1),"
+                   " i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "n",
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("n").alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(BPE_PAIRS_TOPK)
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "pair", "cnt", "rank"
+    )
+
+
 # --- text quality / language stats by metadata -----------------------------
 @register_demoted(
     "doc_stats_by_lang",

@@ -696,6 +696,81 @@ def mixture_sample(d: DataFrame, k: float = MIX_K) -> DataFrame:
     )
 
 
+# --- language temperature-sampling weights ----------------------------------
+#: α = 1/T = 0.5 (temperature T = 2): the exponent is then sqrt — the
+#: IEEE-correctly-rounded primitive in BOTH engines (same rationale as
+#: MIX_K above); other temperatures would need pow's engine-specific
+#: transcendental and its documented ulp caveat.
+TEMP_ALPHA = 0.5
+
+
+@register_demoted(
+    "corpus_lang_temperature_weights",
+    oracle="""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM c),
+p AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / total AS p_raw,
+         sqrt(CAST(n_tokens AS DOUBLE) / total) AS q_raw
+  FROM c CROSS JOIN t
+),
+z AS (SELECT sum(q_raw) AS zq FROM p)
+SELECT lang, n_docs, n_tokens,
+       floor(p_raw * 1000000.0 + 0.5) / 1000000.0 AS p_share,
+       floor((q_raw / zq) * 1000000.0 + 0.5) / 1000000.0 AS q_weight,
+       floor(((q_raw / zq) / p_raw) * 1000000.0 + 0.5) / 1000000.0
+         AS upsample_factor
+FROM p CROSS JOIN z
+""",
+)
+def corpus_lang_temperature_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-based language rebalancing weights (the multilingual
+    mixing rule of XLM-R / mC4, Conneau et al. 2020 §3: sample language
+    l with qₗ ∝ pₗ^α where pₗ is its token share): per language — doc
+    count, token count, raw share pₗ, rebalanced weight qₗ, and the
+    upsample factor qₗ/pₗ a curriculum pipeline feeds into per-language
+    repeat rates.  α = 0.5 (see TEMP_ALPHA: sqrt is correctly rounded
+    in both engines, so the weights are cross-engine stable).
+
+    Scale shape: ONE map-side-combinable aggregate over the corpus
+    (shuffle width = |languages|), a 1-row total and a |languages|-row
+    normalizer both broadcast — the corpus is scanned exactly once and
+    nothing wider than the language list ever shuffles."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    t = c.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    p = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total")).alias("p_raw"),
+        F.sqrt(F.col("n_tokens").cast("double") / F.col("total")).alias(
+            "q_raw"
+        ),
+    )
+    z = p.agg(F.sum("q_raw").alias("zq"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        qround("p_raw", 6).alias("p_share"),
+        qround(F.col("q_raw") / F.col("zq"), 6).alias("q_weight"),
+        qround((F.col("q_raw") / F.col("zq")) / F.col("p_raw"), 6).alias(
+            "upsample_factor"
+        ),
+    )
+
+
 def _train_ready_sql() -> str:
     """Oracle for corpus_train_ready — the four stages composed in one
     WITH chain: quality/lang gate → exact dedup → transitive near-dup

@@ -309,6 +309,58 @@ def test_mixture_sample_caps_rate_at_one(spark):
     assert out["tiny"] == 1000000  # min(1, ...) cap
 
 
+def test_temperature_weights_hand_computed(spark, sf_dir, monkeypatch, tmp_path):
+    """α=0.5 temperature rebalancing on a planted skewed corpus:
+    weights and upsample factors match the closed form — the rare
+    language is upsampled (> 1), the dominant one downsampled (< 1),
+    and the q weights sum to 1."""
+    import math
+
+    from recsys_spark_spark.plans.pipeline import (
+        corpus_lang_temperature_weights,
+    )
+
+    # 90% of tokens in lang a (3 tokens/doc × 300 docs), 10% in b
+    rows = [(i, "a", "x y z") for i in range(300)] + [
+        (300 + i, "b", "x y z") for i in range(33)
+    ] + [(333, "b", "x")]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["lang"]: r
+        for r in corpus_lang_temperature_weights(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    na, nb = 900, 100
+    pa, pb = na / 1000, nb / 1000
+    zq = math.sqrt(pa) + math.sqrt(pb)
+    qa, qb = math.sqrt(pa) / zq, math.sqrt(pb) / zq
+    assert out["a"]["n_tokens"] == na and out["b"]["n_tokens"] == nb
+    assert abs(out["a"]["q_weight"] - round(qa, 6)) < 2e-6
+    assert abs(out["b"]["q_weight"] - round(qb, 6)) < 2e-6
+    assert out["b"]["upsample_factor"] > 1.0 > out["a"]["upsample_factor"]
+    assert abs(out["a"]["q_weight"] + out["b"]["q_weight"] - 1.0) < 2e-6
+
+
+def test_bpe_pair_counts_hand_computed(spark, tmp_path):
+    """Adjacent character-pair counts over the word vocabulary,
+    weighted by word frequency: 'aab aab ab c' → pairs aa×2, ab×3
+    ('aab' twice contributes aa+ab each, 'ab' once); 1-char words
+    contribute nothing."""
+    from recsys_spark_spark.plans.llm import corpus_bpe_pair_counts
+
+    d = spark.createDataFrame(
+        [(1, "aab aab ab c"), (2, "ab")], "doc_id long, text string"
+    )
+    d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["pair"]: (r["cnt"], r["rank"])
+        for r in corpus_bpe_pair_counts(spark, str(tmp_path)).collect()
+    }
+    assert out == {"ab": (4, 1), "aa": (2, 2)}
+
+
 def test_corpus_splits_disjoint_total_and_stable(spark, sf_dir):
     """Every doc in exactly one split; assignment is a pure function
     (rerun-identical); split rates land near 96/2/2 per stratum."""
