@@ -49,6 +49,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .cache_tracking import track
 from ..functions.rounding import qround, qround_sql
 from .dedup import hash60, hash60_sql
 from .knn import _dot, _norm, _vec_double
@@ -217,7 +218,7 @@ def cosine_knn_ivf(
     # arrays.  At 100 TB the equivalent is a persisted index build
     # (the cache spills via MEMORY_AND_DISK; plan-identity keying
     # shares it with any other query over the same base this session).
-    base = base.cache()
+    base = track(base.cache())  # released via cache_tracking (ownership: caller)
     c0 = seed_centroids(base, id_col, vec_col, n_cells)
     c1 = refine_centroids(base, c0, vec_col)
 

@@ -47,6 +47,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .cache_tracking import track
 from ..functions.rounding import qround
 
 N_PLANES = 128
@@ -164,7 +165,7 @@ def cosine_knn_lsh(
     # base is consumed by the dim probe, the signature pass, and the
     # exact-rerank vector join — cache once so the parquet arrays are
     # decoded a single time (same rationale as cosine_knn_ivf)
-    base = base.cache()
+    base = track(base.cache())  # released via cache_tracking (ownership: caller)
     dim = base.select(F.size(vec_col).alias("d")).first()["d"]
     base_sigs = lsh_signatures(
         base, id_col, vec_col, n_planes, band_width, dim

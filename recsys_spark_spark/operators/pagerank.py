@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cache_tracking import track
 from ..functions.rounding import qround
 
 PR_ROUND = 7
@@ -95,15 +96,16 @@ def pagerank(
     simplification) — on the symmetrized co-rating caller every node
     has out-edges, so this never fires there; documented rather than
     hidden."""
-    edges = edges.cache()
+    edges = track(edges.cache())  # released via cache_tracking (ownership: caller)
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
         .cache()
     )
+    nodes = track(nodes)
     n_df = F.broadcast(nodes.agg(F.count("*").cast("double").alias("n")))
-    deg = (
+    deg = track(
         edges.groupBy("src")
         .agg(F.sum("w").cast("double").alias("deg"))
         .cache()

@@ -1,0 +1,44 @@
+"""Library entry points must not leak session-lifetime caches
+(operators/cache_tracking.py — the shared form of the ALS/cf_lsh
+release pattern, round-6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _persistent_ids(spark):
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def test_ann_and_pagerank_caches_release_to_baseline(spark):
+    from recsys_spark_spark.operators.cache_tracking import release_tracked
+    from recsys_spark_spark.operators.ivf import cosine_knn_ivf
+    from recsys_spark_spark.operators.knn import cosine_knn_lsh
+    from recsys_spark_spark.operators.pagerank import pagerank
+    from recsys_spark_spark.operators.pq import cosine_knn_pq
+
+    release_tracked()  # drain anything earlier tests left behind
+    base_ids = _persistent_ids(spark)
+
+    vecs = spark.range(80).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: F.sin(F.col("id") * (j + 1)).cast("double"),
+        ).alias("embedding"),
+    )
+    queries = vecs.where(F.col("vec_id") < 3)
+    cosine_knn_lsh(vecs, queries, 3).count()
+    cosine_knn_ivf(vecs, queries, 3, n_cells=4, n_probe=2).count()
+    cosine_knn_pq(vecs, queries, 3, m_sub=2, k_codes=4).count()
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (2, 3, 1.0), (3, 2, 1.0)],
+        "src long, dst long, w double",
+    )
+    pagerank(edges, iters=2).count()
+
+    assert len(_persistent_ids(spark)) > len(base_ids)  # caches exist...
+    release_tracked()
+    assert _persistent_ids(spark) == base_ids  # ...and all released
