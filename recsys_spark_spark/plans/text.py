@@ -544,3 +544,83 @@ def readability(t: DataFrame) -> DataFrame:
         "doc_id", "n_words", "n_sentences", "n_syllables",
         qround(flesch, 6).alias("flesch"),
     )
+
+
+# --- character entropy (garbage/binary-text signal) ---------------------------
+from ..functions.rounding import qround_sql  # noqa: E402
+
+_ENTROPY_LN_Q = qround_sql("ln(p)", 6)
+
+
+@register_demoted(
+    "doc_char_entropy",
+    oracle=f"""
+WITH c AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ''), x -> x <> '') AS chars
+  FROM documents
+),
+d AS (
+  SELECT doc_id, chars, len(chars) AS n,
+         list_sort(list_distinct(chars)) AS dchars
+  FROM c
+),
+e AS (
+  SELECT doc_id, n, len(dchars) AS nd,
+         list_transform(dchars, ch ->
+           CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / n) AS ps
+  FROM d WHERE n > 0
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       CAST(nd AS BIGINT) AS n_distinct_chars,
+       {qround_sql(
+           "-list_reduce(list_prepend(0.0,"
+           " list_transform(ps, p -> p * (" + _ENTROPY_LN_Q + "))),"
+           " (a, b) -> a + b)", 6)} AS entropy_nats
+FROM e
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0
+FROM d WHERE n = 0
+""",
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy (nats) — the classic
+    cheap garbage/binary-text signal next to the Gopher-style symbol
+    ratios in doc_quality_scores: natural prose sits in a narrow
+    entropy band, while base64 blobs, minified code, and key-mash
+    score far outside it (Rae et al. 2021 quality-filter lineage).
+
+    Fully ROW-LOCAL (no shuffle at any size): per row, sort the
+    distinct characters, count each with an array filter
+    (O(distinct × len) per document), and fold −Σ p·ln p with a
+    LEFT-TO-RIGHT aggregate over the SORTED terms — both engines fold
+    the identical sequence, so the only cross-engine hazard is ln
+    itself, which is 6dp-quantized per term before the fold (the
+    doc_zipf_fit convention for non-correctly-rounded
+    transcendentals).  Empty documents pin (0, 0, 0.0)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", "").alias("chars")
+    )
+    d = d.select(
+        "doc_id",
+        "chars",
+        F.size("chars").alias("n"),
+        F.array_sort(F.array_distinct("chars")).alias("dchars"),
+    )
+    ps = F.transform(
+        "dchars",
+        lambda ch: F.size(F.filter("chars", lambda x: x == ch)).cast("double")
+        / F.col("n"),
+    )
+    terms = F.transform(ps, lambda p: p * qround(F.log(p), 6))
+    fold = F.aggregate(terms, F.lit(0.0), lambda a, b: a + b)
+    return d.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars"),
+        F.when(F.col("n") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.size("dchars").cast("bigint"))
+        .alias("n_distinct_chars"),
+        F.when(F.col("n") == 0, F.lit(0.0))
+        .otherwise(qround(-fold, 6))
+        .alias("entropy_nats"),
+    )
