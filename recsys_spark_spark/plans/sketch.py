@@ -201,3 +201,122 @@ def top_tokens_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     CMS overestimate guarantee (est ≥ exact) is property-tested under
     forced collisions in tests/test_sketches.py."""
     return cms_topk_tokens(table(spark, sf_dir, "documents"), k=CMS_TOPK)
+
+
+# --- streamed Count-Min heavy users ------------------------------------------
+from ..operators.dedup import hash60_sql  # noqa: E402
+from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_hash_cols  # noqa: E402
+
+HEAVY_USERS_TOPK = 20
+
+
+def _stream_user_cms_sql(
+    k: int = HEAVY_USERS_TOPK, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> str:
+    """DuckDB twin of events_stream_user_cms: bins the FACTS directly
+    into the md5 counter grid at the total grain, so the value-hash
+    match proves the whole streaming path (watermarked per-day state,
+    exactly-once sink, counter-addition merge) reproduces direct SQL
+    fact counting bit for bit."""
+    tok = "CAST(user_id AS VARCHAR)"
+    cell_selects = "\nUNION ALL ".join(
+        f"SELECT token, weight, {j} AS r, "
+        f"({hash60_sql('token', f'cms{j}')} % {width}) AS b FROM u"
+        for j in range(depth)
+    )
+    return f"""
+WITH u AS (
+  SELECT {tok} AS token, CAST(count(*) AS BIGINT) AS weight
+  FROM events GROUP BY 1
+),
+cells AS (
+  {cell_selects}
+),
+sketch AS (
+  SELECT r, b, CAST(sum(weight) AS BIGINT) AS c FROM cells GROUP BY 1, 2
+),
+est AS (
+  SELECT token,
+         CAST(min(c) AS BIGINT) AS est_count,
+         CAST(max(weight) AS BIGINT) AS exact_count
+  FROM cells JOIN sketch USING (r, b) GROUP BY 1
+)
+SELECT CAST(row_number() OVER (
+         ORDER BY est_count DESC, CAST(token AS BIGINT) ASC) AS INTEGER)
+         AS rank,
+       CAST(token AS BIGINT) AS user_id, est_count, exact_count
+FROM est
+ORDER BY est_count DESC, CAST(token AS BIGINT) ASC
+LIMIT {k}
+""".strip()
+
+
+@register_demoted("events_stream_user_cms", oracle=_stream_user_cms_sql())
+def events_stream_user_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} heavy USERS by Count-Min estimate where the counter grid
+    is maintained STREAMING-side (new r6 — the second driver-oracled
+    streaming query, extending the r5 quantile-sketch pattern to the
+    frequency family):
+
+        events readStream → per-day (day, r, b, n) CMS state
+        (streaming/windows.py::cms_user_sketch_stream)
+        → exactly-once batch_id-partitioned sink → read-back
+        → counter-addition merge to the TOTAL grid
+        → point estimates for the candidate users → top-k
+
+    The oracle bins the facts directly into the same md5 grid, so the
+    hash match certifies watermarked streaming state + the
+    exactly-once sink layout + CMS mergeability against direct ANSI
+    SQL.  Exact counts ride along (est ≥ exact always — the CMS
+    overestimate guarantee).
+
+    100 TB shape: streaming state is ≤ days × depth × width count rows
+    inside the watermark horizon — independent of event volume AND of
+    the distinct-user count (per-user streaming state would be
+    unbounded; this is why heavy-user detection sketches); the top-k
+    estimate stage touches the ≤ depth×width merged grid plus one
+    distinct-user aggregate, never the raw facts."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..streaming.sinks import read_batched, write_stream_exactly_once
+    from ..streaming.windows import cms_user_sketch_stream, read_events_stream
+
+    workdir = tempfile.mkdtemp(prefix="stream_cms_")
+    stream = cms_user_sketch_stream(read_events_stream(spark, sf_dir))
+    q = write_stream_exactly_once(
+        stream, f"{workdir}/store", f"{workdir}/ck", output_mode="update"
+    )
+    q.awaitTermination()
+    grid = (
+        read_batched(spark, f"{workdir}/store")
+        .groupBy("r", "b")
+        .agg(F.sum("n").alias("c"))
+    )
+    e = table(spark, sf_dir, "events")
+    users = e.groupBy(
+        F.col("user_id").cast("string").alias("token")
+    ).agg(F.count("*").alias("weight"))
+    cells = F.posexplode(F.array(*cms_hash_cols(F.col("token"))))
+    est = (
+        users.select("token", "weight", cells.alias("r", "b"))
+        .join(F.broadcast(grid), ["r", "b"])
+        .groupBy("token")
+        .agg(
+            F.min("c").cast("bigint").alias("est_count"),
+            F.max("weight").cast("bigint").alias("exact_count"),
+        )
+        .select(
+            F.col("token").cast("bigint").alias("user_id"),
+            "est_count",
+            "exact_count",
+        )
+    )
+    top = est.orderBy(F.desc("est_count"), F.asc("user_id")).limit(
+        HEAVY_USERS_TOPK
+    )
+    w = Window.orderBy(F.desc("est_count"), F.asc("user_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "user_id", "est_count", "exact_count"
+    )
