@@ -1,0 +1,86 @@
+"""Feature-engineering plans: the column-preparation operators an ML
+training pipeline runs between raw facts and model input.
+
+First member: per-group winsorization + min-max normalization with
+EXACT interpolated quantiles — outlier clamping is the standard
+pre-normalization step (Tukey/Hastie lineage), and the per-type grain
+mirrors how heterogeneous event families are normalized independently.
+
+Cross-engine determinism: Spark ``percentile(col, p)`` and DuckDB
+``quantile_cont`` implement the same linear-interpolation definition
+(index = p·(n−1); verified numerically in round 6), but the
+interpolation arithmetic can differ by an ulp — both engines therefore
+quantize the quantile BOUNDS at 6 dp before any clamp decision (the
+repo's quantize-before-every-decision convention), after which the
+clamp and the normalization are identical IEEE ops on identical
+inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import qround, qround_sql
+from ..sources.readers import table
+from .registry import register_demoted
+
+#: winsorization tail fractions (classic 1%/99%)
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+@register_demoted(
+    "events_value_normalized",
+    oracle=f"""
+WITH q AS (
+  SELECT event_type,
+         {qround_sql(f"quantile_cont(CAST(value AS DOUBLE), {WINSOR_LO})", 6)} AS lo,
+         {qround_sql(f"quantile_cont(CAST(value AS DOUBLE), {WINSOR_HI})", 6)} AS hi
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+)
+SELECT e.user_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
+       q.lo AS p01, q.hi AS p99,
+       {qround_sql("least(greatest(CAST(e.value AS DOUBLE), q.lo), q.hi)", 6)}
+         AS winsorized,
+       CASE WHEN q.hi = q.lo THEN 0.0
+            ELSE {qround_sql(
+                "(least(greatest(CAST(e.value AS DOUBLE), q.lo), q.hi) - q.lo)"
+                " / (q.hi - q.lo)", 6)}
+       END AS minmax
+FROM events e JOIN q USING (event_type)
+WHERE e.value IS NOT NULL
+""",
+)
+def events_value_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorize-then-normalize of the value column:
+    clamp each value into its type's exact [p01, p99] interpolated
+    quantile band, then min-max scale the clamped value into [0, 1] —
+    one row per non-NULL fact carrying (value, p01, p99, winsorized,
+    minmax).  A degenerate band (p01 = p99, e.g. a constant type) pins
+    minmax = 0.0 in both engines instead of dividing by zero.
+
+    Scale shape: ONE exact-quantile aggregate per event_type (shuffle
+    width = |types|; at 100 TB swap `percentile` for the mergeable
+    histogram sketch in operators/sketches.py — same band semantics,
+    bounded state, documented accuracy ≤ bin width), broadcast back
+    onto the fact scan; the clamp and scaling are row-local."""
+    e = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    q = e.groupBy("event_type").agg(
+        qround(F.expr(f"percentile(value, {WINSOR_LO})"), 6).alias("p01"),
+        qround(F.expr(f"percentile(value, {WINSOR_HI})"), 6).alias("p99"),
+    )
+    j = e.join(F.broadcast(q), "event_type")
+    w = F.least(F.greatest(F.col("value").cast("double"), F.col("p01")), F.col("p99"))
+    return j.select(
+        "user_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        "p01",
+        "p99",
+        qround(w, 6).alias("winsorized"),
+        F.when(F.col("p99") == F.col("p01"), F.lit(0.0))
+        .otherwise(qround((w - F.col("p01")) / (F.col("p99") - F.col("p01")), 6))
+        .alias("minmax"),
+    )

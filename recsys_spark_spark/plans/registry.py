@@ -200,6 +200,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         ann,
         dedup,
+        features,
         graph,
         linkage,
         llm,
