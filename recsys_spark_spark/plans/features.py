@@ -84,3 +84,69 @@ def events_value_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(qround((w - F.col("p01")) / (F.col("p99") - F.col("p01")), 6))
         .alias("minmax"),
     )
+
+
+# --- leave-one-out target encoding -------------------------------------------
+#: smoothing pseudo-count toward the global mean (Micci-Barreca 2001)
+TE_SMOOTHING = 10.0
+
+
+@register_demoted(
+    "events_user_target_encoding",
+    oracle=f"""
+WITH g AS (SELECT avg(CAST(value AS DOUBLE)) AS mu FROM events
+           WHERE value IS NOT NULL),
+u AS (
+  SELECT user_id, CAST(sum(value) AS DOUBLE) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT e.event_id, e.user_id, CAST(e.value AS DOUBLE) AS value,
+       u.n AS n_user,
+       {qround_sql(
+           "(u.s - CAST(e.value AS DOUBLE) + " + repr(TE_SMOOTHING) + " * g.mu)"
+           " / (u.n - 1 + " + repr(TE_SMOOTHING) + ")", 6)} AS te_loo
+FROM events e
+JOIN u USING (user_id) CROSS JOIN g
+WHERE e.value IS NOT NULL
+""",
+)
+def events_user_target_encoding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leave-one-out smoothed target encoding of user_id against the
+    value column (Micci-Barreca 2001; the CatBoost-style categorical
+    feature): each fact's encoding is the mean value of the SAME
+    user's OTHER facts, shrunk toward the global mean by a
+    pseudo-count of TE_SMOOTHING — excluding the row's own target
+    is what prevents the leakage that makes naive mean-encoding
+    overfit.  A 1-fact user degenerates gracefully to the prior (the
+    numerator keeps only the smoothing term).
+
+    Scale shape: one per-user (sum, count) aggregate + a 1-row global
+    mean, both joined back onto the fact scan (the user aggregate
+    shuffles at |users| width, the facts shuffle once on user_id);
+    the LOO arithmetic is row-local.  Division is exact-same-IEEE in
+    both engines; the encoding is quantized at 6 dp."""
+    e = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    g = e.agg(F.avg(F.col("value").cast("double")).alias("mu"))
+    u = e.groupBy("user_id").agg(
+        F.sum("value").cast("double").alias("s"),
+        F.count("*").alias("n"),
+    )
+    m = F.lit(TE_SMOOTHING)
+    return (
+        e.join(u, "user_id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("value").cast("double").alias("value"),
+            F.col("n").alias("n_user"),
+            qround(
+                (F.col("s") - F.col("value").cast("double") + m * F.col("mu"))
+                / (F.col("n") - 1 + m),
+                6,
+            ).alias("te_loo"),
+        )
+    )
