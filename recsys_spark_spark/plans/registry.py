@@ -94,18 +94,23 @@ DEMOTED: dict[str, QuerySpec] = {}
 #:   never: 4 (sequential_topk + als_topk no-oracle BY DESIGN;
 #:             multimodal_video_frames + embedding_semdedup_scale
 #:             r6-born, queued at the r7 head)
-#: Steady-state arithmetic: 103 oracled queries / 50-row window =
-#: 2.06-round cycle, so occasional recency-3 is structural unless the
-#: oracled count drops to ≤100.  Actions taken: (a) doc_token_stats
-#: was MERGED into doc_quality_scores (same per-doc grain, one scan —
-#: the r3 user_sims merge pattern), 104 → 103 oracled; (b) the r7 plan
-#: below promotes ALL 30 recency ≥2 rows plus the never-born (34 ≤ 50
-#: budget), restoring max recency ≤ 2 after r7; (c) two further
-#: same-grain merges are staged for AFTER their members' driver rows
-#: land: doc_bigram_logprob → doc_unigram_logprob (both (doc_id,
-#: logprob); bigram lands r6) and doc_readability → doc_quality_scores
-#: (per-doc scores; lands r6) — executing both in r7 brings the count
-#: to 101, a 2.02-round cycle.
+#: Steady-state arithmetic: after the merge below AND the six new
+#: r6-born queries (video frames, scale SemDeDup, BPE pairs,
+#: temperature weights, char entropy, streamed user CMS, winsorize,
+#: target encoding), the oracled count is 109 / 50-row window =
+#: 2.18-round cycle — a deliberate breadth-vs-latency trade this
+#: round.  Actions taken: (a) doc_token_stats was MERGED into
+#: doc_quality_scores (same per-doc grain, one scan — the r3
+#: user_sims merge pattern); (b) the r7 plan below promotes ALL 30
+#: recency ≥2 rows plus the never-born r6 queries (38 ≤ 50 budget),
+#: restoring max recency ≤ 2 after r7; (c) two further same-grain
+#: merges are staged for AFTER their members' driver rows land:
+#: doc_bigram_logprob → doc_unigram_logprob (both (doc_id, logprob);
+#: bigram lands r6) and doc_readability → doc_quality_scores (per-doc
+#: scores; lands r6); further merge candidates if latency matters
+#: more than row identity: doc_char_entropy → doc_quality_scores
+#: (per-doc), events_value_normalized + events_user_target_encoding
+#: (per-fact feature columns).
 #:
 #: ROTATION PLAN for round 7 (pre-staged so the swap is mechanical):
 #: promote FIRST the round-6-born queries that have never had a driver
