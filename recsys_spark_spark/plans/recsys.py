@@ -1251,3 +1251,74 @@ def user_cf_coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("coverage"),
         qround(F.avg("pop_pct"), 6).alias("novelty"),
     )
+
+
+# --- non-personalized ranking baselines ---------------------------------------
+#: candidate pool for the popularity baseline: the top POP_POOL most
+#: rated items (rank before anti-join so the candidate relation is
+#: users × POP_POOL, never users × catalog)
+POP_POOL = 50
+
+
+@register_demoted(
+    "popularity_topk",
+    oracle=f"""
+WITH {RATINGS_CTE},
+pop AS (
+  SELECT item_id, CAST(count(*) AS BIGINT) AS n_r,
+         row_number() OVER (ORDER BY count(*) DESC, item_id ASC) AS prank
+  FROM ratings GROUP BY 1
+  QUALIFY prank <= {POP_POOL}
+),
+users AS (SELECT DISTINCT user_id FROM ratings),
+cand AS (
+  SELECT u.user_id, p.item_id, p.n_r, p.prank
+  FROM users u CROSS JOIN pop p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ratings r
+    WHERE r.user_id = u.user_id AND r.item_id = p.item_id)
+)
+SELECT user_id, item_id, n_r,
+       CAST(rk AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY prank ASC) AS rk
+  FROM cand
+) WHERE rk <= {K_ITEMS}
+""",
+)
+def popularity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-personalized POPULARITY baseline: every user's top-5 most-
+    rated items they have not rated — the control every ranking eval
+    needs (a personalized model that cannot beat popularity@k is not
+    learning; the coverage/novelty query quantifies the other side of
+    this trade).  Ties in popularity break by ascending item_id.
+
+    Scale shape: the candidate pool is PRE-RANKED to the global top
+    POP_POOL items (TakeOrderedAndProject + broadcast), so the
+    candidate relation is users × POP_POOL — never users × catalog —
+    and the anti-join + per-user rank run on that bounded relation.
+    A user who rated ≥ POP_POOL − K of the pool emits fewer than K
+    rows (documented; at the shipped densities the deepest user
+    touches far less of the pool)."""
+    from pyspark.sql import Window
+
+    ratings = _cached_ratings(spark, sf_dir)
+    pop = (
+        ratings.groupBy("item_id")
+        .agg(F.count("*").alias("n_r"))
+        .orderBy(F.desc("n_r"), F.asc("item_id"))
+        .limit(POP_POOL)
+    )
+    wp = Window.orderBy(F.desc("n_r"), F.asc("item_id"))
+    pool = pop.withColumn("prank", F.row_number().over(wp))
+    users = ratings.select("user_id").distinct()
+    cand = users.crossJoin(F.broadcast(pool)).join(
+        ratings.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("prank"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= K_ITEMS)
+        .select("user_id", "item_id", "n_r", "rank")
+    )
