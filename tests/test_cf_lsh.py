@@ -169,12 +169,15 @@ def test_lsh_topk_runs_end_to_end(spark, clustered_ratings):
     assert per_user.count() == 600
 
 
-def test_lsh_releases_cached_state(spark, clustered_ratings):
+def test_lsh_releases_cached_state(spark):
     """lsh_pairwise_similarity caches the rating relation (it feeds the
     signature pass and both profile sides); release_last_state() must
     return the session's persistent-RDD set to baseline — a library
     entry point may not leak a session-lifetime cache per call
-    (round-5 lesson, recommenders/als.py::release_last_state)."""
+    (round-5 lesson, recommenders/als.py::release_last_state).
+
+    Uses its OWN uncached input (not the module fixture, whose cache
+    would legitimately materialize mid-test and confound the set)."""
     from recsys_spark_spark.operators.cf_lsh import release_last_state
 
     def persistent_ids():
@@ -182,9 +185,13 @@ def test_lsh_releases_cached_state(spark, clustered_ratings):
             spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
         )
 
+    ratings = spark.createDataFrame(
+        [(u, i, float(1 + (u * i) % 5)) for u in range(30) for i in range(u % 7 + 2)],
+        "user_id int, item_id int, rating double",
+    )
     release_last_state()  # drain anything earlier tests left behind
     base = persistent_ids()
-    sims = lsh_pairwise_similarity(clustered_ratings, "cosine", "user")
+    sims = lsh_pairwise_similarity(ratings, "cosine", "user")
     sims.count()  # materialize while the cache is alive
     # compare by SET DIFFERENCE, not count: under a shared session the
     # ContextCleaner may concurrently evict OTHER tests' dead caches,
