@@ -150,3 +150,84 @@ def events_user_target_encoding(
             ).alias("te_loo"),
         )
     )
+
+
+# --- robust (median/MAD) scaling ----------------------------------------------
+#: the normal-consistency constant: MAD·1.4826 estimates σ under
+#: Gaussian data (Hampel/Huber robust-statistics lineage)
+MAD_K = 1.4826
+
+
+@register_demoted(
+    "events_value_robust_scaled",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type,
+         {qround_sql("quantile_cont(CAST(value AS DOUBLE), 0.5)", 6)} AS med
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type,
+         {qround_sql(
+             "quantile_cont(abs(CAST(e.value AS DOUBLE) - m.med), 0.5)", 6)}
+           AS mad
+  FROM events e JOIN med m USING (event_type)
+  WHERE e.value IS NOT NULL
+  GROUP BY 1
+)
+SELECT e.user_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
+       m.med, d.mad,
+       CASE WHEN d.mad = 0.0 THEN 0.0
+            ELSE {qround_sql(
+                "(CAST(e.value AS DOUBLE) - m.med) / (" + repr(MAD_K) + " * d.mad)",
+                6)}
+       END AS robust_z
+FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+WHERE e.value IS NOT NULL
+""",
+)
+def events_value_robust_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust z-score per event type: (value − median) / (1.4826·MAD)
+    — the outlier-immune scaler (mean/std move arbitrarily far under a
+    single extreme value; median and the median absolute deviation are
+    50%-breakdown estimators, Hampel/Huber lineage).  The companion of
+    events_value_normalized for heavy-tailed features; a zero MAD
+    (≥ 50% of a type at one value) pins robust_z = 0.0 in both
+    engines.
+
+    Scale shape: TWO |types|-width exact-quantile aggregates (the MAD
+    needs the median first — an irreducible second pass over the
+    facts), each broadcast back onto the scan; the scaling is
+    row-local.  Both medians are 6dp-quantized before any downstream
+    arithmetic (quantize-before-decision convention); at 100 TB both
+    passes swap to the mergeable histogram sketch."""
+    e = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    med = e.groupBy("event_type").agg(
+        qround(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    j1 = e.join(F.broadcast(med), "event_type")
+    mad = j1.groupBy("event_type").agg(
+        qround(
+            F.expr("percentile(abs(value - med), 0.5)"),
+            6,
+        ).alias("mad")
+    )
+    return (
+        j1.join(F.broadcast(mad), "event_type")
+        .select(
+            "user_id",
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+            "med",
+            "mad",
+            F.when(F.col("mad") == 0.0, F.lit(0.0))
+            .otherwise(
+                qround(
+                    (F.col("value").cast("double") - F.col("med"))
+                    / (F.lit(MAD_K) * F.col("mad")),
+                    6,
+                )
+            )
+            .alias("robust_z"),
+        )
+    )

@@ -1322,3 +1322,82 @@ def popularity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= K_ITEMS)
         .select("user_id", "item_id", "n_r", "rank")
     )
+
+
+@register_demoted(
+    "random_topk",
+    oracle=f"""
+WITH {RATINGS_CTE},
+pool AS (
+  SELECT item_id
+  FROM (SELECT DISTINCT item_id FROM ratings)
+  QUALIFY row_number() OVER (
+    ORDER BY md5('pool|' || CAST(item_id AS VARCHAR)), item_id
+  ) <= {POP_POOL}
+),
+users AS (SELECT DISTINCT user_id FROM ratings),
+cand AS (
+  SELECT u.user_id, p.item_id,
+         md5(CAST(u.user_id AS VARCHAR) || '|' || CAST(p.item_id AS VARCHAR))
+           AS h
+  FROM users u CROSS JOIN pool p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ratings r
+    WHERE r.user_id = u.user_id AND r.item_id = p.item_id)
+)
+SELECT user_id, item_id, CAST(rk AS INTEGER) AS rank
+FROM (
+  SELECT user_id, item_id, row_number() OVER (
+    PARTITION BY user_id ORDER BY h, item_id) AS rk
+  FROM cand
+) WHERE rk <= {K_ITEMS}
+""",
+)
+def random_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC-random ranking baseline (the floor every
+    personalized model and the popularity baseline must clear): each
+    user's top-5 unrated items ranked by a pure hash of
+    (user, item) — engine-/rerun-/layout-stable "randomness", so the
+    baseline itself is value-hash-oracled rather than seeded RNG.
+
+    Same bounded-pool shape as popularity_topk: a global hash-ranked
+    pool of POP_POOL items (TakeOrderedAndProject + broadcast) keeps
+    the candidate relation at users × POP_POOL, never users ×
+    catalog."""
+    from pyspark.sql import Window
+
+    ratings = _cached_ratings(spark, sf_dir)
+    items = ratings.select("item_id").distinct()
+    pool = (
+        items.withColumn(
+            "_h", F.md5(F.concat(F.lit("pool|"), F.col("item_id").cast("string")))
+        )
+        .orderBy(F.asc("_h"), F.asc("item_id"))
+        .limit(POP_POOL)
+        .drop("_h")
+    )
+    users = ratings.select("user_id").distinct()
+    cand = (
+        users.crossJoin(F.broadcast(pool))
+        .join(
+            ratings.select("user_id", "item_id"),
+            ["user_id", "item_id"],
+            "left_anti",
+        )
+        .withColumn(
+            "h",
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit("|"),
+                    F.col("item_id").cast("string"),
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("h"), F.asc("item_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= K_ITEMS)
+        .select("user_id", "item_id", "rank")
+    )
