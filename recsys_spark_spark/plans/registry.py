@@ -114,12 +114,13 @@ DEMOTED: dict[str, QuerySpec] = {}
 #:
 #: ROTATION PLAN for round 7 (pre-staged so the swap is mechanical):
 #: promote FIRST the queries that have never had a driver row —
-#:   item_sims (queued since r5), then the nine r6-born:
+#:   item_sims (queued since r5), then the eleven r6-born:
 #:   multimodal_video_frames, embedding_semdedup_scale,
 #:   corpus_bpe_pair_counts, corpus_lang_temperature_weights,
 #:   doc_char_entropy, events_stream_user_cms,
 #:   events_value_normalized, events_user_target_encoding,
-#:   popularity_topk  (10 in all) —
+#:   events_value_robust_scaled, popularity_topk, random_topk
+#:   (12 in all) —
 #: then, with the remaining swap budget, re-promote the OLDEST
 #: driver-row-recency demoted rows, oldest first per the audit above —
 #: recency 3 (green r3): q1_pricing_summary, q3_top_revenue_orders,
