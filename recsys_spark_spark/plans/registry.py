@@ -94,11 +94,12 @@ DEMOTED: dict[str, QuerySpec] = {}
 #:   never: 4 (sequential_topk + als_topk no-oracle BY DESIGN;
 #:             multimodal_video_frames + embedding_semdedup_scale
 #:             r6-born, queued at the r7 head)
-#: Steady-state arithmetic: after the merge below AND the six new
+#: Steady-state arithmetic: after the merge below AND the twelve new
 #: r6-born queries (video frames, scale SemDeDup, BPE pairs,
 #: temperature weights, char entropy, streamed user CMS, winsorize,
-#: target encoding), the oracled count is 109 / 50-row window =
-#: 2.18-round cycle — a deliberate breadth-vs-latency trade this
+#: target encoding, robust scaler, popularity + random baselines,
+#: k-anonymity), the oracled count is 113 / 50-row window =
+#: 2.26-round cycle — a deliberate breadth-vs-latency trade this
 #: round.  Actions taken: (a) doc_token_stats was MERGED into
 #: doc_quality_scores (same per-doc grain, one scan — the r3
 #: user_sims merge pattern); (b) the r7 plan below promotes ALL 30
@@ -114,13 +115,13 @@ DEMOTED: dict[str, QuerySpec] = {}
 #:
 #: ROTATION PLAN for round 7 (pre-staged so the swap is mechanical):
 #: promote FIRST the queries that have never had a driver row —
-#:   item_sims (queued since r5), then the eleven r6-born:
+#:   item_sims (queued since r5), then the twelve r6-born:
 #:   multimodal_video_frames, embedding_semdedup_scale,
 #:   corpus_bpe_pair_counts, corpus_lang_temperature_weights,
 #:   doc_char_entropy, events_stream_user_cms,
 #:   events_value_normalized, events_user_target_encoding,
-#:   events_value_robust_scaled, popularity_topk, random_topk
-#:   (12 in all) —
+#:   events_value_robust_scaled, popularity_topk, random_topk,
+#:   customer_k_anonymity  (13 in all) —
 #: then, with the remaining swap budget, re-promote the OLDEST
 #: driver-row-recency demoted rows, oldest first per the audit above —
 #: recency 3 (green r3): q1_pricing_summary, q3_top_revenue_orders,
