@@ -17,24 +17,65 @@ sweeps, long sessions) call :func:`release_tracked` once the returned
 DataFrames are materialized (collected / written / cached themselves).
 A released relation is simply recomputed if its plan executes again —
 correctness is unaffected.
+
+OWNERSHIP MODEL (r6 ADVICE): the registry is process-global, so a bare
+``release_tracked()`` drains EVERY tracked cache — it assumes a single
+owner driving the session (a bench loop, a pytest session, one
+pipeline).  Two concurrent consumers sharing a SparkSession must not
+both call the bare form, or one will evict caches the other's
+still-lazy plans rely on (a recompute, never a wrong result).  For
+that case, :func:`scope` returns a token: ``track(df, owner=tok)``
+plus ``release_tracked(tok)`` releases only that owner's caches and
+leaves everything else persisted.  The bare forms remain the default
+for the single-owner harnesses this repo actually runs (bench.py,
+pytest), and the list cannot grow unboundedly there because each
+measured query is followed by a drain.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_tracked: list[DataFrame] = []
+#: (owner token | None, cached DataFrame) — None = the shared
+#: single-owner pool drained by a bare release_tracked()
+_tracked: list[tuple[object | None, DataFrame]] = []
 
 
-def track(df: DataFrame) -> DataFrame:
-    """Register an internally-cached DataFrame for later release."""
-    _tracked.append(df)
+def scope() -> object:
+    """A fresh opaque owner token for scoped track/release (see module
+    docstring's ownership model)."""
+    return object()
+
+
+def track(df: DataFrame, owner: object | None = None) -> DataFrame:
+    """Register an internally-cached DataFrame for later release.
+
+    ``owner`` (from :func:`scope`) attributes the cache to one consumer
+    so a concurrent pipeline's ``release_tracked(other)`` cannot evict
+    it; omitted, the cache joins the shared single-owner pool."""
+    _tracked.append((owner, df))
     return df
 
 
-def release_tracked() -> None:
-    """Unpersist every tracked cache (LIFO).  Safe to call at any
-    point; plans that execute afterwards recompute instead of reading
-    the cache."""
-    while _tracked:
-        _tracked.pop().unpersist()
+def release_tracked(owner: object | None = None) -> None:
+    """Unpersist tracked caches (LIFO).  Safe to call at any point;
+    plans that execute afterwards recompute instead of reading the
+    cache.
+
+    With ``owner=None`` (the single-owner harness form) EVERY tracked
+    cache is drained regardless of owner — callers sharing a session
+    with another live consumer must pass their own scope token
+    instead."""
+    global _tracked
+    if owner is None:
+        while _tracked:
+            _tracked.pop()[1].unpersist()
+        return
+    kept: list[tuple[object | None, DataFrame]] = []
+    for tok, df in reversed(_tracked):
+        if tok is owner:
+            df.unpersist()
+        else:
+            kept.append((tok, df))
+    kept.reverse()
+    _tracked = kept

@@ -168,6 +168,22 @@ def register_demoted(name: str, oracle: str | None = None, bench: bool = False):
     return deco
 
 
+def oracle_of(name: str) -> str:
+    """Oracle SQL for ``name`` looked up across BOTH tiers.
+
+    Production call sites that compose another query's oracle (e.g. the
+    streamed sketch twin reuses the batch oracle verbatim) MUST resolve
+    it tier-independently: the registered/demoted split rotates every
+    round, so a single-tier ``DEMOTED[name]`` lookup at import time
+    breaks every query import the moment a rotation re-promotes the row
+    (r6 ADVICE — the exact bug class fixed in test_pipeline.py that
+    round)."""
+    spec = QUERIES.get(name) or DEMOTED.get(name)
+    if spec is None or spec.oracle is None:
+        raise KeyError(f"no oracled query named {name!r} in either tier")
+    return spec.oracle
+
+
 def demoted_queries() -> dict[str, QuerySpec]:
     _load_all()
     return dict(DEMOTED)

@@ -24,7 +24,7 @@ from ..operators.sketches import (
     merge_histograms,
 )
 from ..sources.readers import table
-from .registry import DEMOTED, register, register_demoted
+from .registry import oracle_of, register, register_demoted
 
 _QS = (0.5, 0.9, 0.99)
 
@@ -105,7 +105,8 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the streamed twin shares the ORACLE VERBATIM with the batch query:
 # both must produce identical quantiles, so the single SQL string
 # certifies stream-maintained state against direct fact binning
-_SKETCH_ORACLE = DEMOTED["events_value_quantile_sketch"].oracle
+# (tier-independent lookup — the registered/demoted split rotates)
+_SKETCH_ORACLE = oracle_of("events_value_quantile_sketch")
 
 #: bench attribution (same pattern as recsys.last_*_timings): the
 #: drain wall time of the last events_stream_quantile_sketch call —

@@ -599,7 +599,12 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_zipf_fit convention for non-correctly-rounded
     transcendentals).  Empty documents pin (0, 0, 0.0)."""
     d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", "").alias("chars")
+        "doc_id",
+        # Spark split(text, '') yields [''] for an EMPTY string (unlike
+        # DuckDB's string_split, which yields []) — filter empty
+        # elements so the n == 0 branch below fires identically in both
+        # engines and an empty document really does pin (0, 0, 0.0).
+        F.filter(F.split("text", ""), lambda x: x != "").alias("chars"),
     )
     d = d.select(
         "doc_id",
@@ -623,68 +628,4 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n") == 0, F.lit(0.0))
         .otherwise(qround(-fold, 6))
         .alias("entropy_nats"),
-    )
-
-
-# --- k-anonymity audit (data-governance family, next to PII scrub) -----------
-#: anonymity threshold: a quasi-identifier group smaller than K_ANON
-#: re-identifies its members (Sweeney 2002)
-K_ANON = 5
-
-#: account balances bucketed to this width form the third
-#: quasi-identifier (raw near-unique values would make every group
-#: size 1 and the audit vacuous — bucketing is itself the standard
-#: generalization step of k-anonymization)
-ACCTBAL_BUCKET = 2000.0
-
-
-@register_demoted(
-    "customer_k_anonymity",
-    oracle=f"""
-WITH q AS (
-  SELECT c_nationkey AS nation_key, c_mktsegment AS segment,
-         CAST(floor(c_acctbal / {ACCTBAL_BUCKET}) AS BIGINT) AS bal_bucket
-  FROM customer
-),
-g AS (
-  SELECT nation_key, segment, bal_bucket,
-         CAST(count(*) AS BIGINT) AS group_size
-  FROM q GROUP BY 1, 2, 3
-)
-SELECT nation_key, segment, bal_bucket, group_size,
-       CAST(group_size < {K_ANON} AS INTEGER) AS at_risk
-FROM g
-""",
-)
-def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity audit over the customer quasi-identifiers
-    (Sweeney 2002 — the data-governance check a pipeline runs BEFORE
-    releasing joined training data, complementing doc_pii_scrub's
-    content-level redaction): group by (nation, market segment,
-    bucketed account balance) and flag every equivalence class smaller
-    than k={K_ANON}, whose members a linkage attack can re-identify.
-    The downstream remediation (suppress or generalize flagged rows)
-    is a filter/coarsen over this same relation.
-
-    Scale shape: ONE map-side-combinable aggregate at quasi-identifier
-    width — never wider than the (small) identifier domain product; at
-    100 TB this is the cheapest query in the engine."""
-    c = table(spark, sf_dir, "customer")
-    q = c.select(
-        F.col("c_nationkey").alias("nation_key"),
-        F.col("c_mktsegment").alias("segment"),
-        F.floor(F.col("c_acctbal") / ACCTBAL_BUCKET)
-        .cast("bigint")
-        .alias("bal_bucket"),
-    )
-    return (
-        q.groupBy("nation_key", "segment", "bal_bucket")
-        .agg(F.count("*").alias("group_size"))
-        .select(
-            "nation_key",
-            "segment",
-            "bal_bucket",
-            "group_size",
-            (F.col("group_size") < K_ANON).cast("int").alias("at_risk"),
-        )
     )

@@ -846,7 +846,7 @@ def daily_dense(e: DataFrame) -> DataFrame:
 # (key, bucket), then apply the exact containment filter to trim the
 # bucket edges — O(|events| + Σ interval-days) with a real equi-key.
 
-from .registry import DEMOTED as _DEMOTED  # noqa: E402
+from .registry import oracle_of as _oracle_of  # noqa: E402
 
 #: incidents extend ±6 h around the anomalous day span: boundaries are
 #: deliberately sub-day so the bucket join is a strict superset and
@@ -860,7 +860,7 @@ INCIDENT_PAD_H = 6
 _ANOM_WINDOWS_ORACLE = f"""
 WITH anom AS (
   SELECT event_type, CAST(day AS DATE) AS day
-  FROM ({_DEMOTED["events_anomaly_daily"].oracle}) a
+  FROM ({_oracle_of("events_anomaly_daily")}) a
   WHERE a.is_anomaly
 ),
 runs AS (

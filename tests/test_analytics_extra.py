@@ -558,3 +558,44 @@ def test_readability_hand_computed(spark):
     exp6 = math.floor(expected * 1e6 + 0.5) / 1e6
     assert abs(r1["flesch"] - exp6) < 2e-6
     assert out[2]["n_sentences"] == 1  # clamp
+
+
+def test_char_entropy_empty_doc_pins_zero(spark, tmp_path):
+    """Spark's split(text, '') yields [''] for an empty string (DuckDB's
+    string_split yields []) — the r6 ADVICE latent: without the
+    empty-element filter an empty document scored (1, 1, 0.0) on the
+    Spark side vs the oracle's (0, 0, 0.0).  Pin the fixed behavior on
+    BOTH engines over a corpus that actually contains an empty doc."""
+    import duckdb
+
+    from recsys_spark_spark.plans.registry import DEMOTED, QUERIES, _load_all
+
+    _load_all()
+    spec = {**QUERIES, **DEMOTED}["doc_char_entropy"]
+    d = spark.createDataFrame(
+        [(1, ""), (2, "aab")], "doc_id long, text string"
+    )
+    d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in spec.fn(spark, str(tmp_path)).collect()}
+    assert (out[1]["n_chars"], out[1]["n_distinct_chars"]) == (0, 0)
+    assert out[1]["entropy_nats"] == 0.0
+    # 'aab': p = (2/3, 1/3) → H = ln 3 − (2/3) ln 2 ≈ 0.6365 nats
+    assert out[2]["n_chars"] == 3 and out[2]["n_distinct_chars"] == 2
+    assert abs(out[2]["entropy_nats"] - 0.636514) < 5e-6
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    drows = {r[0]: r for r in con.sql(spec.oracle).fetchall()}
+    con.close()
+    for doc_id, row in out.items():
+        assert (
+            drows[doc_id][1],
+            drows[doc_id][2],
+            round(drows[doc_id][3], 6),
+        ) == (
+            row["n_chars"],
+            row["n_distinct_chars"],
+            round(row["entropy_nats"], 6),
+        )

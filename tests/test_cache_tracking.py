@@ -45,3 +45,30 @@ def test_ann_and_pagerank_caches_release_to_baseline(spark):
     assert _persistent_ids(spark) - base_ids  # the new caches exist...
     release_tracked()
     assert _persistent_ids(spark) - base_ids == set()  # ...all released
+
+
+def test_scoped_release_only_evicts_own_caches(spark):
+    """r6 ADVICE ownership model: two consumers sharing a session use
+    scope tokens; releasing one owner's caches must leave the other's
+    persisted, and a bare release still drains everything."""
+    from recsys_spark_spark.operators.cache_tracking import (
+        release_tracked,
+        scope,
+        track,
+    )
+
+    release_tracked()
+    base_ids = _persistent_ids(spark)
+
+    a, b = scope(), scope()
+    df_a = track(spark.range(10).cache(), owner=a)
+    df_b = track(spark.range(20).cache(), owner=b)
+    df_a.count(), df_b.count()
+    assert len(_persistent_ids(spark) - base_ids) == 2
+
+    release_tracked(a)  # evicts ONLY owner a's cache
+    assert len(_persistent_ids(spark) - base_ids) == 1
+    assert df_b.storageLevel.useMemory  # b untouched
+
+    release_tracked()  # bare form drains the rest regardless of owner
+    assert _persistent_ids(spark) - base_ids == set()
