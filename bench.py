@@ -105,6 +105,15 @@ def main() -> None:
             c = dict(_pipeline.last_clean_timings or {})
             c["assembly"] = round(t_total - sum(c.values()), 3)
             stages[name] = c
+        elif name == "corpus_train_ready":
+            # r7 deliberate addition: the flagship four-stage dedup
+            # composition (gate → exact dedup → transitive near-dup →
+            # span cut).  The three eager stages come from the plan fn;
+            # cut_rebuild is the lazy remainder (span relation + text
+            # rebuild + final join/hash).
+            tr = dict(_pipeline.last_train_ready_timings or {})
+            tr["cut_rebuild"] = round(t_total - sum(tr.values()), 3)
+            stages[name] = tr
 
     total = round(sum(timings.values()), 3)
 
@@ -151,8 +160,15 @@ def main() -> None:
     # them.  like_for_like = the round-4 comparison set (the bench set
     # grows by deliberate addition — r5 added the streamed sketch).
     like_for_like = round(
-        total - timings.get("events_stream_quantile_sketch", 0.0), 3
+        total
+        - timings.get("events_stream_quantile_sketch", 0.0)
+        - timings.get("corpus_train_ready", 0.0),
+        3,
     )
+    # als fit/serve attribution rides in the compact record too (r6
+    # watch item: the driver's als number swung 2× on an unchanged
+    # plan — a truncation-proof stage split attributes any future
+    # swing to fit-side contention vs the serve GEMM)
     print(
         json.dumps(
             {
@@ -162,6 +178,7 @@ def main() -> None:
                 "grand": total,
                 "like_for_like_r4_set": like_for_like,
                 "queries": timings,
+                "als_stages": stages.get("als_topk", {}),
                 "sf": sf,
             }
         )

@@ -387,9 +387,11 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- unigram-LM quality scoring -------------------------------------------
+# --- n-gram-LM quality scoring ---------------------------------------------
 @register_demoted(
-    # new in r4 (registry window full at 50); rotate REGISTERED in r5
+    # r7 rotation-latency merge: the former doc_bigram_logprob registry
+    # entry (green r6) was FOLDED IN here — both were (doc_id, logprob)
+    # grain, so one registry row now certifies both LM orders.
     "doc_unigram_logprob",
     oracle="""
 WITH tok AS (
@@ -405,51 +407,15 @@ scored AS (
 ),
 per AS (
   SELECT doc_id, list_sort(list(lp)) AS l FROM scored GROUP BY 1
-)
-SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
-       {mean_q} AS mean_logprob
-FROM per
-""".format(mean_q=qround_sql("list_reduce(l, (a, b) -> a + b) / len(l)", 6)),
-)
-def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document mean token log-probability under a unigram LM
-    trained on the corpus itself — the arithmetic core of the KenLM
-    perplexity filter every published pretraining pipeline runs
-    (CCNet/RefinedWeb lineage): documents whose tokens are uniformly
-    rare (mean_logprob far below the corpus mode) are boilerplate,
-    code dumps, or junk encodings.
-
-    Scale shape: explode → distinct-token-width partial-agg shuffle
-    (the vocabulary), a 1-row total broadcast-crossJoin, one token-key
-    join back (inverted-index shape, same as decontaminate), then a
-    per-doc aggregate.  Nothing driver-side.
-
-    Cross-engine note: ``ln`` is the one transcendental in the oracle
-    surface (this module's other scores are rational by design); both
-    engines evaluate the IDENTICAL expression ln(c/T) on identical
-    doubles, and libm-vs-JVM log agrees to the last ulp or one beyond.
-    The per-doc SUM of those values is additionally made
-    order-DETERMINISTIC — each doc's lp list is sorted and folded
-    left-to-right in BOTH engines (sort_array + aggregate here,
-    list_sort + list_reduce in the oracle; the fold seeds differ by a
-    leading +0.0, which is IEEE-exact) — so parity cannot flake on
-    Spark's partition-order-dependent float summation the way a bare
-    sum() could at a rounding half-boundary."""
-    return unigram_logprob(table(spark, sf_dir, "documents"))
-
-
-# --- bigram-LM quality scoring --------------------------------------------
-@register(
-    "doc_bigram_logprob",
-    oracle="""
-WITH t AS (
+),
+t2 AS (
   SELECT doc_id, string_split(text, ' ') AS l FROM documents
 ),
 bg AS (
   SELECT doc_id,
          unnest(l[1:len(l) - 1]) AS w1,
          unnest(l[2:len(l)]) AS w2
-  FROM t WHERE len(l) >= 2
+  FROM t2 WHERE len(l) >= 2
 ),
 cb AS (
   SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2
@@ -461,49 +427,83 @@ v AS (
   SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v
   FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
 ),
-scored AS (
+bscored AS (
   SELECT bg.doc_id,
          ln((CAST(cb.cb AS DOUBLE) + 1.0)
             / (CAST(cctx.cctx AS DOUBLE) + v.v)) AS lp
   FROM bg JOIN cb USING (w1, w2) JOIN cctx USING (w1) CROSS JOIN v
 ),
-per AS (
-  SELECT doc_id, list_sort(list(lp)) AS l FROM scored GROUP BY 1
+bper AS (
+  SELECT doc_id, list_sort(list(lp)) AS l FROM bscored GROUP BY 1
 )
-SELECT doc_id, CAST(len(l) AS BIGINT) AS n_bigrams,
-       {mean_q} AS mean_logprob
-FROM per
-""".format(mean_q=qround_sql("list_reduce(l, (a, b) -> a + b) / len(l)", 6)),
+SELECT per.doc_id, CAST(len(per.l) AS BIGINT) AS n_tokens,
+       {mean_q} AS mean_logprob,
+       CAST(coalesce(len(bper.l), 0) AS BIGINT) AS n_bigrams,
+       coalesce({bmean_q}, 0.0) AS mean_bigram_logprob
+FROM per LEFT JOIN bper USING (doc_id)
+""".format(
+        mean_q=qround_sql(
+            "list_reduce(per.l, (a, b) -> a + b) / len(per.l)", 6
+        ),
+        bmean_q=qround_sql(
+            "list_reduce(bper.l, (a, b) -> a + b) / len(bper.l)", 6
+        ),
+    ),
 )
-def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document mean bigram log-probability under an add-one
-    (Laplace) smoothed bigram LM trained on the corpus itself — the
-    next-order companion to doc_unigram_logprob.  A unigram score
-    cannot see scrambled or template text (same tokens, wrong order);
-    the bigram score can, which is why perplexity filters in the
-    CCNet/KenLM lineage are n-gram models, not bags of words.
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token log-probability under a unigram LM
+    trained on the corpus itself, PLUS the add-one-smoothed bigram-LM
+    score (merged from the former doc_bigram_logprob registry entry —
+    r7 rotation-latency merge, same per-doc grain) — the arithmetic
+    core of the KenLM perplexity filter every published pretraining
+    pipeline runs (CCNet/RefinedWeb lineage): documents whose tokens
+    are uniformly rare (mean_logprob far below the corpus mode) are
+    boilerplate, code dumps, or junk encodings; a unigram score cannot
+    see scrambled or template text (same tokens, wrong order), so the
+    bigram axis rides along.
 
-    Model: P(w2 | w1) = (c(w1,w2) + 1) / (ctx(w1) + V) with
-    ctx(w1) = Σ_w2 c(w1,w2) (bigram-context count, derived from the
-    bigram relation itself — no second token pass) and V = distinct
-    unigram types (the smoothing denominator).  Docs with fewer than
-    two tokens have no bigrams and drop out in BOTH engines.
+    Docs with fewer than two tokens have no bigrams; the merged
+    relation keeps them (the unigram side covers every doc) and pins
+    (n_bigrams, mean_bigram_logprob) = (0, 0.0) in BOTH engines — 0.0
+    is unambiguous because a real mean bigram logprob is strictly
+    negative.
 
-    Scale shape: bigrams come from zip_with over the pre-split token
-    array (row-local, NO self-join and no posexplode shuffle); the
-    count shuffle carries the bigram vocabulary (map-side combined),
-    ctx is a second small aggregate OVER that vocabulary, V is a
-    1-row broadcast, and the score join back is the same
-    inverted-index shape as the unigram query — everything linear in
-    corpus size.
+    Scale shape: explode → distinct-token-width partial-agg shuffle
+    (the vocabulary), a 1-row total broadcast-crossJoin, one token-key
+    join back (inverted-index shape, same as decontaminate), then a
+    per-doc aggregate; the bigram side zips adjacent tokens row-local
+    (NO self-join), counts at bigram-vocabulary width, and joins back
+    the same way; the final merge is one per-doc-key left join.
+    Nothing driver-side.
 
-    Cross-engine determinism: identical to the unigram contract —
-    ln((cb + 1.0) / (cctx + V)) is evaluated as the IDENTICAL IEEE
-    op sequence on identical doubles in both engines, and each doc's
-    lp list is sorted and folded left-to-right before the 6-dp
-    rounding, so partition-order float summation cannot flake a
-    half-boundary."""
-    return bigram_logprob(table(spark, sf_dir, "documents"))
+    Cross-engine note: ``ln`` is the one transcendental in the oracle
+    surface (this module's other scores are rational by design); both
+    engines evaluate the IDENTICAL expressions ln(c/T) and
+    ln((cb + 1)/(cctx + V)) on identical doubles, and libm-vs-JVM log
+    agrees to the last ulp or one beyond.  The per-doc SUM of those
+    values is additionally made order-DETERMINISTIC — each doc's lp
+    list is sorted and folded left-to-right in BOTH engines
+    (sort_array + aggregate here, list_sort + list_reduce in the
+    oracle; the fold seeds differ by a leading +0.0, which is
+    IEEE-exact) — so parity cannot flake on Spark's
+    partition-order-dependent float summation the way a bare sum()
+    could at a rounding half-boundary."""
+    d = table(spark, sf_dir, "documents")
+    uni = unigram_logprob(d)
+    bi = bigram_logprob(d).select(
+        "doc_id",
+        F.col("n_bigrams"),
+        F.col("mean_logprob").alias("mean_bigram_logprob"),
+    )
+    return uni.join(bi, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "mean_logprob",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("mean_bigram_logprob", F.lit(0.0)).alias(
+            "mean_bigram_logprob"
+        ),
+    )
 
 
 def bigram_logprob(d: DataFrame) -> DataFrame:

@@ -51,6 +51,12 @@ QUALITY_MIN = 0.46
 PROFILE_CLEAN = False
 last_clean_timings: dict | None = None
 
+#: bench attribution for corpus_train_ready (r7 — the flagship
+#: LLM-pipeline composition joined the bench set): gate/pairs+CC/anti
+#: splits, published when PROFILE_CLEAN is set; bench.py adds the
+#: lazy cut+rebuild remainder
+last_train_ready_timings: dict | None = None
+
 #: languages the downstream tokenizer does not support (demo value —
 #: non-vacuous: the synthetic corpus has 5 langs incl. 'zh')
 DROP_LANGS = ("zh",)
@@ -824,7 +830,7 @@ FROM surv2 s JOIN cutq c ON c.doc_id = s.doc_id
 """.strip()
 
 
-@register("corpus_train_ready", oracle=_train_ready_sql())
+@register("corpus_train_ready", oracle=_train_ready_sql(), bench=True)
 def corpus_train_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-corpus pipeline as ONE composed query (new
     r5) — what a user actually materializes before tokenization:
@@ -866,12 +872,34 @@ def corpus_train_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.min("doc_id").alias("doc_id"))
     surv = gate.join(keep.select("doc_id"), "doc_id", "semi").persist()
 
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    if PROFILE_CLEAN:
+        # materialize gate + exact dedup into the persist NOW so the
+        # stage split attributes it (total work unchanged — the cache
+        # is computed exactly once either way)
+        surv.count()
+    _t1 = _time.perf_counter()
+
     pairs = minhash_neardup_pairs(surv, threshold=NEARDUP_THRESHOLD)
+    # connected_components is EAGER (iterative pointer-jumping over
+    # localCheckpoints), so timing the call captures pairs + CC
     comp = connected_components(pairs)
+    _t2 = _time.perf_counter()
     dropped = comp.where(F.col("id") != F.col("comp")).select(
         F.col("id").alias("doc_id")
     )
     surv2 = surv.join(dropped, "doc_id", "left_anti").persist()
+    if PROFILE_CLEAN:
+        surv2.count()
+        global last_train_ready_timings
+        _t3 = _time.perf_counter()
+        last_train_ready_timings = {
+            "gate_exact_dedup": round(_t1 - _t0, 3),
+            "pairs_components": round(_t2 - _t1, 3),
+            "neardup_antijoin": round(_t3 - _t2, 3),
+        }
 
     cut = dedup_cut_docs(surv2, n=DUP_WINDOW)
     return surv2.join(cut, "doc_id").select(

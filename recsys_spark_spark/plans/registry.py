@@ -113,59 +113,122 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: (per-doc), events_value_normalized + events_user_target_encoding
 #: (per-fact feature columns).
 #:
-#: ROTATION PLAN for round 7 (pre-staged so the swap is mechanical):
-#: promote FIRST the queries that have never had a driver row —
-#:   item_sims (queued since r5), then the twelve r6-born:
-#:   multimodal_video_frames, embedding_semdedup_scale,
-#:   corpus_bpe_pair_counts, corpus_lang_temperature_weights,
-#:   doc_char_entropy, events_stream_user_cms,
-#:   events_value_normalized, events_user_target_encoding,
-#:   events_value_robust_scaled, popularity_topk, random_topk,
-#:   customer_k_anonymity  (13 in all) —
-#: then, with the remaining swap budget, re-promote the OLDEST
-#: driver-row-recency demoted rows, oldest first per the audit above —
-#: recency 3 (green r3): q1_pricing_summary, q3_top_revenue_orders,
-#: q5_region_revenue, top_orders_per_customer, customer_semi_anti_joins,
-#: order_priority_pivot, events_json_props, item_sims,
-#: part_price_median_by_brand, order_customer_set_ops,
-#: rating_stats_per_user; then recency 2 (green r4): dedup_docs,
-#: doc_quality_scores (post-merge, now also carrying the token stats),
-#: top_tokens, doc_stats_by_lang, embedding_centroids_by_label,
-#: embedding_neardup_pairs, doc_chunks, corpus_samples, corpus_pack,
-#: content_topk_cosine, cf_predictions, itemmean_rmse_mae,
-#: multimodal_features_frames, events_daily, events_sessions,
-#: events_asof_last_purchase, events_sliding_1h, sales_cube,
-#: customer_running_revenue — demoting in exchange the rows promoted
-#: in r6 once CORRECTNESS_r06 shows them green.  Execute the two
-#: staged merges (audit note (c)) in the same commit.
+#: Round 7 (EXECUTED this round): the pre-staged plan ran verbatim —
+#: promoted the 13 never-driver-row queries (item_sims + the twelve
+#: r6-born), the 10 remaining recency-3 rows (green r3), all 19
+#: recency-2 rows (green r4), and filled the last 8 window slots with
+#: the oldest recency-1 rows (green r5) — doc_unigram_logprob first,
+#: because the staged doc_bigram_logprob merge (executed in the same
+#: commit, with doc_readability → doc_quality_scores) gave it new
+#: bigram columns that deserve an immediate driver row.  The 48 rows
+#: green in CORRECTNESS_r06 rotated out in exchange.  Tier routing is
+#: now CENTRAL (see REGISTERED_WINDOW below): future rotations edit
+#: one tuple instead of ~100 decorator call sites.
+#:
+#: Post-r7 audit (recency = rounds since last driver-green row,
+#: assuming the r7 window runs green):
+#:   recency 0: 50 (the window below)
+#:   recency 1: 46 (the r6-green rows demoted this round, minus the
+#:                  two merged-away names)
+#:   recency 2: 15 (green r5, not re-promoted this round — the
+#:                  cf_negative_samples/linkage/analytics tier)
+#:   never: 2 (sequential_topk + als_topk, no_oracle BY DESIGN)
+#: Steady state: 111 oracled / 50-row window = 2.22-round cycle; max
+#: recency stays ≤ 2 from here if each round's window takes every
+#: recency-2 row (≤ 46 of them from r8 on — fits).  Further staged
+#: same-grain merges if latency needs another notch:
+#: doc_char_entropy → doc_quality_scores (per-doc; AFTER its r7 row
+#: lands), events_value_normalized + events_user_target_encoding
+#: (per-fact feature columns; AFTER their r7 rows land).
 #: Keep sequential_topk / als_topk demoted permanently (no_oracle by
 #: design).  Keep bench=True rows registered or demoted freely — the
 #: bench set is independent of the correctness window.
 
+#: THE driver-facing correctness window for this round — exactly the
+#: names whose QuerySpec lands in QUERIES; every other registration
+#: lands in DEMOTED regardless of which decorator the def site uses.
+#: Rotations edit THIS tuple (and the audit comment above) only.
+REGISTERED_WINDOW: frozenset[str] = frozenset({
+    # never had a driver row (13): item_sims + the twelve r6-born
+    "item_sims",
+    "multimodal_video_frames",
+    "embedding_semdedup_scale",
+    "corpus_bpe_pair_counts",
+    "corpus_lang_temperature_weights",
+    "doc_char_entropy",
+    "events_stream_user_cms",
+    "events_value_normalized",
+    "events_user_target_encoding",
+    "events_value_robust_scaled",
+    "popularity_topk",
+    "random_topk",
+    "customer_k_anonymity",
+    # recency 3 — green r3 (10)
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "top_orders_per_customer",
+    "customer_semi_anti_joins",
+    "order_priority_pivot",
+    "events_json_props",
+    "part_price_median_by_brand",
+    "order_customer_set_ops",
+    "rating_stats_per_user",
+    # recency 2 — green r4 (19)
+    "dedup_docs",
+    "doc_quality_scores",  # now also carries token stats + readability
+    "top_tokens",
+    "doc_stats_by_lang",
+    "embedding_centroids_by_label",
+    "embedding_neardup_pairs",
+    "doc_chunks",
+    "corpus_samples",
+    "corpus_pack",
+    "content_topk_cosine",
+    "cf_predictions",
+    "itemmean_rmse_mae",
+    "multimodal_features_frames",
+    "events_daily",
+    "events_sessions",
+    "events_asof_last_purchase",
+    "events_sliding_1h",
+    "sales_cube",
+    "customer_running_revenue",
+    # recency 1 fill — green r5 (8); unigram first (merged bigram cols)
+    "doc_unigram_logprob",
+    "neardup_dedup_docs",
+    "doc_winnow_fingerprints",
+    "doc_pii_scrub",
+    "doc_url_domains",
+    "item_pagerank",
+    "events_value_quantile_sketch",
+    "user_cf_coverage_novelty",
+})
+
 
 def register(name: str, oracle: str | None = None, bench: bool = False):
-    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under
+    ``name``.
+
+    Since r7 the correctness TIER is routed centrally by
+    ``REGISTERED_WINDOW`` membership, not by which decorator the def
+    site uses — the two decorator names are aliases kept so def sites
+    read naturally and new queries need no registry edit (a name not
+    in the window lands DEMOTED, i.e. staged for the next rotation)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in QUERIES or name in DEMOTED:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, bench=bench)
+        tier = QUERIES if name in REGISTERED_WINDOW else DEMOTED
+        tier[name] = QuerySpec(fn=fn, oracle=oracle, bench=bench)
         return fn
 
     return deco
 
 
-def register_demoted(name: str, oracle: str | None = None, bench: bool = False):
-    """Decorator: pytest-only correctness tier (see DEMOTED docstring);
-    ``bench=True`` entries still run in bench.py."""
-
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        if name in QUERIES or name in DEMOTED:
-            raise ValueError(f"duplicate query name {name!r}")
-        DEMOTED[name] = QuerySpec(fn=fn, oracle=oracle, bench=bench)
-        return fn
-
-    return deco
+#: alias — tier routing is central (see :func:`register`); kept so def
+#: sites can still document their historical tier intent
+register_demoted = register
 
 
 def oracle_of(name: str) -> str:
@@ -241,4 +304,9 @@ def _load_all() -> None:
         windows_extra,
     )
 
+    missing = REGISTERED_WINDOW - QUERIES.keys()
+    if missing:  # a window name with no def site is a rotation typo
+        raise RuntimeError(
+            f"REGISTERED_WINDOW names without a registration: {sorted(missing)}"
+        )
     _LOADED = True

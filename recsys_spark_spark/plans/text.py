@@ -106,7 +106,11 @@ WITH base AS (
          CASE WHEN length(text) > 0 THEN
            CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
                 AS DOUBLE) / length(text)
-         ELSE 0.0 END AS punct_ratio
+         ELSE 0.0 END AS punct_ratio,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
   FROM documents
 ),
 scored AS (
@@ -131,7 +135,12 @@ SELECT doc_id, n_tokens,
              / len(toks)) * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token,
        CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
        CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
-       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens,
+       n_sentences, n_syllables,
+       floor((206.835
+              - 1.015 * (CAST(n_tokens AS DOUBLE) / n_sentences)
+              - 84.6 * (CAST(n_syllables AS DOUBLE) / n_tokens))
+             * 1000000.0 + 0.5) / 1000000.0 AS flesch
 FROM (
   SELECT *, greatest({", ".join(f"s_{lg}" for lg in sorted(LANG_MARKERS))}) AS best
   FROM scored
@@ -140,10 +149,10 @@ FROM (
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality + marker-token language-ID + token
-    statistics in one per-document pass (merged from the former
-    separate doc_lang_id AND — r6 rotation-latency merge —
-    doc_token_stats registry entries; all the same per-doc grain, one
-    scan).
+    statistics + Flesch readability in one per-document pass (merged
+    from the former separate doc_lang_id, doc_token_stats — r6
+    rotation-latency merge — AND doc_readability — r7 merge — registry
+    entries; all the same per-doc grain, one scan).
 
     Quality: stopword density up (natural prose has function words),
     punctuation-noise down, mild length prior — the standard cheap
@@ -157,7 +166,15 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Token statistics (ex-doc_token_stats): whitespace tokenizer counts
     plus BPE-ish regex token counts (word runs / digit runs /
-    punctuation marks) — all JVM-side column functions (no UDF)."""
+    punctuation marks) — all JVM-side column functions (no UDF).
+
+    Readability (ex-doc_readability): Flesch reading-ease (Flesch
+    1948) — 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word),
+    dictionary-free syllable heuristic (one per [aeiouy]+ vowel-group
+    run), sentence count = punctuation-run count clamped ≥ 1; words =
+    the same whitespace n_tokens as above (identical expression the
+    old query used), so the merge adds no second tokenizer pass.  The
+    library form lives on as :func:`readability`."""
     d = table(spark, sf_dir, "documents")
     n_tokens, stop_ratio, punct_ratio, quality = quality_exprs()
     toks = F.split("text", " ")
@@ -170,6 +187,15 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _n(pat: str):
         return F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("bigint")
 
+    n_sent = F.greatest(
+        F.expr("regexp_count(text, '[.!?]+')"), F.lit(1)
+    ).cast("bigint")
+    n_syl = F.expr("regexp_count(lower(text), '[aeiouy]+')").cast("bigint")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_tokens.cast("double") / n_sent)
+        - F.lit(84.6) * (n_syl.cast("double") / n_tokens)
+    )
     scores = {lg: _score(LANG_MARKERS[lg]) for lg in sorted(LANG_MARKERS)}
     best = F.greatest(*scores.values())
     pred = None
@@ -195,6 +221,9 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         _n(BPE_PATTERN).alias("n_bpe_tokens"),
         _n("[a-z]+").alias("n_word_tokens"),
         _n("[0-9]+").alias("n_num_tokens"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+        qround(flesch, R6).alias("flesch"),
     )
 
 
@@ -487,40 +516,9 @@ def zipf_fit(d: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
 
 
 # --- Flesch readability ------------------------------------------------------
-@register(
-    "doc_readability",
-    oracle="""
-WITH m AS (
-  SELECT doc_id,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
-           AS n_sentences,
-         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
-           AS n_syllables
-  FROM documents
-)
-SELECT doc_id, n_words, n_sentences, n_syllables,
-       floor((206.835
-              - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
-              - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
-             * 1000000.0 + 0.5) / 1000000.0 AS flesch
-FROM m WHERE n_words > 0
-""",
-)
-def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flesch reading-ease per document (Flesch 1948; the L4 quality
-    family's readability axis): 206.835 − 1.015·(words/sentence) −
-    84.6·(syllables/word), with the standard dictionary-free syllable
-    heuristic — one syllable per VOWEL GROUP ([aeiouy]+ run) — and
-    sentence count = punctuation-run count clamped to ≥ 1 (a fragment
-    is one sentence).  All three counts are exact integers from
-    regexes in the Java∩RE2∩DuckDB-safe tier (PII-module discipline);
-    the score is the single float, computed through the identical
-    double expression in both engines, 6 dp.  One narrow map over the
-    corpus — no shuffle at all."""
-    return readability(table(spark, sf_dir, "documents"))
-
-
+# The doc_readability REGISTRY entry was merged into doc_quality_scores
+# (r7 rotation-latency merge — same per-doc grain, one scan); the
+# library form below remains the tested unit.
 def readability(t: DataFrame) -> DataFrame:
     """Library form of doc_readability (so tests can score a
     hand-countable sentence)."""

@@ -173,12 +173,14 @@ def test_bench_set_is_stable():
     rotates — round-over-round timing comparability depends on it.
     Additions are deliberate acts: update this list WITH the PERF.md
     note explaining the total change (als_topk joined in round 4,
-    events_stream_quantile_sketch in round 5)."""
+    events_stream_quantile_sketch in round 5, corpus_train_ready — the
+    flagship LLM-pipeline composition — in round 7)."""
     from recsys_spark_spark.plans.registry import bench_queries
 
     assert sorted(bench_queries()) == [
         "als_topk",
         "corpus_clean",
+        "corpus_train_ready",
         "corpus_vocab",
         "doc_chunks",
         "embedding_knn_bruteforce",
