@@ -231,3 +231,139 @@ def events_value_robust_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("robust_z"),
         )
     )
+
+
+# --- sketch-bounded winsorize (the 100 TB twin of events_value_normalized) ---
+# The exact query's docstring promises "at 100 TB swap `percentile` for
+# the mergeable histogram sketch" — this is that swap, shipped and
+# oracled rather than documented.  Bounds come from the fixed-bin
+# histogram in operators/sketches.py (HIST_LO/HIST_W/HIST_NBINS spec);
+# the band semantics (clamp → min-max, degenerate band pins 0.0) are
+# IDENTICAL to the exact query.  Accuracy contract (property-tested in
+# tests/test_features.py::test_sketch_winsorize_bounds_within_bin_width):
+# each sketch bound lies within ONE bin width of the order statistic at
+# the rank the sketch targets (⌈q·n⌉ — est interpolates inside that
+# value's bin); relative to the exact query's p·(n−1)-interpolated
+# percentile there is an additional term bounded by the LOCAL gap
+# between adjacent order statistics (the two rank conventions differ by
+# < 1 rank), which only matters in heavy-tailed sparse regions — where
+# winsorization clamps anyway.
+
+from ..operators.sketches import (  # noqa: E402
+    HIST_LO,
+    HIST_NBINS,
+    HIST_W,
+    histogram_quantiles,
+    histogram_sketch,
+)
+
+# explicit DOUBLE casts keep DuckDB off its exact-DECIMAL arithmetic so
+# both engines run the same per-op IEEE sequence (plans/sketch.py note)
+_SK_LO_D = f"CAST({HIST_LO} AS DOUBLE)"
+_SK_W_D = f"CAST({HIST_W} AS DOUBLE)"
+_SK_EST = f"{_SK_LO_D} + {_SK_W_D} * c.bin + {_SK_W_D} * (c.rq - h.cum_prev) / h.n"
+
+
+@register_demoted(
+    "events_value_normalized_sketch",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(least(greatest(floor((value - {_SK_LO_D}) / {_SK_W_D}), 0),
+                    {HIST_NBINS - 1}) AS INTEGER) AS bin
+  FROM events WHERE value IS NOT NULL
+),
+hist AS (
+  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY 1, 2
+),
+h AS (
+  SELECT event_type, bin, n,
+         CAST(sum(n) OVER pw AS BIGINT) AS cum,
+         CAST(sum(n) OVER pw - n AS BIGINT) AS cum_prev
+  FROM hist
+  WINDOW pw AS (PARTITION BY event_type ORDER BY bin)
+),
+tot AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total
+  FROM hist GROUP BY 1
+),
+qs AS (SELECT CAST(unnest([{WINSOR_LO}, {WINSOR_HI}]) AS DOUBLE) AS q),
+spec AS (
+  SELECT event_type, q, n_total, q * n_total AS rq
+  FROM tot CROSS JOIN qs
+),
+cand AS (
+  SELECT h.event_type, q, rq, n_total, min(bin) AS bin
+  FROM h JOIN spec USING (event_type)
+  WHERE cum >= rq GROUP BY 1, 2, 3, 4
+),
+est AS (
+  SELECT c.event_type, c.q, {qround_sql(_SK_EST, 6)} AS est
+  FROM cand c JOIN h ON h.event_type = c.event_type AND h.bin = c.bin
+),
+band AS (
+  SELECT event_type,
+         max(CASE WHEN q = {WINSOR_LO} THEN est END) AS lo,
+         max(CASE WHEN q = {WINSOR_HI} THEN est END) AS hi
+  FROM est GROUP BY 1
+)
+SELECT e.user_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
+       band.lo AS p01_sk, band.hi AS p99_sk,
+       {qround_sql(
+           "least(greatest(CAST(e.value AS DOUBLE), band.lo), band.hi)", 6)}
+         AS winsorized,
+       CASE WHEN band.hi = band.lo THEN 0.0
+            ELSE {qround_sql(
+                "(least(greatest(CAST(e.value AS DOUBLE), band.lo), band.hi)"
+                " - band.lo) / (band.hi - band.lo)", 6)}
+       END AS minmax
+FROM events e JOIN band USING (event_type)
+WHERE e.value IS NOT NULL
+""",
+)
+def events_value_normalized_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """events_value_normalized with the quantile BOUNDS answered from
+    the mergeable fixed-bin histogram sketch instead of an exact
+    percentile — the plan that survives 100 TB: the exact form's
+    per-type `percentile` must hold each group's full value multiset
+    through the aggregate, while the sketch carries AT MOST
+    |types| × {HIST_NBINS} bounded-size rows through one map-side-
+    combinable count aggregate, stays mergeable across days/partitions
+    (operators/sketches.py merge-exactness), and costs only a bounded
+    band error: each bound sits within one bin width ({HIST_W}) of the
+    ⌈q·n⌉-th order statistic (see the section comment above for the
+    exact-vs-sketch rank-convention slack), property-tested.
+    Winsorize/min-max semantics and the degenerate-band (hi = lo →
+    minmax 0.0) guard are byte-identical to events_value_normalized.
+
+    Scale shape: one histogram aggregate (|types|·{HIST_NBINS} rows
+    shuffle), quantile interpolation ON the sketch relation, a
+    broadcast of the |types|-row band table back onto the fact scan;
+    the clamp and scaling are row-local."""
+    e = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hist = histogram_sketch(e, key_cols=["event_type"])
+    qdf = histogram_quantiles(
+        hist, key_cols=["event_type"], qs=(WINSOR_LO, WINSOR_HI)
+    )
+    band = qdf.groupBy("event_type").agg(
+        F.max(F.when(F.col("q") == WINSOR_LO, F.col("est"))).alias("lo"),
+        F.max(F.when(F.col("q") == WINSOR_HI, F.col("est"))).alias("hi"),
+    )
+    j = e.join(F.broadcast(band), "event_type")
+    w = F.least(
+        F.greatest(F.col("value").cast("double"), F.col("lo")), F.col("hi")
+    )
+    return j.select(
+        "user_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.col("lo").alias("p01_sk"),
+        F.col("hi").alias("p99_sk"),
+        qround(w, 6).alias("winsorized"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0.0))
+        .otherwise(qround((w - F.col("lo")) / (F.col("hi") - F.col("lo")), 6))
+        .alias("minmax"),
+    )

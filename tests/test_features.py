@@ -75,3 +75,73 @@ def test_target_encoding_loo_and_prior(spark, events_path):
     naive_mean = sum(r["value"] for r in user_rows) / len(user_rows)
     if len(user_rows) > 1:
         assert outlier["te_loo"] < naive_mean
+
+
+def test_sketch_winsorize_bounds_within_bin_width(spark, sf_dir):
+    """The sketch twin's accuracy contract: per event_type and per
+    winsor tail q, the histogram-interpolated bound lies within ONE
+    bin width (HIST_W) of the ⌈q·n⌉-th order statistic — the rank the
+    sketch targets (est interpolates inside that value's bin; see the
+    section comment in plans/features.py for why the exact query's
+    p·(n−1) interpolation adds a local-gap term instead)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from recsys_spark_spark.operators.sketches import HIST_W
+    from recsys_spark_spark.plans.features import (
+        WINSOR_HI,
+        WINSOR_LO,
+        events_value_normalized_sketch,
+    )
+    from recsys_spark_spark.sources.readers import table
+
+    sk = {
+        r["event_type"]: (r["p01_sk"], r["p99_sk"])
+        for r in events_value_normalized_sketch(spark, sf_dir)
+        .select("event_type", "p01_sk", "p99_sk")
+        .distinct()
+        .collect()
+    }
+    e = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = e.select(
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    rows = ranked.collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[r["rn"]] = (r["v"], r["n"])
+    assert set(sk) == set(by_type)
+    for t, (lo_sk, hi_sk) in sk.items():
+        n = next(iter(by_type[t].values()))[1]
+        for q, est in ((WINSOR_LO, lo_sk), (WINSOR_HI, hi_sk)):
+            k = max(1, math.ceil(q * n))
+            v_k = by_type[t][k][0]
+            assert abs(est - v_k) <= HIST_W + 1e-9, (t, q, est, v_k)
+
+
+def test_sketch_winsorize_constant_type_band_and_stability(spark, events_path):
+    """A constant type bins into a single histogram cell: the sketch
+    band collapses to within one bin width, every fact of the type
+    gets the SAME minmax (constant input ⇒ constant feature), and the
+    winsorized value is the clamp of the true value into the band —
+    the semantics the exact query guarantees, at sketch accuracy."""
+    from recsys_spark_spark.operators.sketches import HIST_W
+    from recsys_spark_spark.plans.features import (
+        events_value_normalized_sketch,
+    )
+
+    out = [
+        r
+        for r in events_value_normalized_sketch(spark, events_path).collect()
+        if r["event_type"] == "b"
+    ]
+    assert out
+    assert all(r["p99_sk"] - r["p01_sk"] <= HIST_W + 1e-9 for r in out)
+    assert len({r["minmax"] for r in out}) == 1
+    for r in out:
+        assert r["p01_sk"] <= r["winsorized"] <= r["p99_sk"]
