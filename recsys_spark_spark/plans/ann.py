@@ -657,3 +657,72 @@ def embedding_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < KNN_QUERIES)
     return cosine_knn_ivfpq(e, q, KNN_K)
+
+
+# --- index-quality audit: recall@k of the IVF path vs exact ----------------
+# A production vector store MONITORS its approximate index: recall@k of
+# the served path against the exact scan on a fixed probe set is the
+# canonical health metric (re-train/re-probe when it dips).  Both sides
+# already exist as oracled queries, so the audit COMPOSES their oracle
+# SQL verbatim (one source of truth — the same pattern as the streamed
+# sketch sharing the batch oracle) and the driver value-hash certifies
+# the composition.
+
+from .llm import embedding_knn_bruteforce  # noqa: E402
+from .registry import oracle_of as _oracle_of  # noqa: E402
+
+
+@register_demoted(
+    "embedding_knn_recall_audit",
+    oracle=f"""
+WITH bf AS (SELECT * FROM ({_oracle_of("embedding_knn_bruteforce")}) _bf),
+ivf AS (SELECT * FROM ({_oracle_of("embedding_knn_ivf")}) _ivf),
+ex AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM bf GROUP BY 1
+),
+hits AS (
+  SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM bf JOIN ivf ON ivf.query_id = bf.query_id
+                  AND ivf.match_id = bf.match_id
+  GROUP BY 1
+)
+SELECT ex.query_id, ex.n_exact,
+       coalesce(hits.n_hits, 0) AS n_hits,
+       floor((CAST(coalesce(hits.n_hits, 0) AS DOUBLE) / ex.n_exact)
+             * 1000000.0 + 0.5) / 1000000.0 AS recall
+FROM ex LEFT JOIN hits USING (query_id)
+""",
+)
+def embedding_knn_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-query recall@k of the served IVF index against the exact
+    brute-force scan on the fixed probe set — the index-health metric
+    a production vector store alerts on (Jégou et al. evaluation
+    protocol).  Runs BOTH registered pipelines and intersects their
+    (query, match) sets; the oracle splices both queries' oracle SQL
+    verbatim into one WITH chain, so the audit can never drift from
+    the queries it audits.
+
+    Scale shape: the exact side is the one that costs (it exists as a
+    correctness baseline; at 100 TB the probe set is a fixed O(100)
+    sample, so the exact scan is 100 × one-vector passes — linear,
+    batched through the same dimension join); the intersection and
+    recall arithmetic are O(queries × k)."""
+    bf = embedding_knn_bruteforce(spark, sf_dir).select(
+        "query_id", "match_id"
+    )
+    iv = embedding_knn_ivf(spark, sf_dir).select("query_id", "match_id")
+    ex = bf.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hits = bf.join(iv, ["query_id", "match_id"], "semi").groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("n_hits"))
+    return ex.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        qround(
+            F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_exact"),
+            6,
+        ).alias("recall"),
+    )
