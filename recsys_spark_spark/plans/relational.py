@@ -835,3 +835,118 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("group_size") < K_ANON).cast("int").alias("at_risk"),
         )
     )
+
+
+# --- shuffle-key skew audit --------------------------------------------------
+#: fact-table key columns the audit profiles (the join/aggregation keys
+#: a pipeline actually shuffles events on); shared by the Spark plan
+#: and the generated oracle so the two can never desynchronize
+SKEW_AUDIT_KEYS = ["event_type", "user_id"]
+
+#: hot-key head size for the concentration measure
+SKEW_TOP_N = 10
+
+
+def _skew_audit_col_sql(col: str) -> str:
+    return f"""
+SELECT '{col}' AS key_col,
+       CAST(t.n_rows AS BIGINT) AS n_rows,
+       CAST(t.n_keys AS BIGINT) AS n_keys,
+       CAST(h.max_key_rows AS BIGINT) AS max_key_rows,
+       h.hot_key,
+       CAST(tp.top_rows AS BIGINT) AS top{SKEW_TOP_N}_rows,
+       floor((CAST(h.max_key_rows AS DOUBLE)
+              / (CAST(t.n_rows AS DOUBLE) / t.n_keys))
+             * 1000000.0 + 0.5) / 1000000.0 AS skew_ratio,
+       floor((CAST(tp.top_rows AS DOUBLE) / t.n_rows)
+             * 1000000.0 + 0.5) / 1000000.0 AS top{SKEW_TOP_N}_share
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT {col}) AS BIGINT) AS n_keys
+  FROM events WHERE {col} IS NOT NULL
+) t
+CROSS JOIN (
+  SELECT CAST({col} AS VARCHAR) AS hot_key, CAST(count(*) AS BIGINT) AS max_key_rows
+  FROM events WHERE {col} IS NOT NULL GROUP BY 1
+  ORDER BY max_key_rows DESC, hot_key ASC LIMIT 1
+) h
+CROSS JOIN (
+  SELECT CAST(sum(c) AS BIGINT) AS top_rows FROM (
+    SELECT count(*) AS c FROM events WHERE {col} IS NOT NULL
+    GROUP BY {col} ORDER BY c DESC, CAST({col} AS VARCHAR) ASC
+    LIMIT {SKEW_TOP_N}
+  )
+) tp
+""".strip()
+
+
+@register_demoted(
+    "events_key_skew_audit",
+    oracle="\nUNION ALL\n".join(
+        _skew_audit_col_sql(c) for c in SKEW_AUDIT_KEYS
+    ),
+)
+def events_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile of the fact table — the audit a 100 TB
+    pipeline runs BEFORE choosing a join/aggregation strategy on a key
+    (broadcast the other side? salt via functions/skew.salted_join?
+    rely on AQE skew splitting?): per key column, total rows, distinct
+    keys, the hottest key and its row count, the top-{SKEW_TOP_N}
+    concentration, and skew_ratio = hottest / mean-per-key — the
+    multiple by which the hot key overloads an average shuffle
+    partition (≳ n_partitions means one straggler task owns the key).
+
+    Scale shape, per audited column: one map-side-combinable
+    count-per-key aggregate (|keys| wide — the same width any shuffle
+    on that key would create), then O(1)-row statistics over the COUNT
+    relation: the hottest key and the top-{SKEW_TOP_N} head are
+    TakeOrderedAndProject (never a full sort), the totals one tiny
+    aggregate.  The audited column list is compile-time shared with
+    the oracle generator, so adding a key keeps parity by
+    construction."""
+    e = table(spark, sf_dir, "events")
+    out = None
+    for col in SKEW_AUDIT_KEYS:
+        ne = e.where(F.col(col).isNotNull())
+        counts = ne.groupBy(
+            F.col(col).cast("string").alias("k")
+        ).agg(F.count("*").alias("c"))
+        tot = ne.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct(col).alias("n_keys"),
+        )
+        hot = (
+            counts.orderBy(F.desc("c"), F.asc("k"))
+            .limit(1)
+            .select(
+                F.col("k").alias("hot_key"),
+                F.col("c").alias("max_key_rows"),
+            )
+        )
+        top = (
+            counts.orderBy(F.desc("c"), F.asc("k"))
+            .limit(SKEW_TOP_N)
+            .agg(F.sum("c").cast("bigint").alias("top_rows"))
+        )
+        row = (
+            tot.crossJoin(F.broadcast(hot))
+            .crossJoin(F.broadcast(top))
+            .select(
+                F.lit(col).alias("key_col"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("n_keys").cast("bigint").alias("n_keys"),
+                F.col("max_key_rows").cast("bigint").alias("max_key_rows"),
+                "hot_key",
+                F.col("top_rows").alias(f"top{SKEW_TOP_N}_rows"),
+                qround(
+                    F.col("max_key_rows").cast("double")
+                    / (F.col("n_rows").cast("double") / F.col("n_keys")),
+                    R6,
+                ).alias("skew_ratio"),
+                qround(
+                    F.col("top_rows").cast("double") / F.col("n_rows"), R6
+                ).alias(f"top{SKEW_TOP_N}_share"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

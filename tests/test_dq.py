@@ -101,3 +101,35 @@ def test_ranking_metrics_dedupe_relevant_rows(spark):
     row = ranking_metrics(spark, rec, rel_dup, k=2).collect()[0]
     assert row["p_at_k"] == 0.5  # 1 hit of k=2, not 3/2
     assert row["r_at_k"] == 1.0
+
+
+def test_key_skew_audit_planted_hot_key(spark, tmp_path):
+    """Planted skew must be measured, not asserted: user 7 owns 51 of
+    59 rows (50 planted + one from the j%9 tail) over 9 distinct users
+    → skew_ratio = 51/(59/9) ≈ 7.78, hot_key '7', top10_share = 1.0
+    (9 keys fit in the head); event_type 'click' dominates 50:9."""
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.plans.relational import events_key_skew_audit
+
+    rows = [(i, "2024-01-01", 7, "click", 1.0, None) for i in range(50)] + [
+        (50 + j, "2024-01-01", j % 9, "view", 1.0, None) for j in range(9)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {
+        r["key_col"]: r
+        for r in events_key_skew_audit(spark, str(tmp_path)).collect()
+    }
+    u = out["user_id"]
+    assert (u["n_rows"], u["n_keys"], u["max_key_rows"]) == (59, 9, 51)
+    assert u["hot_key"] == "7"
+    assert abs(u["skew_ratio"] - round(51 / (59 / 9), 6)) < 2e-6
+    assert u["top10_share"] == 1.0
+    t = out["event_type"]
+    assert t["n_keys"] == 2 and t["hot_key"] == "click"
