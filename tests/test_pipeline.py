@@ -7,15 +7,18 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from recsys_spark_spark.plans.pipeline import clean_corpus, corpus_clean
-from recsys_spark_spark.plans.registry import all_oracle_sql
+from recsys_spark_spark.plans.registry import _load_all, oracle_of
 from recsys_spark_spark.sources.readers import table
 
 from conftest import assert_df_matches_oracle
 
 
 def test_corpus_clean_oracle_parity(spark, sf_dir, duck):
+    # tier-independent lookup: the registered/demoted split rotates
+    # (this exact test KeyError'd in r7 when corpus_clean demoted)
+    _load_all()
     assert_df_matches_oracle(
-        corpus_clean(spark, sf_dir), duck, all_oracle_sql()["corpus_clean"]
+        corpus_clean(spark, sf_dir), duck, oracle_of("corpus_clean")
     )
 
 
