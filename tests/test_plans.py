@@ -64,6 +64,15 @@ def test_corpus_clean_pushes_lang_gate(spark, sf_dir, queries):
     assert "Not(In(lang" in p or "Not(EqualTo(lang" in p, "lang filter not pushed"
 
 
+def test_corpus_train_ready_pushes_lang_gate(spark, sf_dir, queries):
+    """The r7 bench flagship composes the same row-local gate as
+    corpus_clean — its lang filter must reach the parquet scan too
+    (the survivors feed three further stages, so a missed pushdown
+    multiplies)."""
+    p = plan_of(queries["corpus_train_ready"].fn(spark, sf_dir))
+    assert "Not(In(lang" in p or "Not(EqualTo(lang" in p, "lang filter not pushed"
+
+
 def test_no_cartesian_products_anywhere(spark, sf_dir, queries):
     """Every registered non-ML query plans without CartesianProduct;
     the only crossJoins in the engine are broadcast 1-row bounds or
