@@ -602,3 +602,52 @@ def video_frame_features(
         "id long, frame_idx int, src_width int, src_height int, "
         "frame_md5 string, resized_md5 string",
     )
+
+
+#: dHash geometry (Krawetz difference hash): luma sampled on a 9-wide
+#: × 8-tall grid, one bit per horizontally adjacent pair → 8×8 = 64
+#: bits
+DHASH_GRID_W = 9
+DHASH_GRID_H = 8
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash per image (Krawetz dHash — the
+    standard cheap near-duplicate fingerprint for images): REAL P6
+    decode, nearest-neighbor luma sampling on a
+    {DHASH_GRID_W}×{DHASH_GRID_H} grid, one bit per horizontal
+    neighbor pair (right > left), emitted as a 64-char '0'/'1' string
+    — a bit STRING rather than a UINT64 so the value is exactly
+    representable, groupable, and SQL-replayable in any engine with no
+    signed-overflow hazard.
+
+    Integer luma (299·R + 587·G + 114·B, no division — comparisons
+    are scale-invariant) keeps the bit decisions exact in both
+    engines.  Malformed payloads are quarantined like NULLs
+    (decode raises → row skipped), matching resize_images."""
+    decode = _detached(decode_image)
+    gw, gh = DHASH_GRID_W, DHASH_GRID_H
+
+    def hashit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for did, content in zip(pdf["id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    pixels = decode(bytes(content))
+                except ValueError:
+                    continue  # corrupt-payload quarantine
+                h, w, _ = pixels.shape
+                ys = (np.arange(gh) * h) // gh
+                xs = (np.arange(gw) * w) // gw
+                g = pixels[np.ix_(ys, xs)].astype(np.int64)
+                luma = 299 * g[..., 0] + 587 * g[..., 1] + 114 * g[..., 2]
+                bits = luma[:, 1:] > luma[:, :-1]
+                ids.append(did)
+                hashes.append(
+                    "".join("1" if b else "0" for b in bits.flatten())
+                )
+            yield pd.DataFrame({"id": ids, "dhash": hashes})
+
+    return df.mapInPandas(hashit, "id long, dhash string")

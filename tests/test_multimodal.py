@@ -293,3 +293,50 @@ def test_audio_features_hand_computed(spark):
     r = got[1]
     assert (r["n_samples"], r["sample_rate"], r["peak"]) == (4, 8000, 5)
     assert r["rms"] == rms
+
+
+def test_image_dhash_scale_invariance_and_grouping(spark, tmp_path):
+    """The perceptual contract byte-exact dedup cannot give: an image
+    and its 2× nearest-neighbor upscale hash IDENTICALLY (the sampled
+    grid positions commute with the upscale: floor(floor(32x/9)/2) ==
+    floor(16x/9)), while a genuinely different image does not; the
+    dedup query groups the planted duplicates with the min-id keeper."""
+    import numpy as np
+
+    from recsys_spark_spark.operators.multimodal import (
+        encode_ppm,
+        image_dhash,
+    )
+    from recsys_spark_spark.plans.mm import multimodal_image_dhash_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    up = base.repeat(2, axis=0).repeat(2, axis=1)  # 24×32 NN upscale
+    other = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_ppm(base))),
+            (2, bytearray(encode_ppm(up))),
+            (3, bytearray(encode_ppm(other))),
+        ],
+        "id long, content binary",
+    )
+    out = {r["id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert len(out[1]) == 64 and set(out[1]) <= {"0", "1"}
+    assert out[1] == out[2], "2x NN upscale must not change the dHash"
+    assert out[1] != out[3], "different image must hash differently"
+
+    # grouping semantics on injected exact duplicates (same text →
+    # same deterministic raster): min-id keeper, group size 2
+    docs = spark.createDataFrame(
+        [(10, "same text"), (11, "same text"), (12, "different text")],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["id"]: r
+        for r in multimodal_image_dhash_dedup(spark, str(tmp_path)).collect()
+    }
+    assert rows[10]["group_size"] == 2 and rows[11]["group_size"] == 2
+    assert rows[10]["is_keeper"] == 1 and rows[11]["is_keeper"] == 0
+    assert rows[12]["group_size"] == 1 and rows[12]["is_keeper"] == 1
