@@ -73,6 +73,23 @@ def test_corpus_train_ready_pushes_lang_gate(spark, sf_dir, queries):
     assert "Not(In(lang" in p or "Not(EqualTo(lang" in p, "lang filter not pushed"
 
 
+def test_skew_audit_head_is_group_limited(spark, sf_dir, queries):
+    """The skew audit's hottest-key / top-N head must plan
+    TakeOrderedAndProject over the count relation (never a full sort
+    of all keys — at 100 TB the key relation is |users|-wide)."""
+    p = plan_of(queries["events_key_skew_audit"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_sketch_winsorize_broadcasts_band_onto_facts(spark, sf_dir, queries):
+    """The sketch-twin scaler's |types|-row band table must broadcast
+    onto the fact scan — a shuffled join here would move the facts for
+    a 5-row dimension."""
+    p = plan_of(queries["events_value_normalized_sketch"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
 def test_no_cartesian_products_anywhere(spark, sf_dir, queries):
     """Every registered non-ML query plans without CartesianProduct;
     the only crossJoins in the engine are broadcast 1-row bounds or
