@@ -142,19 +142,20 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: (per-fact feature columns; AFTER their r7 rows land).
 #:
 #: ROTATION PLAN for round 8 (pre-staged; verify against
-#: CORRECTNESS_r07 before executing): window = the 3 r7-born
+#: CORRECTNESS_r07 before executing): window = the 4 r7-born
 #: never-row queries (events_value_normalized_sketch,
-#: embedding_knn_recall_audit, events_key_skew_audit) + the 13
+#: embedding_knn_recall_audit, events_key_skew_audit,
+#: multimodal_image_dhash_dedup) + the 13
 #: recency-2 rows green r5 and skipped in r7 (cf_negative_samples,
 #: corpus_line_dedup, corpus_mixture_sample, customer_name_fuzzy_pairs,
 #: customer_rfm_segments, events_anomaly_daily, events_daily_dense,
 #: events_dq_audit, events_funnel, events_transition_matrix,
 #: item_cooccurrence_lift, user_retention_cohorts, user_value_scd2)
-#: + 34 of the 48 recency-1 rows (green r6, demoted r7) — prefer the
+#: + 33 of the 48 recency-1 rows (green r6, demoted r7) — prefer the
 #: ANN/dedup/pipeline flagships (embedding_knn_* ×8, neardup_* ×4,
 #: doc_duplicate_spans, doc_dedup_cut, corpus_train_ready,
 #: corpus_clean/vocab/pps/splits, the CF axis rows) so the heaviest
-#: plans re-certify first; the ~14 left out are recency-2 entering
+#: plans re-certify first; the ~15 left out are recency-2 entering
 #: r9 and MUST all be taken then.  Execute any staged merges whose
 #: members' r7 rows landed green in the same commit.
 #: Keep sequential_topk / als_topk demoted permanently (no_oracle by
