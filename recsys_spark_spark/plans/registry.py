@@ -132,14 +132,18 @@ DEMOTED: dict[str, QuerySpec] = {}
 #:                  two merged-away names)
 #:   recency 2: 15 (green r5, not re-promoted this round — the
 #:                  cf_negative_samples/linkage/analytics tier)
-#:   never: 2 (sequential_topk + als_topk, no_oracle BY DESIGN)
-#: Steady state: 111 oracled / 50-row window = 2.22-round cycle; max
-#: recency stays ≤ 2 from here if each round's window takes every
-#: recency-2 row (≤ 46 of them from r8 on — fits).  Further staged
-#: same-grain merges if latency needs another notch:
-#: doc_char_entropy → doc_quality_scores (per-doc; AFTER its r7 row
-#: lands), events_value_normalized + events_user_target_encoding
-#: (per-fact feature columns; AFTER their r7 rows land).
+#:   never: 2 no-oracle BY DESIGN (sequential_topk + als_topk) + the
+#:          4 r7-born oracled queries (sketch scaler, recall audit,
+#:          skew audit, dhash dedup — at the staged r8 window head)
+#: Steady state: 115 oracled (111 post-merge + 4 r7-born) / 50-row
+#: window = 2.3-round cycle — at the ~115 ceiling VERDICT r6 #8 set;
+#: no further registry entries without a matching merge.  Staged
+#: merges that pull it back (~112) once their members' r7 rows land:
+#: doc_char_entropy → doc_quality_scores (per-doc),
+#: events_value_normalized + events_user_target_encoding +
+#: events_value_normalized_sketch (per-fact feature columns — the
+#: sketch twin shares the winsorize grain, so one merged row can
+#: certify all three after each earns its own driver row first).
 #:
 #: ROTATION PLAN for round 8 (pre-staged; verify against
 #: CORRECTNESS_r07 before executing): window = the 4 r7-born
