@@ -651,3 +651,61 @@ def image_dhash(df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"id": ids, "dhash": hashes})
 
     return df.mapInPandas(hashit, "id long, dhash string")
+
+
+#: pigeonhole bands for Hamming-tolerant dHash matching: 64 bits in 4
+#: chunks of 16 — two hashes differing in ≤ 3 bits must agree on ≥ 1
+#: chunk (exact recall for max_hamming ≤ 3, same argument as the
+#: SimHash pigeonhole in operators/dedup.py)
+DHASH_CHUNKS = 4
+
+
+def image_dhash_near_pairs(
+    hashed: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """(id_a, id_b, hamming ≤ max_hamming) over :func:`image_dhash`
+    output — the near-MISS complement of the exact-dHash grouping
+    (multimodal_image_dhash_dedup): small crops, single-pixel noise,
+    or re-encoding artifacts flip a few gradient bits, and a
+    production image-dedup pipeline matches at Hamming 1-3 rather
+    than 0.
+
+    EXACT for ``max_hamming ≤ DHASH_CHUNKS − 1`` by the pigeonhole
+    band join (never an all-pairs comparison: candidates share a
+    16-bit band key); the Hamming verify compares the bit STRINGS
+    column-wise (zip_with over split characters), staying in
+    whole-stage codegen."""
+    n_bits = DHASH_GRID_H * (DHASH_GRID_W - 1)
+    width = n_bits // DHASH_CHUNKS
+    chunks = F.array(
+        *[
+            F.substring("dhash", c * width + 1, width)
+            for c in range(DHASH_CHUNKS)
+        ]
+    )
+    ch = hashed.select("id", "dhash", F.posexplode(chunks).alias("c", "chunk"))
+    a = ch.select(
+        F.col("id").alias("id_a"), F.col("dhash").alias("h_a"), "c", "chunk"
+    )
+    b = ch.select(
+        F.col("id").alias("id_b"), F.col("dhash").alias("h_b"), "c", "chunk"
+    )
+    cand = (
+        a.join(b, ["c", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("h_a", ""),
+                F.split("h_b", ""),
+                lambda x, y: x != y,
+            ),
+            lambda d: d,
+        )
+    )
+    return cand.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

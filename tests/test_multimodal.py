@@ -340,3 +340,39 @@ def test_image_dhash_scale_invariance_and_grouping(spark, tmp_path):
     assert rows[10]["group_size"] == 2 and rows[11]["group_size"] == 2
     assert rows[10]["is_keeper"] == 1 and rows[11]["is_keeper"] == 0
     assert rows[12]["group_size"] == 1 and rows[12]["is_keeper"] == 1
+
+
+def test_image_dhash_near_pairs_exact_within_budget(spark):
+    """Pigeonhole exactness at max_hamming ≤ 3: a pair at Hamming 2
+    is found, a pair at Hamming 3 is found, a pair at Hamming 4 is
+    NOT (over budget), and the reported distances are exact."""
+    from recsys_spark_spark.operators.multimodal import (
+        image_dhash_near_pairs,
+    )
+
+    base = "01" * 32  # 64 bits
+    def flip(s, idxs):
+        l = list(s)
+        for i in idxs:
+            l[i] = "1" if l[i] == "0" else "0"
+        return "".join(l)
+
+    hashed = spark.createDataFrame(
+        [
+            (1, base),
+            (2, flip(base, [0, 63])),          # hamming 2 vs 1
+            (3, flip(base, [5, 20, 40])),      # hamming 3 vs 1
+            (4, flip(base, [1, 17, 33, 49])),  # hamming 4 vs 1 (one per chunk)
+        ],
+        "id long, dhash string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_dhash_near_pairs(hashed, max_hamming=3).collect()
+    }
+    assert out[(1, 2)] == 2
+    assert out[(1, 3)] == 3
+    assert (1, 4) not in out  # over budget, and no chunk agrees
+    # plan sanity: banded equi-join, never a cartesian pair scan
+    p = image_dhash_near_pairs(hashed)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
