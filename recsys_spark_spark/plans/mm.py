@@ -328,10 +328,10 @@ def multimodal_image_dhash_dedup(
     Scale shape: decode + hash is one Arrow-batched narrow map; the
     group stats are one |distinct-hash|-keyed window — the same
     md5-shuffle shape as exact text dedup (never the pixels; 8 bytes
-    of fingerprint per image cross the wire).  Hamming-tolerant
-    banding (split the 64 bits into 4 bands, join on band equality —
-    the SimHash pigeonhole) is the documented extension for near-miss
-    grouping."""
+    of fingerprint per image cross the wire).  Near-MISS matching at
+    Hamming ≤ 3 ships as
+    operators/multimodal.py::image_dhash_near_pairs (pigeonhole band
+    join, exact by the same argument as SimHash; pytest-pinned)."""
     from pyspark.sql import Window
 
     from ..operators.multimodal import image_dhash, with_ppm_content
