@@ -659,20 +659,37 @@ def image_dhash(df: DataFrame) -> DataFrame:
 #: SimHash pigeonhole in operators/dedup.py)
 DHASH_CHUNKS = 4
 
+#: hot-chunk candidate cap (r7 VERDICT #3): on real corpora,
+#: low-texture images (flat fills, letterboxing) collapse to
+#: near-constant dhashes, so one 16-bit chunk bucket goes quadratic —
+#: the exact hazard the fuzzy-linkage / MinHash bucket caps guard.
+#: Buckets above the cap are DROPPED (pairs inside them are missed);
+#: recall consequence: a pair is found iff at least one of its ≤ 4
+#: agreeing chunks sits in a bucket of ≤ MAX_DHASH_BUCKET hashes —
+#: mass-duplicate flats are better handled by the EXACT dedup group
+#: (hamming 0) which this operator excludes anyway.
+MAX_DHASH_BUCKET = 64
+
 
 def image_dhash_near_pairs(
-    hashed: DataFrame, max_hamming: int = 3
+    hashed: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = MAX_DHASH_BUCKET,
 ) -> DataFrame:
-    """(id_a, id_b, hamming ≤ max_hamming) over :func:`image_dhash`
-    output — the near-MISS complement of the exact-dHash grouping
-    (multimodal_image_dhash_dedup): small crops, single-pixel noise,
-    or re-encoding artifacts flip a few gradient bits, and a
+    """(id_a, id_b, 1 ≤ hamming ≤ max_hamming) over :func:`image_dhash`
+    output — the strict near-MISS complement of the exact-dHash
+    grouping (multimodal_image_dhash_dedup): small crops, single-pixel
+    noise, or re-encoding artifacts flip a few gradient bits, and a
     production image-dedup pipeline matches at Hamming 1-3 rather
-    than 0.
+    than 0.  Hamming-0 (exact) pairs are EXCLUDED — they are already
+    grouped by the exact-hash dedup, so a caller combining both
+    operators never double-counts a duplicate (r7 ADVICE).
 
     EXACT for ``max_hamming ≤ DHASH_CHUNKS − 1`` by the pigeonhole
     band join (never an all-pairs comparison: candidates share a
-    16-bit band key); the Hamming verify compares the bit STRINGS
+    16-bit band key), MINUS pairs whose every agreeing chunk sits in a
+    bucket larger than ``max_bucket`` (the hot-chunk cap — see
+    MAX_DHASH_BUCKET); the Hamming verify compares the bit STRINGS
     column-wise (zip_with over split characters), staying in
     whole-stage codegen."""
     n_bits = DHASH_GRID_H * (DHASH_GRID_W - 1)
@@ -684,6 +701,14 @@ def image_dhash_near_pairs(
         ]
     )
     ch = hashed.select("id", "dhash", F.posexplode(chunks).alias("c", "chunk"))
+    if max_bucket is not None:
+        ok = (
+            ch.groupBy("c", "chunk")
+            .agg(F.count("*").alias("bsz"))
+            .where(F.col("bsz") <= max_bucket)
+            .select("c", "chunk")
+        )
+        ch = ch.join(ok, ["c", "chunk"])
     a = ch.select(
         F.col("id").alias("id_a"), F.col("dhash").alias("h_a"), "c", "chunk"
     )
@@ -706,6 +731,69 @@ def image_dhash_near_pairs(
             lambda d: d,
         )
     )
-    return cand.select(
-        "id_a", "id_b", hamming.cast("int").alias("hamming")
-    ).where(F.col("hamming") <= max_hamming)
+    return (
+        cand.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming").between(1, max_hamming))
+    )
+
+
+#: planted near-miss twins (the registered image_dhash_near_pairs
+#: query): every TWIN_EVERY-th document gets a twin image whose raster
+#: differs in exactly ONE dHash-sampled pixel, forced to peak
+#: luminance — the two gradient bits that pixel feeds become
+#: deterministic (left-compare → 1 unless the left neighbor is also
+#: peak, right-compare → 0), so the twin pair lands at Hamming 0-2
+#: depending on the base image's own (md5-random) bits.  Deterministic
+#: and SQL-replayable: the oracle rebuilds the twin raster with a hex
+#: overlay at the same byte offset.
+TWIN_EVERY = 4
+TWIN_ID_OFFSET = 10_000_000
+#: raster coordinates of the modified pixel = the dHash sample point
+#: for grid cell (row 4, col 4): sy = (4*PPM_H)//DHASH_GRID_H,
+#: sx = (4*PPM_W)//DHASH_GRID_W (asserted in tests)
+TWIN_PIX_Y = (4 * PPM_H) // DHASH_GRID_H
+TWIN_PIX_X = (4 * PPM_W) // DHASH_GRID_W
+
+
+def with_ppm_twin_content(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = PPM_W,
+    height: int = PPM_H,
+) -> DataFrame:
+    """Near-miss TWIN payloads for every TWIN_EVERY-th document: the
+    same deterministic md5-block raster as :func:`with_ppm_content`
+    with pixel (TWIN_PIX_Y, TWIN_PIX_X) forced to (255, 255, 255),
+    re-encoded as a genuine P6 payload under id = doc_id +
+    TWIN_ID_OFFSET.  Union with the base payloads to give
+    image_dhash_near_pairs real sub-threshold matches to find."""
+    n_bytes = width * height * 3
+    n_blocks = (n_bytes + 15) // 16
+    encode = _detached(encode_ppm)  # ship by value, not package ref
+    py, px_ = TWIN_PIX_Y, TWIN_PIX_X
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = pdf[pdf[id_col] % TWIN_EVERY == 0]
+            payloads = []
+            for text in keep[text_col]:
+                raster = b"".join(
+                    hashlib.md5(f"{text}:{i}".encode()).digest()
+                    for i in range(n_blocks)
+                )[:n_bytes]
+                pixels = (
+                    np.frombuffer(raster, dtype=np.uint8)
+                    .reshape(height, width, 3)
+                    .copy()
+                )
+                pixels[py, px_] = 255
+                payloads.append(encode(pixels))
+            yield pd.DataFrame(
+                {"id": keep[id_col] + TWIN_ID_OFFSET, "content": payloads}
+            ).assign(modality="image", width=width, height=height)
+
+    return docs.mapInPandas(
+        build,
+        "id long, content binary, modality string, width int, height int",
+    )

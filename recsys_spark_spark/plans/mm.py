@@ -248,22 +248,17 @@ def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- perceptual-hash image dedup (multimodal × dedup family) -----------------
-def _image_dhash_dedup_sql() -> str:
-    """DuckDB twin of the decode→dHash→group pipeline: regenerates the
-    deterministic raster (md5 blocks of text), parses the SAME sampled
-    pixel bytes from hex, applies the identical integer-luma compare,
-    and groups the 64-bit strings — every dHash bit is value-hash
-    parity-checked per row."""
+def _dhash_sql_parts() -> tuple[list[str], str]:
+    """(luma select list, bit-string expression) over a ``raster_hex``
+    column — the SQL replay of image_dhash's grid sample + integer
+    luma + horizontal gradient, shared by the exact-dedup and
+    near-pairs oracles so the two can never drift."""
     from ..operators.multimodal import (
         DHASH_GRID_H,
         DHASH_GRID_W,
         PPM_H,
         PPM_W,
     )
-
-    n_bytes = PPM_W * PPM_H * 3
-    n_blocks = (n_bytes + 15) // 16
-    raster_hex = " || ".join(f"md5(text || ':{i}')" for i in range(n_blocks))
 
     def px(hexpos: int) -> str:
         return (
@@ -286,9 +281,30 @@ def _image_dhash_dedup_sql() -> str:
         for y in range(DHASH_GRID_H)
         for x in range(DHASH_GRID_W - 1)
     )
+    return lumas, bits
+
+
+def _raster_hex_sql() -> str:
+    """The deterministic md5-block raster as hex, replaying
+    with_ppm_content's block construction."""
+    from ..operators.multimodal import PPM_H, PPM_W
+
+    n_bytes = PPM_W * PPM_H * 3
+    n_blocks = (n_bytes + 15) // 16
+    blocks = " || ".join(f"md5(text || ':{i}')" for i in range(n_blocks))
+    return f"substr({blocks}, 1, {n_bytes * 2})"
+
+
+def _image_dhash_dedup_sql() -> str:
+    """DuckDB twin of the decode→dHash→group pipeline: regenerates the
+    deterministic raster (md5 blocks of text), parses the SAME sampled
+    pixel bytes from hex, applies the identical integer-luma compare,
+    and groups the 64-bit strings — every dHash bit is value-hash
+    parity-checked per row."""
+    lumas, bits = _dhash_sql_parts()
     return f"""
 WITH raster AS (
-  SELECT doc_id, substr({raster_hex}, 1, {n_bytes * 2}) AS raster_hex
+  SELECT doc_id, {_raster_hex_sql()} AS raster_hex
   FROM documents
 ),
 luma AS (
@@ -345,3 +361,93 @@ def multimodal_image_dhash_dedup(
         F.count("*").over(w).cast("bigint").alias("group_size"),
         (F.col("id") == F.min("id").over(w)).cast("int").alias("is_keeper"),
     )
+
+
+def _image_dhash_near_pairs_sql() -> str:
+    """DuckDB twin of the Hamming-tolerant match: rebuilds BOTH the
+    base rasters and the planted twins' rasters (hex overlay of
+    'ffffff' at the modified pixel's byte offset — exactly
+    with_ppm_twin_content's mutation), replays the dHash bits via the
+    shared _dhash_sql_parts, then brute-force joins with an exact
+    per-character Hamming count.  Brute force is the SEMANTIC
+    definition the banded Spark plan must equal: for max_hamming ≤
+    DHASH_CHUNKS − 1 the pigeonhole argument makes the band join
+    exact, and no chunk bucket on this corpus approaches the
+    MAX_DHASH_BUCKET cap (md5-random 16-bit chunks), so a value-hash
+    match certifies band generation + cap + verify end-to-end."""
+    from ..operators.multimodal import (
+        PPM_W,
+        TWIN_EVERY,
+        TWIN_ID_OFFSET,
+        TWIN_PIX_X,
+        TWIN_PIX_Y,
+    )
+
+    lumas, bits = _dhash_sql_parts()
+    off = (TWIN_PIX_Y * PPM_W + TWIN_PIX_X) * 3 * 2  # hex chars before pixel
+    hamming = (
+        "CAST(len(list_filter(range(1, 65), i -> "
+        "substr(a.dhash, CAST(i AS INTEGER), 1) "
+        "<> substr(b.dhash, CAST(i AS INTEGER), 1))) AS INTEGER)"
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, {_raster_hex_sql()} AS raster_hex
+  FROM documents
+),
+twin AS (
+  SELECT id + {TWIN_ID_OFFSET} AS id,
+         substr(raster_hex, 1, {off}) || 'ffffff' ||
+           substr(raster_hex, {off + 7}) AS raster_hex
+  FROM base WHERE id % {TWIN_EVERY} = 0
+),
+allr AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+luma AS (
+  SELECT id, {", ".join(lumas)} FROM allr
+),
+hashed AS (
+  SELECT id, {bits} AS dhash FROM luma
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.id AS id_a, b.id AS id_b, {hamming} AS hamming
+  FROM hashed a JOIN hashed b ON a.id < b.id
+)
+WHERE hamming BETWEEN 1 AND 3
+""".strip()
+
+
+@register_demoted(
+    "image_dhash_near_pairs", oracle=_image_dhash_near_pairs_sql()
+)
+def image_dhash_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-tolerant perceptual image matching — the production
+    image-dedup MODE (re-encodes and single-pixel noise flip a few
+    gradient bits; exact-hash grouping alone misses them), now under
+    the oracle discipline like every other dedup family member (r7
+    VERDICT #3: the un-oracled paths are where round-1's vacuity
+    lesson bit).
+
+    The corpus's md5-random rasters never collide below Hamming 4, so
+    the query PLANTS deterministic near-miss twins (every TWIN_EVERY-th
+    document re-encoded with one dHash-sampled pixel forced to peak
+    luminance — operators/multimodal.py::with_ppm_twin_content); each
+    twin lands at Hamming 0-2 from its base depending on the base's
+    own gradient bits, giving the band join real sub-threshold matches
+    whose distances the oracle value-checks (the PII planted-span
+    convention).  Hamming-0 twins are excluded by the operator's
+    near-MISS contract — they belong to the exact-dedup group.
+
+    Scale shape: candidates share a 16-bit chunk key (never all
+    pairs), hot chunk buckets are capped at MAX_DHASH_BUCKET (the
+    low-texture/letterbox hazard — r7 VERDICT what's-wrong #3), and
+    only 8 fingerprint bytes per image shuffle."""
+    from ..operators.multimodal import (
+        image_dhash,
+        image_dhash_near_pairs,
+        with_ppm_content,
+        with_ppm_twin_content,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    payloads = with_ppm_content(docs).unionByName(with_ppm_twin_content(docs))
+    return image_dhash_near_pairs(image_dhash(payloads), max_hamming=3)

@@ -145,23 +145,49 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: sketch twin shares the winsorize grain, so one merged row can
 #: certify all three after each earns its own driver row first).
 #:
-#: ROTATION PLAN for round 8 (pre-staged; verify against
-#: CORRECTNESS_r07 before executing): window = the 4 r7-born
-#: never-row queries (events_value_normalized_sketch,
-#: embedding_knn_recall_audit, events_key_skew_audit,
-#: multimodal_image_dhash_dedup) + the 13
-#: recency-2 rows green r5 and skipped in r7 (cf_negative_samples,
-#: corpus_line_dedup, corpus_mixture_sample, customer_name_fuzzy_pairs,
-#: customer_rfm_segments, events_anomaly_daily, events_daily_dense,
-#: events_dq_audit, events_funnel, events_transition_matrix,
-#: item_cooccurrence_lift, user_retention_cohorts, user_value_scd2)
-#: + 33 of the 48 recency-1 rows (green r6, demoted r7) — prefer the
-#: ANN/dedup/pipeline flagships (embedding_knn_* ×8, neardup_* ×4,
-#: doc_duplicate_spans, doc_dedup_cut, corpus_train_ready,
-#: corpus_clean/vocab/pps/splits, the CF axis rows) so the heaviest
-#: plans re-certify first; the ~15 left out are recency-2 entering
-#: r9 and MUST all be taken then.  Execute any staged merges whose
-#: members' r7 rows landed green in the same commit.
+#: Round 8 (EXECUTED this round): verified CORRECTNESS_r07 50/50 green
+#: first, then the pre-staged plan ran with one staged-merge
+#: adjustment — doc_char_entropy → doc_quality_scores EXECUTED (both
+#: members' r7 rows landed green; the entropy columns now ride the
+#: doc_quality_scores row), so the merged doc_quality_scores takes a
+#: window slot for an immediate driver row on its new columns (the r7
+#: doc_unigram_logprob precedent) and 32 (not 33) recency-1 rows fill
+#: the remainder.  Window = 4 r7-born never-row queries + the 13
+#: recency-2 rows green r5 + merged doc_quality_scores + 32 green-r6
+#: flagships (ANN ×8, neardup ×5, spans/cut, pipeline ×5, CF axis ×7,
+#: streamed sketch + CMS top-k + triangles + join-depth stress + WAV
+#: decode).  The feature-trio merge (events_value_normalized +
+#: events_user_target_encoding + events_value_normalized_sketch → one
+#: per-fact feature row) stays STAGED until the sketch twin's r8 row
+#: lands — execute in r9.
+#:
+#: Post-r8 audit (recency = rounds since last driver-green row,
+#: assuming the r8 window runs green):
+#:   recency 0: 50 (the window below)
+#:   recency 1: 48 (the r7-green rows demoted this round, minus
+#:                  doc_quality_scores kept + doc_char_entropy merged
+#:                  away)
+#:   recency 2: 16 (green r6, not re-promoted this round:
+#:                  decontaminate_docs, doc_bm25_search,
+#:                  doc_repetition_scores, doc_simhash, doc_zipf_fit,
+#:                  event_ratings_projection, events_dau_wau_stickiness,
+#:                  events_in_anomaly_windows, events_prev_gap,
+#:                  events_purchase_view_join, multimodal_ppm_resize,
+#:                  order_ship_latency, sales_rollup,
+#:                  seq_baskets_periods, seq_rule_support,
+#:                  seq_sequences)
+#:   never: 2 no-oracle BY DESIGN (sequential_topk + als_topk) + any
+#:          r8-born queries (image_dhash_near_pairs), staged at the r9
+#:          window head
+#: Steady state: 115 oracled (115 r7-end − 1 entropy merge + 1 r8-born
+#: near-pairs) / 50-row window = 2.3-round cycle.  ROTATION PLAN for
+#: round 9 (pre-staged; verify against CORRECTNESS_r08 first): window
+#: = image_dhash_near_pairs (r8-born) + ALL 16 recency-2 rows above
+#: (mandatory) + 33 of the 48 recency-1 rows, preferring the r7-born
+#: four (their second row certifies stability) and the heavy
+#: analytics/streaming tier; execute the feature-trio merge in the
+#: same commit once CORRECTNESS_r08 shows the sketch twin green,
+#: pulling the oracled count back to ~113.
 #: Keep sequential_topk / als_topk demoted permanently (no_oracle by
 #: design).  Keep bench=True rows registered or demoted freely — the
 #: bench set is independent of the correctness window.
@@ -171,60 +197,64 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: lands in DEMOTED regardless of which decorator the def site uses.
 #: Rotations edit THIS tuple (and the audit comment above) only.
 REGISTERED_WINDOW: frozenset[str] = frozenset({
-    # never had a driver row (13): item_sims + the twelve r6-born
-    "item_sims",
-    "multimodal_video_frames",
-    "embedding_semdedup_scale",
-    "corpus_bpe_pair_counts",
-    "corpus_lang_temperature_weights",
-    "doc_char_entropy",
-    "events_stream_user_cms",
-    "events_value_normalized",
-    "events_user_target_encoding",
-    "events_value_robust_scaled",
-    "popularity_topk",
-    "random_topk",
-    "customer_k_anonymity",
-    # recency 3 — green r3 (10)
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "top_orders_per_customer",
-    "customer_semi_anti_joins",
-    "order_priority_pivot",
-    "events_json_props",
-    "part_price_median_by_brand",
-    "order_customer_set_ops",
-    "rating_stats_per_user",
-    # recency 2 — green r4 (19)
-    "dedup_docs",
-    "doc_quality_scores",  # now also carries token stats + readability
-    "top_tokens",
-    "doc_stats_by_lang",
-    "embedding_centroids_by_label",
-    "embedding_neardup_pairs",
-    "doc_chunks",
-    "corpus_samples",
-    "corpus_pack",
-    "content_topk_cosine",
-    "cf_predictions",
-    "itemmean_rmse_mae",
-    "multimodal_features_frames",
-    "events_daily",
-    "events_sessions",
-    "events_asof_last_purchase",
-    "events_sliding_1h",
-    "sales_cube",
-    "customer_running_revenue",
-    # recency 1 fill — green r5 (8); unigram first (merged bigram cols)
-    "doc_unigram_logprob",
-    "neardup_dedup_docs",
-    "doc_winnow_fingerprints",
-    "doc_pii_scrub",
-    "doc_url_domains",
-    "item_pagerank",
-    "events_value_quantile_sketch",
-    "user_cf_coverage_novelty",
+    # r7-born, never had a driver row (4)
+    "events_value_normalized_sketch",
+    "embedding_knn_recall_audit",
+    "events_key_skew_audit",
+    "multimodal_image_dhash_dedup",
+    # recency 2 — green r5, skipped in r7 (13)
+    "cf_negative_samples",
+    "corpus_line_dedup",
+    "corpus_mixture_sample",
+    "customer_name_fuzzy_pairs",
+    "customer_rfm_segments",
+    "events_anomaly_daily",
+    "events_daily_dense",
+    "events_dq_audit",
+    "events_funnel",
+    "events_transition_matrix",
+    "item_cooccurrence_lift",
+    "user_retention_cohorts",
+    "user_value_scd2",
+    # merged this round: + char-entropy columns deserve a driver row (1)
+    "doc_quality_scores",
+    # recency 1 — green r6, demoted r7: ANN flagships (8)
+    "embedding_knn_bruteforce",
+    "embedding_knn_lsh",
+    "embedding_knn_ivf",
+    "embedding_knn_int8",
+    "embedding_knn_ivf_int8",
+    "embedding_knn_pq",
+    "embedding_knn_ivfpq",
+    "embedding_semdedup",
+    # recency 1: near-dedup family (7)
+    "neardup_minhash_lsh",
+    "neardup_ngram_jaccard",
+    "neardup_simhash",
+    "neardup_components",
+    "neardup_group_keepers",
+    "doc_duplicate_spans",
+    "doc_dedup_cut",
+    # recency 1: composed pipelines (5)
+    "corpus_train_ready",
+    "corpus_clean",
+    "corpus_vocab",
+    "corpus_pps_sample",
+    "corpus_splits",
+    # recency 1: CF axis (7)
+    "user_sims",
+    "user_topk_cosine",
+    "item_topk_cosine",
+    "user_cf_rmse_mae",
+    "user_cf_ranking_eval",
+    "user_cf_cv5_rmse",
+    "hybrid_topk",
+    # recency 1: streaming / sketch / graph / join-depth / decode (5)
+    "events_stream_quantile_sketch",
+    "top_tokens_cms",
+    "item_graph_triangles",
+    "brand_region_market_share",
+    "multimodal_wav_features",
 })
 
 
@@ -330,5 +360,14 @@ def _load_all() -> None:
     if missing:  # a window name with no def site is a rotation typo
         raise RuntimeError(
             f"REGISTERED_WINDOW names without a registration: {sorted(missing)}"
+        )
+    # The driver checks at most 50 rows/round; a short window (e.g. a
+    # name dropped in a rotation edit — a frozenset literal can't hold
+    # duplicates, but a deletion typo can shrink it) silently wastes
+    # correctness slots, so pin the exact size (r7 ADVICE).
+    if len(REGISTERED_WINDOW) != 50:
+        raise RuntimeError(
+            f"REGISTERED_WINDOW must hold exactly 50 names, "
+            f"got {len(REGISTERED_WINDOW)}"
         )
     _LOADED = True

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import qround
+from ..functions.rounding import qround, qround_sql
 from ..operators.dedup import hash60, hash60_sql
 from ..operators.pii import pii_counts, pii_counts_sql, pii_scrub, pii_scrub_sql
 from ..sources.readers import table
@@ -94,11 +94,30 @@ def _lang_score_sql(lang: str) -> str:
     )
 
 
+#: per-term 6dp-quantized ln for the character-entropy fold (the
+#: doc_zipf_fit convention for non-correctly-rounded transcendentals)
+_ENTROPY_LN_Q = qround_sql("ln(p)", 6)
+
+#: −Σ p·ln p folded LEFT-TO-RIGHT over the SORTED distinct chars, so
+#: both engines sum the identical sequence (ex-doc_char_entropy oracle,
+#: merged into doc_quality_scores in the r8 rotation)
+_ENTROPY_FOLD_SQL = (
+    "-list_reduce(list_prepend(0.0,"
+    " list_transform("
+    "  list_transform(list_sort(list_distinct(chars)),"
+    "   ch -> CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE)"
+    "         / len(chars)),"
+    "  p -> p * (" + _ENTROPY_LN_Q + "))),"
+    " (a, b) -> a + b)"
+)
+
+
 @register_demoted(
     "doc_quality_scores",
     oracle=f"""
 WITH base AS (
   SELECT doc_id, lang, text, string_split(text, ' ') AS toks,
+         list_filter(string_split(text, ''), x -> x <> '') AS chars,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          CAST(len(list_filter(string_split(text, ' '),
                               t -> t IN {_sql_list(STOPWORDS)})) AS DOUBLE)
@@ -140,7 +159,13 @@ SELECT doc_id, n_tokens,
        floor((206.835
               - 1.015 * (CAST(n_tokens AS DOUBLE) / n_sentences)
               - 84.6 * (CAST(n_syllables AS DOUBLE) / n_tokens))
-             * 1000000.0 + 0.5) / 1000000.0 AS flesch
+             * 1000000.0 + 0.5) / 1000000.0 AS flesch,
+       CASE WHEN len(chars) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(len(list_distinct(chars)) AS BIGINT)
+       END AS n_distinct_chars,
+       CASE WHEN len(chars) = 0 THEN 0.0
+            ELSE {qround_sql(_ENTROPY_FOLD_SQL, 6)}
+       END AS entropy_nats
 FROM (
   SELECT *, greatest({", ".join(f"s_{lg}" for lg in sorted(LANG_MARKERS))}) AS best
   FROM scored
@@ -174,7 +199,18 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     run), sentence count = punctuation-run count clamped ≥ 1; words =
     the same whitespace n_tokens as above (identical expression the
     old query used), so the merge adds no second tokenizer pass.  The
-    library form lives on as :func:`readability`."""
+    library form lives on as :func:`readability`.
+
+    Character entropy (ex-doc_char_entropy, merged in the r8 rotation
+    — same per-doc grain, one scan): Shannon entropy in nats, the
+    classic cheap garbage/binary-text signal (Rae et al. 2021
+    quality-filter lineage).  Fully row-local: per-char probabilities
+    over the SORTED distinct characters, −Σ p·ln p folded
+    left-to-right so both engines sum the identical sequence; ln is
+    6dp-quantized per term (the doc_zipf_fit transcendental
+    convention).  Spark's split(text, '') yields [''] for an EMPTY
+    string (unlike DuckDB's string_split → []) so empty elements are
+    filtered; empty documents pin (0 distinct, 0.0 nats)."""
     d = table(spark, sf_dir, "documents")
     n_tokens, stop_ratio, punct_ratio, quality = quality_exprs()
     toks = F.split("text", " ")
@@ -196,6 +232,16 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(1.015) * (n_tokens.cast("double") / n_sent)
         - F.lit(84.6) * (n_syl.cast("double") / n_tokens)
     )
+    chars = F.filter(F.split("text", ""), lambda x: x != "")
+    n_c = F.size(chars)
+    dchars = F.array_sort(F.array_distinct(chars))
+    ent_ps = F.transform(
+        dchars,
+        lambda ch: F.size(F.filter(chars, lambda x: x == ch)).cast("double")
+        / n_c,
+    )
+    ent_terms = F.transform(ent_ps, lambda p: p * qround(F.log(p), 6))
+    ent_fold = F.aggregate(ent_terms, F.lit(0.0), lambda a, b: a + b)
     scores = {lg: _score(LANG_MARKERS[lg]) for lg in sorted(LANG_MARKERS)}
     best = F.greatest(*scores.values())
     pred = None
@@ -224,6 +270,12 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_sent.alias("n_sentences"),
         n_syl.alias("n_syllables"),
         qround(flesch, R6).alias("flesch"),
+        F.when(n_c == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.size(dchars).cast("bigint"))
+        .alias("n_distinct_chars"),
+        F.when(n_c == 0, F.lit(0.0))
+        .otherwise(qround(-ent_fold, 6))
+        .alias("entropy_nats"),
     )
 
 
@@ -544,86 +596,7 @@ def readability(t: DataFrame) -> DataFrame:
     )
 
 
-# --- character entropy (garbage/binary-text signal) ---------------------------
-from ..functions.rounding import qround_sql  # noqa: E402
-
-_ENTROPY_LN_Q = qround_sql("ln(p)", 6)
-
-
-@register_demoted(
-    "doc_char_entropy",
-    oracle=f"""
-WITH c AS (
-  SELECT doc_id,
-         list_filter(string_split(text, ''), x -> x <> '') AS chars
-  FROM documents
-),
-d AS (
-  SELECT doc_id, chars, len(chars) AS n,
-         list_sort(list_distinct(chars)) AS dchars
-  FROM c
-),
-e AS (
-  SELECT doc_id, n, len(dchars) AS nd,
-         list_transform(dchars, ch ->
-           CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / n) AS ps
-  FROM d WHERE n > 0
-)
-SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
-       CAST(nd AS BIGINT) AS n_distinct_chars,
-       {qround_sql(
-           "-list_reduce(list_prepend(0.0,"
-           " list_transform(ps, p -> p * (" + _ENTROPY_LN_Q + "))),"
-           " (a, b) -> a + b)", 6)} AS entropy_nats
-FROM e
-UNION ALL
-SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0
-FROM d WHERE n = 0
-""",
-)
-def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document Shannon character entropy (nats) — the classic
-    cheap garbage/binary-text signal next to the Gopher-style symbol
-    ratios in doc_quality_scores: natural prose sits in a narrow
-    entropy band, while base64 blobs, minified code, and key-mash
-    score far outside it (Rae et al. 2021 quality-filter lineage).
-
-    Fully ROW-LOCAL (no shuffle at any size): per row, sort the
-    distinct characters, count each with an array filter
-    (O(distinct × len) per document), and fold −Σ p·ln p with a
-    LEFT-TO-RIGHT aggregate over the SORTED terms — both engines fold
-    the identical sequence, so the only cross-engine hazard is ln
-    itself, which is 6dp-quantized per term before the fold (the
-    doc_zipf_fit convention for non-correctly-rounded
-    transcendentals).  Empty documents pin (0, 0, 0.0)."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        # Spark split(text, '') yields [''] for an EMPTY string (unlike
-        # DuckDB's string_split, which yields []) — filter empty
-        # elements so the n == 0 branch below fires identically in both
-        # engines and an empty document really does pin (0, 0, 0.0).
-        F.filter(F.split("text", ""), lambda x: x != "").alias("chars"),
-    )
-    d = d.select(
-        "doc_id",
-        "chars",
-        F.size("chars").alias("n"),
-        F.array_sort(F.array_distinct("chars")).alias("dchars"),
-    )
-    ps = F.transform(
-        "dchars",
-        lambda ch: F.size(F.filter("chars", lambda x: x == ch)).cast("double")
-        / F.col("n"),
-    )
-    terms = F.transform(ps, lambda p: p * qround(F.log(p), 6))
-    fold = F.aggregate(terms, F.lit(0.0), lambda a, b: a + b)
-    return d.select(
-        "doc_id",
-        F.col("n").cast("bigint").alias("n_chars"),
-        F.when(F.col("n") == 0, F.lit(0).cast("bigint"))
-        .otherwise(F.size("dchars").cast("bigint"))
-        .alias("n_distinct_chars"),
-        F.when(F.col("n") == 0, F.lit(0.0))
-        .otherwise(qround(-fold, 6))
-        .alias("entropy_nats"),
-    )
+# The doc_char_entropy REGISTRY entry was merged into doc_quality_scores
+# in the r8 rotation (same per-doc grain, one scan — the doc_token_stats
+# / doc_readability merge pattern); the entropy expressions live inline
+# in that query's select and its oracle's _ENTROPY_FOLD_SQL above.

@@ -565,15 +565,17 @@ def test_char_entropy_empty_doc_pins_zero(spark, tmp_path):
     string_split yields []) — the r6 ADVICE latent: without the
     empty-element filter an empty document scored (1, 1, 0.0) on the
     Spark side vs the oracle's (0, 0, 0.0).  Pin the fixed behavior on
-    BOTH engines over a corpus that actually contains an empty doc."""
+    BOTH engines over a corpus that actually contains an empty doc.
+    The entropy columns live in doc_quality_scores since the r8
+    rotation merged doc_char_entropy into it (same per-doc grain)."""
     import duckdb
 
     from recsys_spark_spark.plans.registry import DEMOTED, QUERIES, _load_all
 
     _load_all()
-    spec = {**QUERIES, **DEMOTED}["doc_char_entropy"]
+    spec = {**QUERIES, **DEMOTED}["doc_quality_scores"]
     d = spark.createDataFrame(
-        [(1, ""), (2, "aab")], "doc_id long, text string"
+        [(1, "en", ""), (2, "en", "aab")], "doc_id long, lang string, text string"
     )
     d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     out = {r["doc_id"]: r for r in spec.fn(spark, str(tmp_path)).collect()}
@@ -587,15 +589,12 @@ def test_char_entropy_empty_doc_pins_zero(spark, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM "
         f"'{tmp_path}/documents.parquet/*.parquet'"
     )
-    drows = {r[0]: r for r in con.sql(spec.oracle).fetchall()}
+    odf = con.sql(spec.oracle).df().set_index("doc_id")
     con.close()
     for doc_id, row in out.items():
-        assert (
-            drows[doc_id][1],
-            drows[doc_id][2],
-            round(drows[doc_id][3], 6),
-        ) == (
-            row["n_chars"],
-            row["n_distinct_chars"],
-            round(row["entropy_nats"], 6),
+        orow = odf.loc[doc_id]
+        assert int(orow["n_chars"]) == row["n_chars"]
+        assert int(orow["n_distinct_chars"]) == row["n_distinct_chars"]
+        assert round(float(orow["entropy_nats"]), 6) == round(
+            row["entropy_nats"], 6
         )
