@@ -34,11 +34,18 @@ measured query is followed by a drain.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 #: (owner token | None, cached DataFrame) — None = the shared
 #: single-owner pool drained by a bare release_tracked()
 _tracked: list[tuple[object | None, DataFrame]] = []
+
+#: guards _tracked (NOT the unpersist calls themselves — those are
+#: thread-safe JVM-side); held only around list mutation so a slow
+#: unpersist never blocks another thread's track()
+_lock = threading.Lock()
 
 
 def scope() -> object:
@@ -53,7 +60,8 @@ def track(df: DataFrame, owner: object | None = None) -> DataFrame:
     ``owner`` (from :func:`scope`) attributes the cache to one consumer
     so a concurrent pipeline's ``release_tracked(other)`` cannot evict
     it; omitted, the cache joins the shared single-owner pool."""
-    _tracked.append((owner, df))
+    with _lock:
+        _tracked.append((owner, df))
     return df
 
 
@@ -66,16 +74,15 @@ def release_tracked(owner: object | None = None) -> None:
     cache is drained regardless of owner — callers sharing a session
     with another live consumer must pass their own scope token
     instead."""
-    global _tracked
-    if owner is None:
-        while _tracked:
-            _tracked.pop()[1].unpersist()
-        return
-    kept: list[tuple[object | None, DataFrame]] = []
-    for tok, df in reversed(_tracked):
-        if tok is owner:
-            df.unpersist()
+    # claim the victims under the lock, unpersist outside it: a
+    # concurrent track()/release cannot lose or double-release an
+    # entry because each entry leaves the list exactly once
+    with _lock:
+        if owner is None:
+            victims = [df for _, df in reversed(_tracked)]
+            _tracked.clear()
         else:
-            kept.append((tok, df))
-    kept.reverse()
-    _tracked = kept
+            victims = [df for tok, df in reversed(_tracked) if tok is owner]
+            _tracked[:] = [e for e in _tracked if e[0] is not owner]
+    for df in victims:
+        df.unpersist()

@@ -862,7 +862,7 @@ SELECT '{col}' AS key_col,
              * 1000000.0 + 0.5) / 1000000.0 AS top{SKEW_TOP_N}_share
 FROM (
   SELECT CAST(count(*) AS BIGINT) AS n_rows,
-         CAST(count(DISTINCT {col}) AS BIGINT) AS n_keys
+         CAST(count(DISTINCT CAST({col} AS VARCHAR)) AS BIGINT) AS n_keys
   FROM events WHERE {col} IS NOT NULL
 ) t
 CROSS JOIN (
@@ -872,8 +872,9 @@ CROSS JOIN (
 ) h
 CROSS JOIN (
   SELECT CAST(sum(c) AS BIGINT) AS top_rows FROM (
-    SELECT count(*) AS c FROM events WHERE {col} IS NOT NULL
-    GROUP BY {col} ORDER BY c DESC, CAST({col} AS VARCHAR) ASC
+    SELECT CAST({col} AS VARCHAR) AS k, count(*) AS c
+    FROM events WHERE {col} IS NOT NULL
+    GROUP BY 1 ORDER BY c DESC, k ASC
     LIMIT {SKEW_TOP_N}
   )
 ) tp
@@ -907,13 +908,18 @@ def events_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     out = None
     for col in SKEW_AUDIT_KEYS:
+        # EVERY aggregate — Spark and all three oracle CTEs — groups
+        # on the SAME string-cast key expression (r7 ADVICE): for the
+        # current keys the cast is injective so the values are
+        # unchanged, and a future non-injectively-castable column
+        # (e.g. a double) collapses identically in both engines
+        # instead of silently desynchronizing plan and oracle.
         ne = e.where(F.col(col).isNotNull())
-        counts = ne.groupBy(
-            F.col(col).cast("string").alias("k")
-        ).agg(F.count("*").alias("c"))
+        key = F.col(col).cast("string")
+        counts = ne.groupBy(key.alias("k")).agg(F.count("*").alias("c"))
         tot = ne.agg(
             F.count("*").alias("n_rows"),
-            F.countDistinct(col).alias("n_keys"),
+            F.countDistinct(key).alias("n_keys"),
         )
         hot = (
             counts.orderBy(F.desc("c"), F.asc("k"))

@@ -72,3 +72,42 @@ def test_scoped_release_only_evicts_own_caches(spark):
 
     release_tracked()  # bare form drains the rest regardless of owner
     assert _persistent_ids(spark) - base_ids == set()
+
+
+def test_track_release_thread_safe(spark):
+    """r7 ADVICE: the registry mutation is lock-guarded, so concurrent
+    track/release from threads sharing the session can neither lose an
+    entry (a cache that is never released) nor double-release one.
+    Hammer the list with racing owners and assert exact accounting:
+    every tracked cache ends uncached, and the registry ends empty."""
+    import threading
+
+    from recsys_spark_spark.operators import cache_tracking as ct
+
+    ct.release_tracked()  # drain anything earlier tests left behind
+    n_threads, n_each = 8, 25
+    dfs = []
+    lock = threading.Lock()
+
+    def worker(_i: int) -> None:
+        tok = ct.scope()
+        mine = []
+        for j in range(n_each):
+            df = spark.range(j + 1).cache()
+            ct.track(df, owner=tok)
+            mine.append(df)
+        ct.release_tracked(tok)
+        with lock:
+            dfs.extend(mine)
+
+    threads = [
+        threading.Thread(target=worker, args=(i,)) for i in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert len(dfs) == n_threads * n_each
+    assert all(not df.is_cached for df in dfs)
+    assert ct._tracked == []
