@@ -105,6 +105,20 @@ def main() -> None:
             c = dict(_pipeline.last_clean_timings or {})
             c["assembly"] = round(t_total - sum(c.values()), 3)
             stages[name] = c
+        elif name == "neardup_components":
+            # r8 deliberate addition: the hottest single stage of the
+            # dedup composition (MinHash pair join → transitive
+            # components) as a first-class line — edges_labels_init is
+            # where the banded pair join executes; emit_hash is the
+            # lazy keeper projection + result hash
+            from recsys_spark_spark.plans import dedup as _dedup
+
+            nc = dict(_dedup.last_components_timings or {})
+            n_rounds = nc.pop("rounds", None)
+            nc["emit_hash"] = round(t_total - sum(nc.values()), 3)
+            if n_rounds is not None:
+                nc["rounds"] = n_rounds
+            stages[name] = nc
         elif name == "corpus_train_ready":
             # r7 deliberate addition: the flagship four-stage dedup
             # composition (gate → exact dedup → transitive near-dup →
@@ -162,7 +176,8 @@ def main() -> None:
     like_for_like = round(
         total
         - timings.get("events_stream_quantile_sketch", 0.0)
-        - timings.get("corpus_train_ready", 0.0),
+        - timings.get("corpus_train_ready", 0.0)
+        - timings.get("neardup_components", 0.0),
         3,
     )
     # als fit/serve attribution rides in the compact record too (r6

@@ -34,6 +34,8 @@ in any pair); both shuffle on id keys, nothing is quadratic.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -51,11 +53,19 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = MAX_ROUNDS,
+    timings_out: dict | None = None,
 ) -> DataFrame:
     """``(id, component)`` for every node appearing in ``edges``, where
     ``component`` is the minimum node id reachable via undirected
     edges.  Ids must be orderable (the min-id convention doubles as
-    the deterministic keeper rule: keeper ⇔ id == component)."""
+    the deterministic keeper rule: keeper ⇔ id == component).
+
+    ``timings_out`` (optional, for bench attribution): filled with
+    ``edges_labels_init`` (materializing the undirected edge cache +
+    initial labels — this is where the upstream PAIR plan executes,
+    e.g. the MinHash band join), ``iterate`` (the propagation loop)
+    and ``rounds``."""
+    t0 = time.perf_counter()
     # undirected: one generator explode, not a union of two plans of
     # the (possibly expensive) edge subtree
     und = (
@@ -86,6 +96,10 @@ def connected_components(
         .select("id", F.col("id").alias("comp"))
         .localCheckpoint()
     )
+    if timings_out is not None:
+        timings_out["edges_labels_init"] = round(time.perf_counter() - t0, 3)
+    t_loop = time.perf_counter()
+    rounds = 0
 
     label_sum = None
     # + 1: the sum-unchanged check confirms convergence one round
@@ -136,6 +150,7 @@ def connected_components(
             F.sum(F.col("comp").cast("decimal(38,0)"))
         ).collect()[0][0]
         labels = jumped
+        rounds += 1
         if new_sum == label_sum:
             break
         label_sum = new_sum
@@ -145,6 +160,9 @@ def connected_components(
             f"connected_components did not converge in {max_rounds} rounds"
         )
     und.unpersist()
+    if timings_out is not None:
+        timings_out["iterate"] = round(time.perf_counter() - t_loop, 3)
+        timings_out["rounds"] = rounds
     return labels.select("id", "comp")
 
 

@@ -200,7 +200,9 @@ def test_bench_set_is_stable():
     Additions are deliberate acts: update this list WITH the PERF.md
     note explaining the total change (als_topk joined in round 4,
     events_stream_quantile_sketch in round 5, corpus_train_ready — the
-    flagship LLM-pipeline composition — in round 7)."""
+    flagship LLM-pipeline composition — in round 7, neardup_components
+    — the composition's hottest stage as its own attributable line —
+    in round 8)."""
     from recsys_spark_spark.plans.registry import bench_queries
 
     assert sorted(bench_queries()) == [
@@ -215,6 +217,7 @@ def test_bench_set_is_stable():
         "events_stream_quantile_sketch",
         "hybrid_topk",
         "item_topk_cosine",
+        "neardup_components",
         "neardup_minhash_lsh",
         "q1_pricing_summary",
         "q3_top_revenue_orders",
