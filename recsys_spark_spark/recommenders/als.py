@@ -197,6 +197,8 @@ def als_topk(
     headroom: int | None = None,
     max_broadcast_items: int = 1_000_000,
     candidate_pad: int = 64,
+    chunk_budget_f32: int = 32_000_000,
+    serve_partitions: int | None = None,
 ) -> DataFrame:
     """Top-K UNRATED items per user via ALS — EXACT over the full
     unrated catalog.
@@ -240,7 +242,17 @@ def als_topk(
     n_items = model.itemFactors.count()
     if n_items > max_broadcast_items:
         return als_topk_blocked(ratings, model, mu, bi, bu, k_items, headroom)
-    return _als_topk_exact(ratings, model, mu, bi, bu, k_items, candidate_pad)
+    return _als_topk_exact(
+        ratings,
+        model,
+        mu,
+        bi,
+        bu,
+        k_items,
+        candidate_pad,
+        chunk_budget_f32=chunk_budget_f32,
+        serve_partitions=serve_partitions,
+    )
 
 
 def _als_topk_exact(
@@ -251,10 +263,26 @@ def _als_topk_exact(
     bu: DataFrame,
     k_items: int,
     candidate_pad: int = 64,
+    chunk_budget_f32: int = 32_000_000,
+    serve_partitions: int | None = None,
 ) -> DataFrame:
     """Seen-masked GEMM serving over broadcast item factors (see
     :func:`als_topk`).  Driver-side state is O(items×rank) — the item
-    model, bounded by the caller's ``max_broadcast_items`` gate."""
+    model, bounded by the caller's ``max_broadcast_items`` gate.
+
+    ``chunk_budget_f32`` bounds the per-task f32 score chunk (elements;
+    32M ≈ 128 MB) and ``serve_partitions`` the GEMM task count —
+    the two serve-side contention levers A/B'd in round 8 (PERF.md).
+    The shipped default is 4 × defaultParallelism: with exactly one
+    long GEMM task per core, ONE descheduled task under external
+    co-load adds a full task length to the stage tail (measured 49 s
+    worst case vs a 10-13 s band under a 64-process hog); 4× shorter
+    tasks bound any single straggler at a quarter of the work and
+    also load-balance the skew in per-user seen-list sizes (best
+    uncontended serve improved 6.2 s → 3.8 s at sf0.1).  A smaller
+    f32 chunk was A/B-REJECTED (2.3× slower contended: per-chunk
+    fixed costs — argpartition over the full catalog per chunk —
+    dominate long before memory bandwidth does)."""
     import numpy as np
     import pandas as pd
 
@@ -296,7 +324,11 @@ def _als_topk_exact(
     # size and would serialize the whole serving pass.  An explicit
     # numPartitions repartition is exempt from AQE coalescing and
     # spreads the GEMM across the cluster.
-    users = users.repartition(spark.sparkContext.defaultParallelism)
+    users = users.repartition(
+        serve_partitions
+        if serve_partitions is not None
+        else 4 * spark.sparkContext.defaultParallelism
+    )
 
     # output id columns keep the factor-frame types (ALS ids are int)
     uid_t = users.schema["user_id"].dataType.simpleString()
@@ -307,7 +339,7 @@ def _als_topk_exact(
     # bound the f32 score chunk at ~128 MB regardless of catalog size
     # (users/chunk shrinks as items grow; 1 600 users at 20k items,
     # 32 users at the 1M-item broadcast ceiling)
-    chunk_users = max(8, min(1024, 32_000_000 // max(1, len(item_ids))))
+    chunk_users = max(8, min(1024, chunk_budget_f32 // max(1, len(item_ids))))
 
     def _serve(batches):
         item_ids_, V_, biv_ = bc.value
