@@ -321,3 +321,53 @@ def events_stream_user_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "user_id", "est_count", "exact_count"
     )
+
+
+# --- Bloom-filter join pruning ------------------------------------------------
+@register_demoted(
+    "lineitem_bloom_semijoin",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       floor((sum(l_quantity)) * 1000000.0 + 0.5) / 1000000.0      AS sum_qty,
+       floor((sum(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS sum_price
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def lineitem_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join (operators/bloom.py): lineitems of
+    URGENT-priority orders, aggregated per (returnflag, linestatus) —
+    the explicit form of scan-side join pruning for when Catalyst's
+    runtime Bloom injection can't see the build side's selectivity.
+
+    Plan shape (the 100 TB point, plan-asserted in tests/test_bloom.py):
+    the urgent order keys fold into a 2^20-bit bitmap (128 KiB — one
+    row, broadcast), every lineitem is k-probe-filtered ROW-LOCALLY at
+    the scan (whole-stage codegen, no UDF), and only the surviving
+    ~selectivity fraction of the fact table pays the exact verify
+    semi-join shuffle.  Zero false negatives by construction; false
+    positives are removed by the verify join — so the composition is
+    SEMANTICALLY a plain semi-join, which is exactly what the oracle
+    replays (a value-hash match certifies the whole prune path:
+    a single dropped true row would change the aggregates).
+    FP-rate-vs-analytic-bound and prune-actually-prunes assertions
+    live in tests/test_bloom.py."""
+    from ..operators.bloom import bloom_semi_join
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    urgent = orders.where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    hits = bloom_semi_join(lineitem, urgent, "l_orderkey", "o_orderkey")
+    from ..functions.rounding import qround
+
+    return hits.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        qround(F.sum("l_quantity"), 6).alias("sum_qty"),
+        qround(F.sum("l_extendedprice"), 6).alias("sum_price"),
+    )

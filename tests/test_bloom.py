@@ -1,0 +1,135 @@
+"""Bloom-filter join pruning (operators/bloom.py): zero false
+negatives, analytically-bounded false positives, exact semi-join
+composition, and the 100 TB plan shape (row-local probe at the scan,
+broadcast bitmap, no extra shuffle before the prune)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    """Tiny deliberately-undersized filter (m=256, k=3, n=100 keys):
+    every true key MUST pass (Bloom's one hard guarantee), and the
+    measured false-positive rate over 9,900 non-keys must sit within
+    2× the analytic (1 − e^(−kn/m))^k — the sizing formula users
+    dimension production filters with."""
+    from recsys_spark_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.range(0, 200, 2).select(F.col("id").alias("k"))
+    facts = spark.range(10_000).select(F.col("id").alias("fk"))
+    got = set(
+        r["fk"]
+        for r in bloom_might_contain(
+            facts, bloom_build(keys, "k", 256, 3), "fk", 256, 3
+        ).collect()
+    )
+    true_keys = set(range(0, 200, 2))
+    assert true_keys <= got, "Bloom false negative"
+    fp_rate = len(got - true_keys) / (10_000 - len(true_keys))
+    analytic = (1 - math.exp(-3 * 100 / 256)) ** 3
+    assert fp_rate <= 2 * analytic, (fp_rate, analytic)
+    assert fp_rate > 0, "undersized filter should show FPs (test vacuous)"
+
+
+def test_bloom_default_sizing_near_exact(spark):
+    """At the default m=2^20 / k=5 with 100 keys the FP probability is
+    ~1e-15 per probe-set — the candidate set should be exactly the
+    true keys, i.e. the prune alone already does the semi-join's work
+    and the verify join touches only true matches."""
+    from recsys_spark_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.range(0, 200, 2).select(F.col("id").alias("k"))
+    facts = spark.range(10_000).select(F.col("id").alias("fk"))
+    got = sorted(
+        r["fk"]
+        for r in bloom_might_contain(
+            facts, bloom_build(keys, "k"), "fk"
+        ).collect()
+    )
+    assert got == list(range(0, 200, 2))
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    """The composition (prune → verify) must be SEMANTICALLY identical
+    to a plain left-semi join even when the undersized bitmap passes
+    many false positives — the verify join removes every one."""
+    from recsys_spark_spark.operators.bloom import bloom_semi_join
+
+    keys = spark.range(0, 300, 3).select(F.col("id").alias("k"))
+    facts = spark.range(5_000).select(
+        F.col("id").alias("fk"), (F.col("id") % 7).alias("v")
+    )
+    got = bloom_semi_join(facts, keys, "fk", "k", 128, 2)
+    want = facts.join(
+        keys.select(F.col("k").alias("fk")), "fk", "left_semi"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_union_merges(spark):
+    """Two filters bit-OR into the union filter — the mergeability
+    property that lets 100 TB builds run as map-side partials (and
+    lets a filter be maintained incrementally batch over batch)."""
+    from recsys_spark_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    a = bloom_build(
+        spark.range(0, 50).select(F.col("id").alias("k")), "k", 512, 3
+    )
+    b = bloom_build(
+        spark.range(50, 100).select(F.col("id").alias("k")), "k", 512, 3
+    )
+    # positional OR: zip_with over the two word arrays (order-safe)
+    orred = (
+        a.crossJoin(b.select(F.col("words").alias("words_b")))
+        .select(
+            F.zip_with(
+                "words", "words_b", lambda x, y: x.bitwiseOR(y)
+            ).alias("words")
+        )
+    )
+    direct = bloom_build(
+        spark.range(0, 100).select(F.col("id").alias("k")), "k", 512, 3
+    )
+    assert (
+        orred.collect()[0]["words"] == direct.collect()[0]["words"]
+    ), "bit-OR of two builds must equal the union build"
+    # and the merged filter accepts every key of both halves
+    facts = spark.range(100).select(F.col("id").alias("fk"))
+    got = bloom_might_contain(facts, orred, "fk", 512, 3).count()
+    assert got == 100
+
+
+def test_bloom_query_plan_prunes_at_scan(spark, sf_dir):
+    """100 TB plan assertions for the registered query: the bitmap
+    arrives by broadcast (BroadcastNestedLoopJoin of the 1-row build —
+    never a shuffled join), the k-probe filter contains the
+    whole-stage-codegen-able element_at/shiftleft math (no UDF: no
+    Python workers in the probe path), and the probe filter sits BELOW
+    the verify semi-join so non-candidates never reach the shuffle."""
+    from recsys_spark_spark.plans.registry import DEMOTED, QUERIES, _load_all
+
+    _load_all()
+    df = {**QUERIES, **DEMOTED}["lineitem_bloom_semijoin"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "shiftleft" in plan and "element_at" in plan
+    assert "pythonUDF" not in plan.lower()
+    # the probe must filter before the semi join consumes the facts:
+    # find the first semi-join occurrence and require a shiftleft
+    # probe somewhere below it in the printed tree (printed after)
+    semi_at = plan.find("LeftSemi")
+    assert semi_at != -1
+    assert "shiftleft" in plan[semi_at:], "probe filter above the semi join"
