@@ -956,3 +956,138 @@ def events_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- join-explosion audit ------------------------------------------------------
+#: audited (join_name, left table.key, right table.key) triples —
+#: compile-time shared between the Spark plan and the oracle generator
+#: (the skew-audit convention).  Keys must cast injectively to BIGINT.
+EXPLOSION_AUDIT_JOINS = [
+    ("events_self_user", ("events", "user_id"), ("events", "user_id")),
+    ("events_customer", ("events", "user_id"), ("customer", "c_custkey")),
+]
+
+
+def _explosion_join_sql(name: str, left: tuple, right: tuple) -> str:
+    lt, lk = left
+    rt, rk = right
+    return f"""
+SELECT '{name}' AS join_name,
+       CAST(l.n_rows AS BIGINT) AS left_rows,
+       CAST(r.n_rows AS BIGINT) AS right_rows,
+       CAST(j.n_keys AS BIGINT) AS n_join_keys,
+       CAST(j.out_rows AS BIGINT) AS output_rows,
+       CAST(h.max_out AS BIGINT) AS max_key_out,
+       h.hot_key,
+       floor((CAST(j.out_rows AS DOUBLE)
+              / greatest(l.n_rows, r.n_rows)) * 1000000.0 + 0.5)
+         / 1000000.0 AS amplification
+FROM (
+  SELECT count(*) AS n_rows FROM {lt} WHERE {lk} IS NOT NULL
+) l
+CROSS JOIN (
+  SELECT count(*) AS n_rows FROM {rt} WHERE {rk} IS NOT NULL
+) r
+CROSS JOIN (
+  SELECT count(*) AS n_keys, CAST(sum(prod) AS BIGINT) AS out_rows FROM (
+    SELECT a.k, a.ca * b.cb AS prod
+    FROM (SELECT CAST({lk} AS BIGINT) AS k, count(*) AS ca
+          FROM {lt} WHERE {lk} IS NOT NULL GROUP BY 1) a
+    JOIN (SELECT CAST({rk} AS BIGINT) AS k, count(*) AS cb
+          FROM {rt} WHERE {rk} IS NOT NULL GROUP BY 1) b USING (k)
+  )
+) j
+CROSS JOIN (
+  SELECT CAST(k AS VARCHAR) AS hot_key, CAST(prod AS BIGINT) AS max_out FROM (
+    SELECT a.k, a.ca * b.cb AS prod
+    FROM (SELECT CAST({lk} AS BIGINT) AS k, count(*) AS ca
+          FROM {lt} WHERE {lk} IS NOT NULL GROUP BY 1) a
+    JOIN (SELECT CAST({rk} AS BIGINT) AS k, count(*) AS cb
+          FROM {rt} WHERE {rk} IS NOT NULL GROUP BY 1) b USING (k)
+  ) ORDER BY prod DESC, k ASC LIMIT 1
+) h
+""".strip()
+
+
+@register_demoted(
+    "events_join_explosion_audit",
+    oracle="\nUNION ALL\n".join(
+        _explosion_join_sql(n, l, r) for n, l, r in EXPLOSION_AUDIT_JOINS
+    ),
+)
+def events_join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-output-cardinality audit — the number a 100 TB pipeline
+    checks BEFORE running a join, complementing events_key_skew_audit
+    (skew profiles each side alone; explosion is the JOINT hazard:
+    Σₖ n_left(k)·n_right(k) output rows, which a many-to-many key can
+    push quadratic even when both sides look mildly skewed).  Per
+    audited join: side row counts, matched key count, the EXACT output
+    cardinality, the hottest key's contribution, and amplification =
+    output / max(side) — ≫ 1 means materializing the join explodes and
+    the plan should pre-aggregate, semi-join filter (operators/
+    bloom.py), or cap per-key fanout first (the MAX_RATERS_PER_ITEM /
+    bucket-cap discipline the CF and dedup families already apply).
+
+    Scale shape per join: one count-per-key aggregate per side (the
+    width any shuffle on that key already has), an equi-join of the
+    two COUNT relations (each ≤ |keys| rows — never the fact tables),
+    O(1)-row statistics via one tiny aggregate + TakeOrderedAndProject
+    for the hot key.  Products/sums run in decimal(38,0) — a hot-key
+    count product can overflow BIGINT at fact scale, and ANSI mode
+    escalates that to a job failure (cast back after the aggregate,
+    where the audited magnitudes are long again).
+
+    The audited join list is compile-time shared with the oracle
+    generator, and every key expression (Spark AND oracle, both
+    sides) goes through the same BIGINT cast (the r7 skew-audit
+    ADVICE convention)."""
+    out = None
+    for name, (lt, lk), (rt, rk) in EXPLOSION_AUDIT_JOINS:
+        lf = table(spark, sf_dir, lt).where(F.col(lk).isNotNull())
+        rf = table(spark, sf_dir, rt).where(F.col(rk).isNotNull())
+        lkey = F.col(lk).cast("bigint")
+        rkey = F.col(rk).cast("bigint")
+        ca = lf.groupBy(lkey.alias("k")).agg(F.count("*").alias("ca"))
+        cb = rf.groupBy(rkey.alias("k")).agg(F.count("*").alias("cb"))
+        prods = ca.join(cb, "k").select(
+            "k",
+            (F.col("ca").cast("decimal(38,0)") * F.col("cb")).alias("prod"),
+        )
+        l_tot = lf.agg(F.count("*").alias("left_rows"))
+        r_tot = rf.agg(F.count("*").alias("right_rows"))
+        j = prods.agg(
+            F.count("*").alias("n_join_keys"),
+            F.sum("prod").cast("bigint").alias("output_rows"),
+        )
+        h = (
+            prods.orderBy(F.desc("prod"), F.asc("k"))
+            .limit(1)
+            .select(
+                F.col("k").cast("string").alias("hot_key"),
+                F.col("prod").cast("bigint").alias("max_key_out"),
+            )
+        )
+        row = (
+            l_tot.crossJoin(F.broadcast(r_tot))
+            .crossJoin(F.broadcast(j))
+            .crossJoin(F.broadcast(h))
+            .select(
+                F.lit(name).alias("join_name"),
+                F.col("left_rows").cast("bigint").alias("left_rows"),
+                F.col("right_rows").cast("bigint").alias("right_rows"),
+                F.col("n_join_keys").cast("bigint").alias("n_join_keys"),
+                "output_rows",
+                "max_key_out",
+                "hot_key",
+                qround(
+                    F.col("output_rows").cast("double")
+                    / F.greatest(
+                        F.col("left_rows").cast("double"),
+                        F.col("right_rows").cast("double"),
+                    ),
+                    R6,
+                ).alias("amplification"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -133,3 +133,46 @@ def test_key_skew_audit_planted_hot_key(spark, tmp_path):
     assert u["top10_share"] == 1.0
     t = out["event_type"]
     assert t["n_keys"] == 2 and t["hot_key"] == "click"
+
+
+def test_join_explosion_audit_planted_fanout(spark, tmp_path):
+    """Planted many-to-many fanout must be measured exactly: user 1
+    has 10 events and 3 customer rows (a deliberately denormalized
+    dim), user 2 has 5 and 1, user 3 has 2 events and no customer row.
+    events_customer: output = 10·3 + 5·1 = 35 over 2 matched keys,
+    hot key '1' at 30, amplification = 35/17; events_self_user:
+    output = 10² + 5² + 2² = 129, amplification = 129/17."""
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.plans.relational import (
+        events_join_explosion_audit,
+    )
+
+    ev = [(i, "2024-01-01", 1, "click", 1.0, None) for i in range(10)]
+    ev += [(10 + i, "2024-01-01", 2, "view", 1.0, None) for i in range(5)]
+    ev += [(15 + i, "2024-01-01", 3, "view", 1.0, None) for i in range(2)]
+    spark.createDataFrame(
+        ev,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    cust = [(1, "a"), (1, "b"), (1, "c"), (2, "d"), (9, "e")]
+    spark.createDataFrame(
+        cust, "c_custkey long, c_name string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+
+    out = {
+        r["join_name"]: r
+        for r in events_join_explosion_audit(spark, str(tmp_path)).collect()
+    }
+    ec = out["events_customer"]
+    assert (ec["left_rows"], ec["right_rows"]) == (17, 5)
+    assert (ec["n_join_keys"], ec["output_rows"]) == (2, 35)
+    assert (ec["hot_key"], ec["max_key_out"]) == ("1", 30)
+    assert abs(ec["amplification"] - round(35 / 17, 6)) < 2e-6
+    es = out["events_self_user"]
+    assert (es["n_join_keys"], es["output_rows"]) == (3, 129)
+    assert (es["hot_key"], es["max_key_out"]) == ("1", 100)
+    assert abs(es["amplification"] - round(129 / 17, 6)) < 2e-6
