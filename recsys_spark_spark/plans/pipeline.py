@@ -1046,3 +1046,54 @@ def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# --- leakage-safe temporal split ----------------------------------------------
+@register_demoted(
+    "events_user_temporal_split",
+    oracle="""
+SELECT event_id, user_id,
+       CASE WHEN rn = 1 THEN 'test'
+            WHEN rn = 2 THEN 'val'
+            ELSE 'train' END AS split
+FROM (
+  SELECT event_id, user_id,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+""",
+)
+def events_user_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe TEMPORAL train/val/test assignment — the
+    evaluation-protocol complement to corpus_splits' stratified-random
+    hash split: per user, the LAST event (by time) is test, the
+    second-to-last val, everything earlier train — the standard
+    leave-last-out protocol for sequential/recsys evaluation, where a
+    random split would leak future interactions into training (a model
+    scored on an event that precedes its own training data).
+
+    Deterministic everywhere: ties inside a timestamp break by
+    event_id DESC, so the assignment is a pure function of the row set
+    (rerun/engine/layout-stable, like every split in this family).
+    Users with fewer than 3 events degenerate safely (1 event → test
+    only; 2 → test+val) — the convention that keeps the protocol
+    honest: a user must never be trained on their own future.
+
+    100 TB shape: ONE hash-partitioned shuffle on user_id + a linear
+    window pass — identical cost to any per-user aggregate; no global
+    sort, no quantile pass, no driver state."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    rn = F.row_number().over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.when(rn == 1, "test")
+        .when(rn == 2, "val")
+        .otherwise("train")
+        .alias("split"),
+    )

@@ -178,15 +178,16 @@ DEMOTED: dict[str, QuerySpec] = {}
 #:                  seq_sequences)
 #:   never: 2 no-oracle BY DESIGN (sequential_topk + als_topk) + any
 #:          r8-born queries (image_dhash_near_pairs,
-#:          lineitem_bloom_semijoin, events_join_explosion_audit),
-#:          staged at the r9 window head
-#: Steady state: 117 oracled (115 r7-end − 1 entropy merge + 3 r8-born:
-#: near-pairs, bloom semi-join, join-explosion audit) / 50-row window
-#: = 2.3-round cycle.  ROTATION PLAN for
+#:          lineitem_bloom_semijoin, events_join_explosion_audit,
+#:          events_user_temporal_split), staged at the r9 window head
+#: Steady state: 118 oracled (115 r7-end − 1 entropy merge + 4 r8-born:
+#: near-pairs, bloom semi-join, join-explosion audit, temporal split)
+#: / 50-row window = 2.4-round cycle — at the ceiling; the staged r9
+#: feature-trio merge pulls back to ~116.  ROTATION PLAN for
 #: round 9 (pre-staged; verify against CORRECTNESS_r08 first): window
-#: = the r8-born queries (image_dhash_near_pairs,
-#: lineitem_bloom_semijoin, events_join_explosion_audit) + ALL 16
-#: recency-2 rows above
+#: = the 4 r8-born queries (image_dhash_near_pairs,
+#: lineitem_bloom_semijoin, events_join_explosion_audit,
+#: events_user_temporal_split) + ALL 16 recency-2 rows above
 #: (mandatory) + 33 of the 48 recency-1 rows, preferring the r7-born
 #: four (their second row certifies stability) and the heavy
 #: analytics/streaming tier; execute the feature-trio merge in the

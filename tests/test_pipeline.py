@@ -385,3 +385,48 @@ def test_corpus_splits_disjoint_total_and_stable(spark, sf_dir):
     assert set(c) <= {"train", "val", "test"}
     assert c["train"] / n_docs > 0.9
     assert 0 < c["val"] and 0 < c["test"]
+
+
+def test_temporal_split_never_trains_on_the_future(spark, tmp_path):
+    """The protocol invariant the split exists for: per user,
+    every train event strictly precedes (ts, event_id) of the val
+    event, which precedes the test event; 1-event users are test-only,
+    2-event users test+val; a timestamp tie breaks by event_id DESC
+    (planted: events 20/21 share user 2's latest ts — the higher id
+    must take the test slot)."""
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.plans.pipeline import events_user_temporal_split
+
+    rows = [
+        # user 1: 4 events, strictly increasing ts
+        (10, "2024-01-01 00:00:00", 1),
+        (11, "2024-01-02 00:00:00", 1),
+        (12, "2024-01-03 00:00:00", 1),
+        (13, "2024-01-04 00:00:00", 1),
+        # user 2: tie at the latest ts
+        (20, "2024-02-01 00:00:00", 2),
+        (21, "2024-02-01 00:00:00", 2),
+        # user 3: single event
+        (30, "2024-03-01 00:00:00", 3),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long"
+    ).select(
+        "event_id",
+        F.to_timestamp("ts").alias("ts"),
+        "user_id",
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {
+        r["event_id"]: r["split"]
+        for r in events_user_temporal_split(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        10: "train", 11: "train", 12: "val", 13: "test",
+        21: "test", 20: "val",  # tie: higher event_id wins the test slot
+        30: "test",
+    }
