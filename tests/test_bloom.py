@@ -113,23 +113,25 @@ def test_bloom_union_merges(spark):
 
 
 def test_bloom_query_plan_prunes_at_scan(spark, sf_dir):
-    """100 TB plan assertions for the registered query: the bitmap
-    arrives by broadcast (BroadcastNestedLoopJoin of the 1-row build —
-    never a shuffled join), the k-probe filter contains the
-    whole-stage-codegen-able element_at/shiftleft math (no UDF: no
-    Python workers in the probe path), and the probe filter sits BELOW
-    the verify semi-join so non-candidates never reach the shuffle."""
+    """100 TB plan assertions for the registered query: the bitmap is
+    an embedded array LITERAL (no join brings it in — a 1-row
+    crossJoin would plan the probe as an interpreted
+    BroadcastNestedLoopJoin condition, the 5× regression the operator
+    docstring documents), the k-probe filter is plain codegen-able
+    getbit/element_at math (no UDF: no Python workers in the probe
+    path), and the probe filter sits BELOW the verify semi-join so
+    non-candidates never reach the shuffle."""
     from recsys_spark_spark.plans.registry import DEMOTED, QUERIES, _load_all
 
     _load_all()
     df = {**QUERIES, **DEMOTED}["lineitem_bloom_semijoin"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "shiftleft" in plan and "element_at" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "getbit" in plan and "element_at" in plan
     assert "pythonUDF" not in plan.lower()
     # the probe must filter before the semi join consumes the facts:
-    # find the first semi-join occurrence and require a shiftleft
-    # probe somewhere below it in the printed tree (printed after)
+    # find the first semi-join occurrence and require a getbit probe
+    # somewhere below it in the printed tree (printed after)
     semi_at = plan.find("LeftSemi")
     assert semi_at != -1
-    assert "shiftleft" in plan[semi_at:], "probe filter above the semi join"
+    assert "getbit" in plan[semi_at:], "probe filter above the semi join"
