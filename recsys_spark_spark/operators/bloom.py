@@ -17,9 +17,11 @@ cross-engine contract, or a reusable filter materialized once and
 probed by many queries.
 
 Representation: one row ``(words: array<long>)`` of ``m_bits / 64``
-words — broadcastable, unionable (bitwise OR merges two filters), and
-probe-able entirely in whole-stage codegen (element_at + shiftleft +
-bitwise AND; no UDF anywhere).
+words — unionable (bitwise OR merges two filters) and small enough to
+ship to every task as ONE array literal (collected O(model) driver
+state, the ALS-codebook class), so the probe is a plain
+whole-stage-codegen Filter (element_at + getbit; no UDF, no join —
+see ``bloom_might_contain`` for the measured plan traps).
 
 Hashing: ``xxhash64(seed_i, key)`` per probe i (the cheap JVM-side
 production path, one hash per probe like Carter-Wegman CMS rows in

@@ -345,11 +345,15 @@ def lineitem_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     runtime Bloom injection can't see the build side's selectivity.
 
     Plan shape (the 100 TB point, plan-asserted in tests/test_bloom.py):
-    the urgent order keys fold into a 2^20-bit bitmap (128 KiB — one
-    row, broadcast), every lineitem is k-probe-filtered ROW-LOCALLY at
-    the scan (whole-stage codegen, no UDF), and only the surviving
-    ~selectivity fraction of the fact table pays the exact verify
-    semi-join shuffle.  Zero false negatives by construction; false
+    the urgent order keys fold into a 2^20-bit bitmap (128 KiB of
+    words, collected as O(model) driver state like the ALS codebook
+    and embedded as ONE parsed array literal), every lineitem is
+    k-probe-filtered ROW-LOCALLY at the scan — a plain getbit Filter
+    inside whole-stage codegen, no UDF, no join bringing the bitmap in
+    (a 1-row crossJoin would demote the probe to an interpreted
+    BroadcastNestedLoopJoin condition — the 10× trap PERF.md
+    documents) — and only the surviving ~selectivity fraction of the
+    fact table pays the exact verify semi-join shuffle.  Zero false negatives by construction; false
     positives are removed by the verify join — so the composition is
     SEMANTICALLY a plain semi-join, which is exactly what the oracle
     replays (a value-hash match certifies the whole prune path:
