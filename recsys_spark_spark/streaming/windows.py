@@ -288,3 +288,44 @@ def daily_user_sketch_stream(
             F.hll_sketch_estimate("sketch").alias("est_users"),
         )
     )
+
+
+def bloom_filter_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    m_bits: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Streaming maintenance of a Bloom filter over every key ever
+    seen (operators/bloom.py) — the FOURTH sketch family streamed
+    (histogram = quantiles, CMS = frequencies, HLL = distinct counts,
+    Bloom = membership): an ingestion pipeline keeps the filter
+    current so downstream jobs prune scans against it
+    (bloom_might_contain) without ever rescanning the key history.
+
+    Bit-OR is the whole update, so the sketch-maintenance contract is
+    the strongest of the four: NO watermark and NO eviction needed —
+    state is one row per SET 64-bit word, ≤ m_bits/64 rows
+    (16,384 at the default m) FOREVER, independent of volume AND of
+    distinct-key count, and monotone (a drained grid always equals the
+    batch build over everything ingested — asserted bit-exactly in
+    tests/test_streaming.py alongside the other three).
+
+    Emits the sparse ``(w, word)`` grid (complete mode); densify with
+    the same join-against-range assembly as the batch build when a
+    probe-ready array is needed."""
+    from ..operators.bloom import BLOOM_K, BLOOM_M_BITS, _positions
+
+    m = BLOOM_M_BITS if m_bits is None else m_bits
+    kk = BLOOM_K if k is None else k
+    return (
+        events.select(
+            F.explode(_positions(F.col(key_col), m, kk)).alias("pos")
+        )
+        .select(
+            F.shiftright(F.col("pos"), 6).cast("int").alias("w"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )

@@ -177,3 +177,57 @@ def test_hll_user_sketch_stream_matches_batch(spark, sf_dir):
     merged_stream = rollup_sketches(got).first()["est_users_total"]
     merged_batch = rollup_sketches(want).first()["est_users_total"]
     assert merged_stream == merged_batch
+
+
+def test_bloom_filter_stream_matches_batch_and_probes(spark, sf_dir, tmp_path):
+    """The streamed Bloom grid (the fourth streamed sketch family)
+    must equal the batch build word for word after a MULTI-TRIGGER
+    drain — bit-OR is order/batching-insensitive and needs no
+    watermark, so state is ≤ m/64 rows forever.  End-to-end: the
+    drained grid densifies into a filter every ingested key passes."""
+    import shutil
+
+    from recsys_spark_spark.operators.bloom import bloom_build, bloom_might_contain
+    from recsys_spark_spark.streaming.windows import bloom_filter_stream
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events_a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events_b.parquet")
+    m, k = 1 << 14, 3
+
+    stream = bloom_filter_stream(
+        read_events_stream(
+            spark, str(src), max_files_per_trigger=1, glob="events_*.parquet"
+        ),
+        "user_id",
+        m,
+        k,
+    )
+    got = run_stream_once(stream, "bloom_stream_test")
+    assert got.count() <= m // 64  # state bound: set words only
+
+    batch_keys = table(spark, sf_dir, "events").select("user_id")
+    want_words = bloom_build(batch_keys, "user_id", m, k)
+    # densify the drained sparse grid with the batch assembly and
+    # compare word-for-word (duplicate ingestion ORs to the same bits)
+    idx = spark.range(m // 64).select(F.col("id").cast("int").alias("w"))
+    drained_words = (
+        idx.join(got, "w", "left")
+        .select("w", F.coalesce("word", F.lit(0).cast("long")).alias("word"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("w", "word"))),
+                lambda s: s.getField("word"),
+            ).alias("words")
+        )
+    )
+    assert (
+        drained_words.collect()[0]["words"]
+        == want_words.collect()[0]["words"]
+    ), "drained grid must equal the batch build bit-exactly"
+
+    # every ingested key passes the maintained filter (no false negatives)
+    users = batch_keys.distinct()
+    passed = bloom_might_contain(users, drained_words, "user_id", m, k)
+    assert passed.count() == users.count()
