@@ -81,6 +81,16 @@ def test_skew_audit_head_is_group_limited(spark, sf_dir, queries):
     assert "TakeOrderedAndProject" in p
 
 
+def test_explosion_audit_hot_key_is_group_limited(spark, sf_dir, queries):
+    """Same discipline for the join-explosion audit: the hottest-key
+    head is TakeOrderedAndProject over the |keys|-wide product
+    relation (never a full sort), and nothing plans a CartesianProduct
+    (the 1-row stat frames combine via broadcast)."""
+    p = plan_of(queries["events_join_explosion_audit"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
 def test_sketch_winsorize_broadcasts_band_onto_facts(spark, sf_dir, queries):
     """The sketch-twin scaler's |types|-row band table must broadcast
     onto the fact scan — a shuffled join here would move the facts for
