@@ -92,17 +92,26 @@ def bloom_build(
         .groupBy("w")
         .agg(F.expr("bit_or(bit)").alias("word"))
     )
-    # densify by joining the word rows against a full index range,
-    # then one ordered collect (array_sort on (w, word) structs sorts
-    # by w, the first field).  The obvious alternative — assemble a
-    # map and transform(sequence(...)) with element_at lookups — is
-    # O(n_words²) inside ONE row (Spark maps are unsorted arrays, so
-    # each lookup is a linear scan): measured 18 s vs <1 s at the
-    # default 16,384 words.
-    idx = keys.sparkSession.range(n_words).select(
+    return bloom_densify(pos, m_bits)
+
+
+def bloom_densify(word_grid: DataFrame, m_bits: int = BLOOM_M_BITS) -> DataFrame:
+    """Assemble a sparse ``(w, word)`` grid (from :func:`bloom_build`'s
+    aggregate or a drained :func:`streaming.windows.bloom_filter_stream`)
+    into the one-row dense ``(words: array<long>)`` probe form.
+
+    Densifies by joining the word rows against a full index range,
+    then one ordered collect (array_sort on (w, word) structs sorts by
+    w, the first field).  The obvious alternative — assemble a map and
+    transform(sequence(...)) with element_at lookups — is O(n_words²)
+    inside ONE row (Spark maps are unsorted arrays, so each lookup is
+    a linear scan): measured 18 s vs <1 s at the default 16,384
+    words."""
+    n_words = m_bits // 64
+    idx = word_grid.sparkSession.range(n_words).select(
         F.col("id").cast("int").alias("w")
     )
-    dense = idx.join(pos, "w", "left").select(
+    dense = idx.join(word_grid, "w", "left").select(
         "w", F.coalesce("word", F.lit(0).cast("long")).alias("word")
     )
     return dense.agg(

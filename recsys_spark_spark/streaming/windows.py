@@ -312,8 +312,8 @@ def bloom_filter_stream(
     tests/test_streaming.py alongside the other three).
 
     Emits the sparse ``(w, word)`` grid (complete mode); densify with
-    the same join-against-range assembly as the batch build when a
-    probe-ready array is needed."""
+    :func:`operators.bloom.bloom_densify` when a probe-ready array is
+    needed."""
     from ..operators.bloom import BLOOM_K, BLOOM_M_BITS, _positions
 
     m = BLOOM_M_BITS if m_bits is None else m_bits

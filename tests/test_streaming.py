@@ -187,7 +187,11 @@ def test_bloom_filter_stream_matches_batch_and_probes(spark, sf_dir, tmp_path):
     drained grid densifies into a filter every ingested key passes."""
     import shutil
 
-    from recsys_spark_spark.operators.bloom import bloom_build, bloom_might_contain
+    from recsys_spark_spark.operators.bloom import (
+        bloom_build,
+        bloom_densify,
+        bloom_might_contain,
+    )
     from recsys_spark_spark.streaming.windows import bloom_filter_stream
 
     src = tmp_path / "stream_src"
@@ -209,19 +213,9 @@ def test_bloom_filter_stream_matches_batch_and_probes(spark, sf_dir, tmp_path):
 
     batch_keys = table(spark, sf_dir, "events").select("user_id")
     want_words = bloom_build(batch_keys, "user_id", m, k)
-    # densify the drained sparse grid with the batch assembly and
+    # densify the drained sparse grid with the shared assembly and
     # compare word-for-word (duplicate ingestion ORs to the same bits)
-    idx = spark.range(m // 64).select(F.col("id").cast("int").alias("w"))
-    drained_words = (
-        idx.join(got, "w", "left")
-        .select("w", F.coalesce("word", F.lit(0).cast("long")).alias("word"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("w", "word"))),
-                lambda s: s.getField("word"),
-            ).alias("words")
-        )
-    )
+    drained_words = bloom_densify(got, m)
     assert (
         drained_words.collect()[0]["words"]
         == want_words.collect()[0]["words"]
