@@ -52,6 +52,10 @@ def _positions(key: F.Column, m_bits: int, k: int) -> F.Column:
     """Array of the k probe bit-positions for a key — one seeded
     xxhash64 per probe, folded into [0, m_bits) by pmod (xxhash64 is
     full-range signed; pmod keeps the fold non-negative)."""
+    if m_bits < 64 or m_bits % 64:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    if k < 1:
+        raise ValueError("k must be >= 1")
     return F.array(
         *[
             F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits))
@@ -75,9 +79,10 @@ def bloom_build(
     the dense word array in one final 1-row aggregate.  Missing words
     (no bit set) densify to 0 so ``element_at`` probing needs no null
     handling."""
-    if m_bits % 64:
-        raise ValueError("m_bits must be a multiple of 64")
-    n_words = m_bits // 64
+    if m_bits < 64 or m_bits % 64:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    if k < 1:
+        raise ValueError("k must be >= 1")
     pos = (
         keys.select(
             F.explode(

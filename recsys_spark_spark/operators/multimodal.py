@@ -776,6 +776,14 @@ def with_ppm_twin_content(
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             keep = pdf[pdf[id_col] % TWIN_EVERY == 0]
+            if (keep[id_col] >= TWIN_ID_OFFSET).any():
+                # twin ids are doc_id + TWIN_ID_OFFSET; a base id at or
+                # above the offset would collide with another doc's twin
+                # and emit ambiguous pair ids (r8 ADVICE)
+                raise ValueError(
+                    f"doc_id >= TWIN_ID_OFFSET ({TWIN_ID_OFFSET}): twin ids"
+                    " would collide with base doc ids"
+                )
             payloads = []
             for text in keep[text_col]:
                 raster = b"".join(

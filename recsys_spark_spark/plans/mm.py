@@ -438,9 +438,13 @@ def image_dhash_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-MISS contract — they belong to the exact-dedup group.
 
     Scale shape: candidates share a 16-bit chunk key (never all
-    pairs), hot chunk buckets are capped at MAX_DHASH_BUCKET (the
-    low-texture/letterbox hazard — r7 VERDICT what's-wrong #3), and
-    only 8 fingerprint bytes per image shuffle."""
+    pairs) and only 8 fingerprint bytes per image shuffle.  The
+    ORACLED query runs UNCAPPED (``max_bucket=None``): the DuckDB
+    oracle models brute-force all-pairs with no hot-chunk cap, so a
+    capped run on a low-texture corpus would silently drop pairs the
+    oracle still counts (r8 ADVICE — plan/oracle desync).  Production
+    callers keep the MAX_DHASH_BUCKET default; the dropped-bucket
+    volume that cap hides is surfaced by ``dedup_cap_audit``."""
     from ..operators.multimodal import (
         image_dhash,
         image_dhash_near_pairs,
@@ -450,4 +454,6 @@ def image_dhash_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     payloads = with_ppm_content(docs).unionByName(with_ppm_twin_content(docs))
-    return image_dhash_near_pairs(image_dhash(payloads), max_hamming=3)
+    return image_dhash_near_pairs(
+        image_dhash(payloads), max_hamming=3, max_bucket=None
+    )

@@ -128,7 +128,8 @@ def test_bloom_query_plan_prunes_at_scan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "getbit" in plan and "element_at" in plan
-    assert "pythonUDF" not in plan.lower()
+    assert "pythonudf" not in plan.lower()
+    assert "BatchEvalPython" not in plan
     # the probe must filter before the semi join consumes the facts:
     # find the first semi-join occurrence and require a getbit probe
     # somewhere below it in the printed tree (printed after)
