@@ -30,29 +30,12 @@ WINSOR_LO = 0.01
 WINSOR_HI = 0.99
 
 
-@register_demoted(
-    "events_value_normalized",
-    oracle=f"""
-WITH q AS (
-  SELECT event_type,
-         {qround_sql(f"quantile_cont(CAST(value AS DOUBLE), {WINSOR_LO})", 6)} AS lo,
-         {qround_sql(f"quantile_cont(CAST(value AS DOUBLE), {WINSOR_HI})", 6)} AS hi
-  FROM events WHERE value IS NOT NULL
-  GROUP BY 1
-)
-SELECT e.user_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
-       q.lo AS p01, q.hi AS p99,
-       {qround_sql("least(greatest(CAST(e.value AS DOUBLE), q.lo), q.hi)", 6)}
-         AS winsorized,
-       CASE WHEN q.hi = q.lo THEN 0.0
-            ELSE {qround_sql(
-                "(least(greatest(CAST(e.value AS DOUBLE), q.lo), q.hi) - q.lo)"
-                " / (q.hi - q.lo)", 6)}
-       END AS minmax
-FROM events e JOIN q USING (event_type)
-WHERE e.value IS NOT NULL
-""",
-)
+# NOTE (r9 rotation): formerly the registered query
+# "events_value_normalized" — merged with events_user_target_encoding
+# and events_value_normalized_sketch into the single per-fact feature
+# row events_value_features below (the staged r7/r8 trio merge,
+# executed once all three members had earned their own driver rows).
+# Kept as a library function (tests + composition callers).
 def events_value_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type winsorize-then-normalize of the value column:
     clamp each value into its type's exact [p01, p99] interpolated
@@ -91,26 +74,9 @@ def events_value_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 TE_SMOOTHING = 10.0
 
 
-@register_demoted(
-    "events_user_target_encoding",
-    oracle=f"""
-WITH g AS (SELECT avg(CAST(value AS DOUBLE)) AS mu FROM events
-           WHERE value IS NOT NULL),
-u AS (
-  SELECT user_id, CAST(sum(value) AS DOUBLE) AS s,
-         CAST(count(*) AS BIGINT) AS n
-  FROM events WHERE value IS NOT NULL GROUP BY 1
-)
-SELECT e.event_id, e.user_id, CAST(e.value AS DOUBLE) AS value,
-       u.n AS n_user,
-       {qround_sql(
-           "(u.s - CAST(e.value AS DOUBLE) + " + repr(TE_SMOOTHING) + " * g.mu)"
-           " / (u.n - 1 + " + repr(TE_SMOOTHING) + ")", 6)} AS te_loo
-FROM events e
-JOIN u USING (user_id) CROSS JOIN g
-WHERE e.value IS NOT NULL
-""",
-)
+# NOTE (r9 rotation): formerly the registered query
+# "events_user_target_encoding" — merged into events_value_features
+# (see the section below).  Kept as a library function.
 def events_user_target_encoding(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -264,10 +230,11 @@ _SK_W_D = f"CAST({HIST_W} AS DOUBLE)"
 _SK_EST = f"{_SK_LO_D} + {_SK_W_D} * c.bin + {_SK_W_D} * (c.rq - h.cum_prev) / h.n"
 
 
-@register_demoted(
-    "events_value_normalized_sketch",
-    oracle=f"""
-WITH b AS (
+# sketch-band CTE chain, shared verbatim by the (former) standalone
+# sketch oracle and the merged events_value_features oracle below —
+# one source of truth for the histogram-quantile replay
+_SK_BAND_CTES = f"""
+b AS (
   SELECT event_type,
          CAST(least(greatest(floor((value - {_SK_LO_D}) / {_SK_W_D}), 0),
                     {HIST_NBINS - 1}) AS INTEGER) AS bin
@@ -308,20 +275,13 @@ band AS (
          max(CASE WHEN q = {WINSOR_HI} THEN est END) AS hi
   FROM est GROUP BY 1
 )
-SELECT e.user_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
-       band.lo AS p01_sk, band.hi AS p99_sk,
-       {qround_sql(
-           "least(greatest(CAST(e.value AS DOUBLE), band.lo), band.hi)", 6)}
-         AS winsorized,
-       CASE WHEN band.hi = band.lo THEN 0.0
-            ELSE {qround_sql(
-                "(least(greatest(CAST(e.value AS DOUBLE), band.lo), band.hi)"
-                " - band.lo) / (band.hi - band.lo)", 6)}
-       END AS minmax
-FROM events e JOIN band USING (event_type)
-WHERE e.value IS NOT NULL
-""",
-)
+""".strip()
+
+
+# NOTE (r9 rotation): formerly the registered query
+# "events_value_normalized_sketch" — merged into events_value_features
+# (see below); its oracle's sketch-band CTE chain lives on verbatim as
+# _SK_BAND_CTES.  Kept as a library function.
 def events_value_normalized_sketch(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -366,4 +326,132 @@ def events_value_normalized_sketch(
         F.when(F.col("hi") == F.col("lo"), F.lit(0.0))
         .otherwise(qround((w - F.col("lo")) / (F.col("hi") - F.col("lo")), 6))
         .alias("minmax"),
+    )
+
+
+# --- merged per-fact feature row (r9 rotation: the staged trio merge) -------
+# events_value_normalized + events_user_target_encoding +
+# events_value_normalized_sketch share the per-fact grain (one row per
+# non-NULL-value event), so one merged row certifies all three feature
+# families in a single driver slot — the r7 doc_unigram_logprob / r8
+# doc_quality_scores rotation-latency pattern.  Each member earned its
+# own driver-green row first (normalized + TE in r7, the sketch twin in
+# r8); column semantics are byte-identical to the standalone forms
+# (suffix _sk distinguishes the sketch band's clamp/scale pair).
+
+_X_CLAMP = "least(greatest(CAST(e.value AS DOUBLE), xq.lo), xq.hi)"
+_SK_CLAMP = "least(greatest(CAST(e.value AS DOUBLE), band.lo), band.hi)"
+
+EVENTS_VALUE_FEATURES_SQL = f"""
+WITH xq AS (
+  SELECT event_type,
+         {qround_sql(f"quantile_cont(CAST(value AS DOUBLE), {WINSOR_LO})", 6)} AS lo,
+         {qround_sql(f"quantile_cont(CAST(value AS DOUBLE), {WINSOR_HI})", 6)} AS hi
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+{_SK_BAND_CTES},
+g AS (SELECT avg(CAST(value AS DOUBLE)) AS mu FROM events
+      WHERE value IS NOT NULL),
+u AS (
+  SELECT user_id, CAST(sum(value) AS DOUBLE) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       CAST(e.value AS DOUBLE) AS value,
+       xq.lo AS p01, xq.hi AS p99,
+       {qround_sql(_X_CLAMP, 6)} AS winsorized,
+       CASE WHEN xq.hi = xq.lo THEN 0.0
+            ELSE {qround_sql(f"({_X_CLAMP} - xq.lo) / (xq.hi - xq.lo)", 6)}
+       END AS minmax,
+       band.lo AS p01_sk, band.hi AS p99_sk,
+       {qround_sql(_SK_CLAMP, 6)} AS winsorized_sk,
+       CASE WHEN band.hi = band.lo THEN 0.0
+            ELSE {qround_sql(
+                f"({_SK_CLAMP} - band.lo) / (band.hi - band.lo)", 6)}
+       END AS minmax_sk,
+       u.n AS n_user,
+       {qround_sql(
+           "(u.s - CAST(e.value AS DOUBLE) + " + repr(TE_SMOOTHING) + " * g.mu)"
+           " / (u.n - 1 + " + repr(TE_SMOOTHING) + ")", 6)} AS te_loo
+FROM events e
+JOIN xq USING (event_type)
+JOIN band USING (event_type)
+JOIN u USING (user_id)
+CROSS JOIN g
+WHERE e.value IS NOT NULL
+""".strip()
+
+
+@register_demoted("events_value_features", oracle=EVENTS_VALUE_FEATURES_SQL)
+def events_value_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE per-fact feature row carrying the whole value-feature family:
+    exact winsorize band (p01/p99 → winsorized/minmax), its 100 TB
+    sketch-bounds twin (p01_sk/p99_sk → winsorized_sk/minmax_sk), and
+    the leave-one-out smoothed user target encoding (n_user/te_loo) —
+    the merged form of the three formerly-standalone registered
+    queries (see the section comment).  Semantics of every column are
+    unchanged from the standalone functions above, which remain the
+    library API.
+
+    Scale shape: the fact scan happens ONCE; the three stat relations
+    (|types|-wide exact band, |types|×NBINS histogram band, 1-row
+    global mean) broadcast back onto it, and only the |users|-wide TE
+    aggregate joins by shuffle — the same one user_id shuffle the
+    standalone TE query paid, so the merge adds zero shuffles over
+    its cheapest member."""
+    e = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = F.col("value").cast("double")
+
+    # exact per-type band
+    xq = e.groupBy("event_type").agg(
+        qround(F.expr(f"percentile(value, {WINSOR_LO})"), 6).alias("lo_x"),
+        qround(F.expr(f"percentile(value, {WINSOR_HI})"), 6).alias("hi_x"),
+    )
+    # sketch per-type band
+    hist = histogram_sketch(e, key_cols=["event_type"])
+    qdf = histogram_quantiles(
+        hist, key_cols=["event_type"], qs=(WINSOR_LO, WINSOR_HI)
+    )
+    band = qdf.groupBy("event_type").agg(
+        F.max(F.when(F.col("q") == WINSOR_LO, F.col("est"))).alias("lo_s"),
+        F.max(F.when(F.col("q") == WINSOR_HI, F.col("est"))).alias("hi_s"),
+    )
+    # target-encoding stats
+    g = e.agg(F.avg(v).alias("mu"))
+    u = e.groupBy("user_id").agg(
+        F.sum("value").cast("double").alias("s"),
+        F.count("*").alias("n"),
+    )
+    m = F.lit(TE_SMOOTHING)
+
+    j = (
+        e.join(F.broadcast(xq), "event_type")
+        .join(F.broadcast(band), "event_type")
+        .join(u, "user_id")
+        .crossJoin(F.broadcast(g))
+    )
+    wx = F.least(F.greatest(v, F.col("lo_x")), F.col("hi_x"))
+    ws = F.least(F.greatest(v, F.col("lo_s")), F.col("hi_s"))
+    return j.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        v.alias("value"),
+        F.col("lo_x").alias("p01"),
+        F.col("hi_x").alias("p99"),
+        qround(wx, 6).alias("winsorized"),
+        F.when(F.col("hi_x") == F.col("lo_x"), F.lit(0.0))
+        .otherwise(qround((wx - F.col("lo_x")) / (F.col("hi_x") - F.col("lo_x")), 6))
+        .alias("minmax"),
+        F.col("lo_s").alias("p01_sk"),
+        F.col("hi_s").alias("p99_sk"),
+        qround(ws, 6).alias("winsorized_sk"),
+        F.when(F.col("hi_s") == F.col("lo_s"), F.lit(0.0))
+        .otherwise(qround((ws - F.col("lo_s")) / (F.col("hi_s") - F.col("lo_s")), 6))
+        .alias("minmax_sk"),
+        F.col("n").alias("n_user"),
+        qround((F.col("s") - v + m * F.col("mu")) / (F.col("n") - 1 + m), 6)
+        .alias("te_loo"),
     )

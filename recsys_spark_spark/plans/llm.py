@@ -269,10 +269,12 @@ def doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- brute-force embedding cosine top-k (L3 baseline) ----------------------
-@register(
-    "embedding_knn_bruteforce",
-    bench=True,
-    oracle=f"""
+#: the exact-scan oracle, kept as a module constant so composed oracles
+#: (embedding_knn_exact, embedding_knn_recall_audit) can embed it
+#: verbatim after the r9 rotation moved the bruteforce name to an
+#: oracle-less BENCH carrier (correctness now rides the merged
+#: embedding_knn_exact row — same library code path)
+KNN_BF_SQL = f"""
 WITH flat AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
          CAST(unnest(embedding) AS DOUBLE) AS v
@@ -303,8 +305,10 @@ FROM (
            PARTITION BY query_id ORDER BY sim DESC, match_id ASC) AS rk
   FROM sims
 ) WHERE rk <= {KNN_K}
-""",
-)
+"""
+
+
+@register("embedding_knn_bruteforce", bench=True)
 def embedding_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for a query set against the whole collection.
 

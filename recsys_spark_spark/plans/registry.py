@@ -196,70 +196,113 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: Keep sequential_topk / als_topk demoted permanently (no_oracle by
 #: design).  Keep bench=True rows registered or demoted freely — the
 #: bench set is independent of the correctness window.
+#:
+#: Round 9 (EXECUTED this round): verified CORRECTNESS_r08 50/50 green
+#: first, then the pre-staged plan ran with the TWO staged merges
+#: executed in the same commit:
+#:   (a) feature trio — events_value_normalized +
+#:       events_user_target_encoding + events_value_normalized_sketch
+#:       → events_value_features (one per-fact row, 14 columns; the
+#:       standalone functions stay library API);
+#:   (b) ANN family — embedding_knn_bruteforce + embedding_knn_int8 →
+#:       embedding_knn_exact and embedding_knn_ivf +
+#:       embedding_knn_ivf_int8 + embedding_knn_pq +
+#:       embedding_knn_ivfpq → embedding_knn_indexed (tagged unions on
+#:       the shared (query_id, match_id, sim, rank) grain; every
+#:       variant's oracle slice is value-checked exactly as before).
+#:       embedding_knn_bruteforce / embedding_knn_ivf remain
+#:       registered as ORACLE-LESS BENCH CARRIERS (never windowed —
+#:       the bench set is pinned by name across rounds); their
+#:       correctness rides the merged rows, which call the identical
+#:       library functions.
+#: Window = 4 r8-born + all 16 mandatory recency-2 + the 3 merged
+#: rows (immediate driver rows, the doc_unigram_logprob precedent) +
+#: 27 of the 46 surviving recency-1 rows.
+#:
+#: Post-r9 audit (recency = rounds since last driver-green row,
+#: assuming the r9 window runs green):
+#:   recency 0: 50 (the window below)
+#:   recency 1: 43 (the r8 window minus the 7 merged-away oracled
+#:                  names: the sketch twin + six knn variants)
+#:   recency 2: 19 (green r7, not re-promoted this round — mandatory
+#:                  in r10: corpus_pack, corpus_samples,
+#:                  customer_k_anonymity, customer_running_revenue,
+#:                  customer_semi_anti_joins, doc_chunks,
+#:                  doc_stats_by_lang, doc_url_domains, events_daily,
+#:                  itemmean_rmse_mae, multimodal_features_frames,
+#:                  order_customer_set_ops, order_priority_pivot,
+#:                  part_price_median_by_brand, rating_stats_per_user,
+#:                  sales_cube, top_orders_per_customer, top_tokens,
+#:                  user_cf_coverage_novelty)
+#:   never: 2 no-oracle BY DESIGN (sequential_topk + als_topk) + any
+#:          r9-born queries (staged at the r10 window head)
+#: Steady state: 112 oracled (118 − 2 trio-merge − 4 knn-merge) /
+#: 50-row window = 2.24-round cycle — back under the 2.4 ceiling.
+#: ROTATION PLAN for round 10 (pre-staged; verify against
+#: CORRECTNESS_r09 first): window = any r9-born queries + ALL 19
+#: recency-2 rows above (mandatory) + ~28 of the 43 recency-1 rows,
+#: preferring the heavy analytics/streaming tier and the r8-born
+#: four (their second row certifies stability).
 
 #: THE driver-facing correctness window for this round — exactly the
 #: names whose QuerySpec lands in QUERIES; every other registration
 #: lands in DEMOTED regardless of which decorator the def site uses.
 #: Rotations edit THIS tuple (and the audit comment above) only.
 REGISTERED_WINDOW: frozenset[str] = frozenset({
-    # r7-born, never had a driver row (4)
-    "events_value_normalized_sketch",
-    "embedding_knn_recall_audit",
-    "events_key_skew_audit",
-    "multimodal_image_dhash_dedup",
-    # recency 2 — green r5, skipped in r7 (13)
-    "cf_negative_samples",
-    "corpus_line_dedup",
-    "corpus_mixture_sample",
-    "customer_name_fuzzy_pairs",
-    "customer_rfm_segments",
-    "events_anomaly_daily",
-    "events_daily_dense",
-    "events_dq_audit",
-    "events_funnel",
-    "events_transition_matrix",
-    "item_cooccurrence_lift",
-    "user_retention_cohorts",
-    "user_value_scd2",
-    # merged this round: + char-entropy columns deserve a driver row (1)
-    "doc_quality_scores",
-    # recency 1 — green r6, demoted r7: ANN flagships (8)
-    "embedding_knn_bruteforce",
-    "embedding_knn_lsh",
-    "embedding_knn_ivf",
-    "embedding_knn_int8",
-    "embedding_knn_ivf_int8",
-    "embedding_knn_pq",
-    "embedding_knn_ivfpq",
-    "embedding_semdedup",
-    # recency 1: near-dedup family (7)
-    "neardup_minhash_lsh",
-    "neardup_ngram_jaccard",
-    "neardup_simhash",
-    "neardup_components",
-    "neardup_group_keepers",
-    "doc_duplicate_spans",
-    "doc_dedup_cut",
-    # recency 1: composed pipelines (5)
-    "corpus_train_ready",
-    "corpus_clean",
-    "corpus_vocab",
-    "corpus_pps_sample",
-    "corpus_splits",
-    # recency 1: CF axis (7)
-    "user_sims",
-    "user_topk_cosine",
-    "item_topk_cosine",
-    "user_cf_rmse_mae",
-    "user_cf_ranking_eval",
-    "user_cf_cv5_rmse",
-    "hybrid_topk",
-    # recency 1: streaming / sketch / graph / join-depth / decode (5)
-    "events_stream_quantile_sketch",
-    "top_tokens_cms",
-    "item_graph_triangles",
-    "brand_region_market_share",
-    "multimodal_wav_features",
+    # r8-born, never had a driver row (4)
+    "image_dhash_near_pairs",
+    "lineitem_bloom_semijoin",
+    "events_join_explosion_audit",
+    "events_user_temporal_split",
+    # recency 2 — green r6, skipped in r7/r8 (16, mandatory)
+    "decontaminate_docs",
+    "doc_bm25_search",
+    "doc_repetition_scores",
+    "doc_simhash",
+    "doc_zipf_fit",
+    "event_ratings_projection",
+    "events_dau_wau_stickiness",
+    "events_in_anomaly_windows",
+    "events_prev_gap",
+    "events_purchase_view_join",
+    "multimodal_ppm_resize",
+    "order_ship_latency",
+    "sales_rollup",
+    "seq_baskets_periods",
+    "seq_rule_support",
+    "seq_sequences",
+    # merged this round — new names deserve immediate driver rows (3)
+    "events_value_features",
+    "embedding_knn_exact",
+    "embedding_knn_indexed",
+    # recency 1 — green r7, demoted r8 (27 of 46)
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "item_pagerank",
+    "item_sims",
+    "events_stream_user_cms",
+    "events_sessions",
+    "events_sliding_1h",
+    "events_asof_last_purchase",
+    "events_json_props",
+    "events_value_robust_scaled",
+    "events_value_quantile_sketch",
+    "embedding_semdedup_scale",
+    "embedding_neardup_pairs",
+    "embedding_centroids_by_label",
+    "dedup_docs",
+    "neardup_dedup_docs",
+    "doc_pii_scrub",
+    "doc_winnow_fingerprints",
+    "doc_unigram_logprob",
+    "corpus_bpe_pair_counts",
+    "corpus_lang_temperature_weights",
+    "cf_predictions",
+    "content_topk_cosine",
+    "popularity_topk",
+    "random_topk",
+    "multimodal_video_frames",
 })
 
 

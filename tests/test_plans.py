@@ -95,7 +95,7 @@ def test_sketch_winsorize_broadcasts_band_onto_facts(spark, sf_dir, queries):
     """The sketch-twin scaler's |types|-row band table must broadcast
     onto the fact scan — a shuffled join here would move the facts for
     a 5-row dimension."""
-    p = plan_of(queries["events_value_normalized_sketch"].fn(spark, sf_dir))
+    p = plan_of(queries["events_value_features"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
 
