@@ -272,14 +272,17 @@ def minhash_neardup_pairs(
     return verify_jaccard(cand, sh, threshold)
 
 
-def minhash_neardup_sql(
-    threshold: float = 0.5,
+def minhash_bands_ctes(
     table: str = "documents",
     n_hashes: int = N_HASHES,
     rows_per_band: int = ROWS_PER_BAND,
     shingle: int = SHINGLE,
 ) -> str:
-    """DuckDB twin of `minhash_neardup_pairs` (md5 hash mode)."""
+    """The shingle → minhash → band CTE chain (sh / seeds / hashed /
+    mh / bands), as a WITH-body fragment — the DuckDB twin of
+    ``band_rows(minhash_signatures(shingle_rows(...)))``.  Shared by
+    :func:`minhash_neardup_sql` and the cap-drop audit (plans/caps.py)
+    so both replay the identical bucket population."""
     if n_hashes % rows_per_band != 0:
         raise ValueError(
             f"n_hashes={n_hashes} not divisible by rows_per_band="
@@ -288,8 +291,7 @@ def minhash_neardup_sql(
     seeds_rows = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in enumerate(cw_params(n_hashes))
     )
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
 {shingles_sql(table, shingle)}
 ),
 seeds(seed, a, b) AS (VALUES {seeds_rows}),
@@ -303,7 +305,19 @@ bands AS (
   SELECT id, seed // {rows_per_band} AS band,
          string_agg(mh::VARCHAR, ',' ORDER BY seed) AS bsig
   FROM mh GROUP BY 1, 2
-),
+)""".strip()
+
+
+def minhash_neardup_sql(
+    threshold: float = 0.5,
+    table: str = "documents",
+    n_hashes: int = N_HASHES,
+    rows_per_band: int = ROWS_PER_BAND,
+    shingle: int = SHINGLE,
+) -> str:
+    """DuckDB twin of `minhash_neardup_pairs` (md5 hash mode)."""
+    return f"""
+WITH {minhash_bands_ctes(table, n_hashes, rows_per_band, shingle)},
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig

@@ -671,6 +671,25 @@ DHASH_CHUNKS = 4
 MAX_DHASH_BUCKET = 64
 
 
+def dhash_chunk_rows(hashed: DataFrame) -> DataFrame:
+    """(id, dhash, c, chunk): the pigeonhole band keys — each 64-bit
+    fingerprint split into DHASH_CHUNKS substrings of 16 bits.  Shared
+    by the near-pairs band join and the cap-drop audit
+    (plans/caps.py), so the audited bucket population is BY
+    CONSTRUCTION the one the candidate generator joins on."""
+    n_bits = DHASH_GRID_H * (DHASH_GRID_W - 1)
+    width = n_bits // DHASH_CHUNKS
+    chunks = F.array(
+        *[
+            F.substring("dhash", c * width + 1, width)
+            for c in range(DHASH_CHUNKS)
+        ]
+    )
+    return hashed.select(
+        "id", "dhash", F.posexplode(chunks).alias("c", "chunk")
+    )
+
+
 def image_dhash_near_pairs(
     hashed: DataFrame,
     max_hamming: int = 3,
@@ -692,15 +711,7 @@ def image_dhash_near_pairs(
     MAX_DHASH_BUCKET); the Hamming verify compares the bit STRINGS
     column-wise (zip_with over split characters), staying in
     whole-stage codegen."""
-    n_bits = DHASH_GRID_H * (DHASH_GRID_W - 1)
-    width = n_bits // DHASH_CHUNKS
-    chunks = F.array(
-        *[
-            F.substring("dhash", c * width + 1, width)
-            for c in range(DHASH_CHUNKS)
-        ]
-    )
-    ch = hashed.select("id", "dhash", F.posexplode(chunks).alias("c", "chunk"))
+    ch = dhash_chunk_rows(hashed)
     if max_bucket is not None:
         ok = (
             ch.groupBy("c", "chunk")

@@ -70,6 +70,31 @@ def customer_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs(names)
 
 
+def name_variant_rows(names: DataFrame, name_col: str = "name") -> DataFrame:
+    """(name, variant): each distinct name plus its delete-1 variants
+    (symmetric-delete candidate keys) via a row-local transform over
+    the position sequence (expr form: substr's position args take the
+    lambda var).  Shared by :func:`fuzzy_pairs` and the cap-drop audit
+    (plans/caps.py), so the audited bucket population is the one the
+    pair join buckets on."""
+    n = names.select(F.col(name_col).alias("name")).distinct()
+    return n.select(
+        "name",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("name")),
+                    F.expr(
+                        "transform(sequence(1, length(name)), "
+                        "k -> concat(substr(name, 1, k - 1), "
+                        "substr(name, k + 1, length(name))))"
+                    ),
+                )
+            )
+        ).alias("variant"),
+    )
+
+
 def fuzzy_pairs(
     names: DataFrame,
     name_col: str = "name",
@@ -77,26 +102,7 @@ def fuzzy_pairs(
 ) -> DataFrame:
     """Library form over any single-column name relation; returns
     (name_a, name_b, dist) with dist ≤ 1, name_a < name_b."""
-    n = names.select(F.col(name_col).alias("name")).distinct()
-    # delete-1 variants via a row-local transform over the position
-    # sequence (expr form: substr's position args take the lambda var)
-    d = (
-        n.select(
-            "name",
-            F.explode(
-                F.array_distinct(
-                    F.concat(
-                        F.array(F.col("name")),
-                        F.expr(
-                            "transform(sequence(1, length(name)), "
-                            "k -> concat(substr(name, 1, k - 1), "
-                            "substr(name, k + 1, length(name))))"
-                        ),
-                    )
-                )
-            ).alias("variant"),
-        )
-    )
+    d = name_variant_rows(names, name_col)
     bsz = (
         d.groupBy("variant")
         .agg(F.count("*").alias("c"))

@@ -363,18 +363,14 @@ def multimodal_image_dhash_dedup(
     )
 
 
-def _image_dhash_near_pairs_sql() -> str:
-    """DuckDB twin of the Hamming-tolerant match: rebuilds BOTH the
-    base rasters and the planted twins' rasters (hex overlay of
-    'ffffff' at the modified pixel's byte offset — exactly
-    with_ppm_twin_content's mutation), replays the dHash bits via the
-    shared _dhash_sql_parts, then brute-force joins with an exact
-    per-character Hamming count.  Brute force is the SEMANTIC
-    definition the banded Spark plan must equal: for max_hamming ≤
-    DHASH_CHUNKS − 1 the pigeonhole argument makes the band join
-    exact, and no chunk bucket on this corpus approaches the
-    MAX_DHASH_BUCKET cap (md5-random 16-bit chunks), so a value-hash
-    match certifies band generation + cap + verify end-to-end."""
+def dhash_twinned_hashed_ctes() -> str:
+    """WITH-body fragment (base / twin / allr / luma / hashed) that
+    rebuilds the registered near-pairs corpus — base rasters PLUS the
+    planted twins (hex overlay of 'ffffff' at the modified pixel's
+    byte offset, exactly with_ppm_twin_content's mutation) — and
+    replays the dHash bits.  Shared by the near-pairs oracle and the
+    cap-drop audit (plans/caps.py) so both see the identical
+    fingerprint population."""
     from ..operators.multimodal import (
         PPM_W,
         TWIN_EVERY,
@@ -385,13 +381,7 @@ def _image_dhash_near_pairs_sql() -> str:
 
     lumas, bits = _dhash_sql_parts()
     off = (TWIN_PIX_Y * PPM_W + TWIN_PIX_X) * 3 * 2  # hex chars before pixel
-    hamming = (
-        "CAST(len(list_filter(range(1, 65), i -> "
-        "substr(a.dhash, CAST(i AS INTEGER), 1) "
-        "<> substr(b.dhash, CAST(i AS INTEGER), 1))) AS INTEGER)"
-    )
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT CAST(doc_id AS BIGINT) AS id, {_raster_hex_sql()} AS raster_hex
   FROM documents
 ),
@@ -407,7 +397,29 @@ luma AS (
 ),
 hashed AS (
   SELECT id, {bits} AS dhash FROM luma
-)
+)"""
+
+
+def _image_dhash_near_pairs_sql() -> str:
+    """DuckDB twin of the Hamming-tolerant match: rebuilds BOTH the
+    base rasters and the planted twins' rasters (hex overlay of
+    'ffffff' at the modified pixel's byte offset — exactly
+    with_ppm_twin_content's mutation), replays the dHash bits via the
+    shared _dhash_sql_parts, then brute-force joins with an exact
+    per-character Hamming count.  Brute force is the SEMANTIC
+    definition the banded Spark plan must equal: for max_hamming ≤
+    DHASH_CHUNKS − 1 the pigeonhole argument makes the band join
+    exact, and the registered query runs uncapped (max_bucket=None —
+    r8 ADVICE), so a value-hash match certifies band generation +
+    verify end-to-end; the default cap's drop volume is what
+    plans/caps.py::dedup_cap_audit surfaces."""
+    hamming = (
+        "CAST(len(list_filter(range(1, 65), i -> "
+        "substr(a.dhash, CAST(i AS INTEGER), 1) "
+        "<> substr(b.dhash, CAST(i AS INTEGER), 1))) AS INTEGER)"
+    )
+    return f"""
+WITH {dhash_twinned_hashed_ctes()}
 SELECT id_a, id_b, hamming FROM (
   SELECT a.id AS id_a, b.id AS id_b, {hamming} AS hamming
   FROM hashed a JOIN hashed b ON a.id < b.id

@@ -387,6 +387,7 @@ def _load_all() -> None:
         return
     from . import (  # noqa: F401
         ann,
+        caps,
         dedup,
         features,
         graph,
