@@ -58,6 +58,7 @@ def als_fit(
     max_iter: int = 5,
     seed: int = 42,
     num_blocks: int | None = None,
+    intermediate_storage: str = "MEMORY_ONLY",
 ):
     """Fit explicit-feedback ALS on the bias-centered residuals;
     returns (model, mu, bi, bu) — bi/bu come back CACHED (they are
@@ -113,7 +114,11 @@ def als_fit(
         nonnegative=False,
         numUserBlocks=num_blocks,
         numItemBlocks=num_blocks,
-        intermediateStorageLevel="MEMORY_ONLY",
+        # ``intermediate_storage`` is the r9 fit-contention A/B lever:
+        # MEMORY_AND_DISK trades re-computation of evicted in-block
+        # structures for disk reads when a co-loaded host squeezes the
+        # executor heap (stress/als_fit_contention_ab.py)
+        intermediateStorageLevel=intermediate_storage,
         finalStorageLevel="MEMORY_ONLY",
     )
     model = als.fit(resid)
@@ -199,6 +204,8 @@ def als_topk(
     candidate_pad: int = 64,
     chunk_budget_f32: int = 32_000_000,
     serve_partitions: int | None = None,
+    num_blocks: int | None = None,
+    intermediate_storage: str = "MEMORY_ONLY",
 ) -> DataFrame:
     """Top-K UNRATED items per user via ALS — EXACT over the full
     unrated catalog.
@@ -230,7 +237,9 @@ def als_topk(
 
     Returns ``(user_id, item_id, score, rank)``.
     """
-    model, mu, bi, bu = als_fit(ratings, rank, reg, max_iter, seed)
+    model, mu, bi, bu = als_fit(
+        ratings, rank, reg, max_iter, seed, num_blocks, intermediate_storage
+    )
     global _LAST_SERVE_STATE
     _LAST_SERVE_STATE = {
         "spark": ratings.sparkSession,
