@@ -239,10 +239,20 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: Steady state: 112 oracled (118 − 2 trio-merge − 4 knn-merge) /
 #: 50-row window = 2.24-round cycle — back under the 2.4 ceiling.
 #: ROTATION PLAN for round 10 (pre-staged; verify against
-#: CORRECTNESS_r09 first): window = any r9-born queries + ALL 19
-#: recency-2 rows above (mandatory) + ~28 of the 43 recency-1 rows,
-#: preferring the heavy analytics/streaming tier and the r8-born
-#: four (their second row certifies stability).
+#: CORRECTNESS_r09 first): window = any r9-born queries
+#: (dedup_cap_audit) + ALL 19 recency-2 rows above (mandatory) +
+#: ~28 of the 43 recency-1 rows, preferring the heavy
+#: analytics/streaming tier and the r8-born four (their second row
+#: certifies stability).  STAGED MERGE for r10 (execute once both
+#: members' r9 rows land green): popularity_topk + random_topk →
+#: one baseline_topk row with a variant tag — both share the
+#: (user_id, item_id, score, rank) grain and exist purely as ranking
+#: baselines; pulls oracled 113 → 112.  Rejected merge candidates,
+#: for the record: the neardup trio (minhash/ngram/simhash) shares
+#: the pair grain but minhash_lsh is a BENCH row whose timing line
+#: must stay attributable, and jaccard-vs-hamming value columns
+#: would union awkwardly; corpus_pps_sample + corpus_mixture_sample
+#: differ in grain (per-doc sample vs per-source rate).
 
 #: THE driver-facing correctness window for this round — exactly the
 #: names whose QuerySpec lands in QUERIES; every other registration
@@ -418,5 +428,15 @@ def _load_all() -> None:
         raise RuntimeError(
             f"REGISTERED_WINDOW must hold exactly 50 names, "
             f"got {len(REGISTERED_WINDOW)}"
+        )
+    # A windowed row without an oracle only gets the driver's weak
+    # rows-only check — a wasted correctness slot.  The no-oracle
+    # rows (the two ML recommenders by design, the r9 bench carriers)
+    # must stay demoted; fail the import so a rotation typo cannot
+    # ship one (standing rule since r5).
+    weak = sorted(n for n in REGISTERED_WINDOW if QUERIES[n].oracle is None)
+    if weak:
+        raise RuntimeError(
+            f"REGISTERED_WINDOW contains no-oracle rows: {weak}"
         )
     _LOADED = True
