@@ -444,9 +444,11 @@ def events_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- sessionization --------------------------------------------------------
-@register_demoted(
-    "events_sessions",
-    oracle="""
+#: shared by events_sessions AND its bounded-task scale twin
+#: events_sessions_chunked — identical output grain and semantics, so
+#: ONE oracle certifies both plans (the events_value_normalized_sketch
+#: compile-time-sharing precedent)
+SESSIONS_SQL = """
 WITH gaps AS (
   SELECT user_id, ts, event_id,
          CASE WHEN date_diff('second',
@@ -461,8 +463,10 @@ SELECT user_id,
        count(*) AS n_events
 FROM gaps
 GROUP BY user_id
-""",
-)
+"""
+
+
+@register_demoted("events_sessions", oracle=SESSIONS_SQL)
 def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (30-min gap): lag + flag + sum — the batch
     twin of streaming session_window (streaming/windows.py)."""
@@ -481,6 +485,83 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("is_new").alias("n_sessions"),
             F.count("*").alias("n_events"),
+        )
+    )
+
+
+#: chunk width for the bounded-task sessionization twin (1 day): the
+#: per-task row bound becomes events-per-user-per-DAY instead of the
+#: user's whole history — pick from the skew audit when a corpus has
+#: hotter-than-daily users
+SESSION_CHUNK_S = 86_400
+
+
+@register_demoted("events_sessions_chunked", oracle=SESSIONS_SQL)
+def events_sessions_chunked(
+    spark: SparkSession, sf_dir: str, chunk_s: int = SESSION_CHUNK_S
+) -> DataFrame:
+    """Bounded-task sessionization — the 100 TB scale twin of
+    events_sessions (IDENTICAL output and oracle): the plain form's
+    ``Window.partitionBy(user_id)`` sorts a user's WHOLE timeline in
+    one task, so a single bot user with 10⁸ events becomes an
+    hours-long straggler (measured 1.73× on 5M rows with one 2M-event
+    user — stress/sessions_skew_stress.py; events_key_skew_audit's
+    skew_ratio ≫ n_partitions is the tell to switch to this twin).
+
+    Two-phase shape: (1) sessionize WITHIN (user, time-chunk) — the
+    window task is now bounded by events-per-user-per-chunk; (2) one
+    tiny per-user pass over the |chunks|-per-user summary rows merges
+    sessions that span a chunk boundary (the next present chunk's
+    first event within the gap of this chunk's last event — a session
+    spanning k boundaries is counted k+1 times by phase 1 and each
+    boundary merge subtracts exactly one, so multi-chunk sessions
+    count once).  Same 1800 s gap rule, same (ts, event_id) tie
+    order, same timestamp_diff-over-date_trunc('second') arithmetic
+    as the plain form."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "_chunk",
+        F.floor(
+            F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+            / F.lit(chunk_s)
+        ),
+    )
+    w = Window.partitionBy("user_id", "_chunk").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.timestamp_diff(
+        "SECOND",
+        F.date_trunc("second", prev),
+        F.date_trunc("second", F.col("ts")),
+    )
+    is_new = F.when(prev.isNull() | (gap > 1800), 1).otherwise(0)
+    per_chunk = (
+        e.withColumn("_is_new", is_new)
+        .groupBy("user_id", "_chunk")
+        .agg(
+            F.sum("_is_new").alias("n_sess"),
+            F.count("*").alias("n_ev"),
+            F.min(F.struct("ts", "event_id")).alias("_first"),
+            F.max(F.struct("ts", "event_id")).alias("_last"),
+        )
+    )
+    # phase 2: one row per (user, present chunk) — tiny; merge a
+    # boundary iff the gap from the previous present chunk's last
+    # event to this chunk's first event is within the session gap
+    uw = Window.partitionBy("user_id").orderBy("_chunk")
+    prev_last = F.lag(F.col("_last.ts")).over(uw)
+    boundary_gap = F.timestamp_diff(
+        "SECOND",
+        F.date_trunc("second", prev_last),
+        F.date_trunc("second", F.col("_first.ts")),
+    )
+    merged = F.when(
+        prev_last.isNotNull() & (boundary_gap <= 1800), 1
+    ).otherwise(0)
+    return (
+        per_chunk.withColumn("_merged", merged)
+        .groupBy("user_id")
+        .agg(
+            (F.sum("n_sess") - F.sum("_merged")).alias("n_sessions"),
+            F.sum("n_ev").alias("n_events"),
         )
     )
 

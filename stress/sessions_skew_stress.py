@@ -27,6 +27,9 @@ spark = (
     SparkSession.builder.master("local[32]")
     .config("spark.sql.shuffle.partitions", "32")
     .config("spark.sql.session.timeZone", "UTC")
+    # the mega-hot probe pushes 10M rows through 32 concurrent window
+    # tasks; the 1g default heap OOMs in the per-chunk aggregate
+    .config("spark.driver.memory", "8g")
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
@@ -121,4 +124,48 @@ print(
     flush=True,
 )
 assert row["max_key_rows"] == 2_000_000
+
+# the shipped mitigation: bounded-task chunked sessionization (the
+# hot user's 2M events span ~16,700 day-chunks of ~120 events, so no
+# task sorts more than one user-day) — must match the plain form
+# exactly and erase the straggler
+from recsys_spark_spark.plans.relational import events_sessions_chunked
+
+t0 = time.perf_counter()
+out_c = events_sessions_chunked(spark, "/tmp/stress_sessions_hotkey")
+agg_c = out_c.agg(
+    F.sum("n_sessions").alias("s"), F.sum("n_events").alias("e")
+).collect()[0]
+wall_c = time.perf_counter() - t0
+exp_sessions = 1 * -(-2_000_000 // 5) + 60_000 * -(-50 // 5)
+assert agg_c["s"] == exp_sessions and agg_c["e"] == 5_000_000
+print(
+    f"chunked twin on the hot run: {wall_c:.2f}s vs plain "
+    f"{walls['hotkey']:.2f}s ({walls['hotkey'] / wall_c:.2f}x), sessions "
+    f"exact ({agg_c['s']})",
+    flush=True,
+)
+
+# crossover probe: ONE 10M-event user — the regime where the plain
+# form's single sort task dominates the whole stage and the chunked
+# twin's bounded tasks win outright
+n_mega = 10_000_000
+gen("/tmp/stress_sessions_mega", [(1, n_mega, 42)])
+exp_mega = -(-n_mega // 5)
+mega = {}
+for tag, fn in [("plain", events_sessions), ("chunked", events_sessions_chunked)]:
+    t0 = time.perf_counter()
+    agg_m = (
+        fn(spark, "/tmp/stress_sessions_mega")
+        .agg(F.sum("n_sessions").alias("s"), F.sum("n_events").alias("e"))
+        .collect()[0]
+    )
+    mega[tag] = time.perf_counter() - t0
+    assert agg_m["s"] == exp_mega and agg_m["e"] == n_mega
+    print(f"mega-hot {tag}: {mega[tag]:.2f}s (sessions exact)", flush=True)
+print(
+    f"mega-hot (one 10M-event user) plain/chunked = "
+    f"{mega['plain'] / mega['chunked']:.2f}x",
+    flush=True,
+)
 spark.stop()

@@ -598,3 +598,63 @@ def test_char_entropy_empty_doc_pins_zero(spark, tmp_path):
         assert round(float(orow["entropy_nats"]), 6) == round(
             row["entropy_nats"], 6
         )
+
+
+def test_sessions_chunked_equals_plain_on_boundary_cases(spark, tmp_path):
+    """The bounded-task twin must equal the plain window form on the
+    adversarial boundary shapes: a session SPANNING three day-chunks
+    (each boundary merge subtracts exactly one), a gap of exactly
+    1800 s (same-session by the > rule, merged across a boundary),
+    a gap of 1801 s straddling a boundary (NOT merged), and a user
+    absent for whole chunks (no spurious merge across the hole)."""
+    import pyspark.sql.functions as F
+
+    from recsys_spark_spark.plans.relational import (
+        events_sessions,
+        events_sessions_chunked,
+    )
+
+    day = 86_400
+    rows = []
+    # user 1: one session spanning 3 chunks — events every 1000 s
+    # from 1000 s before midnight #1 to 1000 s after midnight #2
+    t = day - 1000
+    eid = 0
+    while t <= 2 * day + 1000:
+        rows.append((eid, 1, t)); eid += 1
+        t += 1000
+    # user 2: gap of exactly 1800 straddling a boundary (same session)
+    rows += [(100, 2, day - 900), (101, 2, day + 900)]
+    # user 3: gap of 1801 straddling a boundary (two sessions)
+    rows += [(200, 3, day - 900), (201, 3, day + 901)]
+    # user 4: present in chunk 0 and chunk 3 only (hole -> 2 sessions)
+    rows += [(300, 4, 100), (301, 4, 3 * day + 100)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, off long")
+    (
+        df.select(
+            "event_id",
+            "user_id",
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(secs=F.col("off").cast("double"))
+            ).alias("ts"),
+            F.lit("view").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/events.parquet")
+    )
+    plain = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in events_sessions(spark, str(tmp_path)).collect()
+    }
+    chunked = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in events_sessions_chunked(spark, str(tmp_path)).collect()
+    }
+    assert chunked == plain
+    assert plain[1][0] == 1  # 3-chunk session counts once
+    assert plain[2][0] == 1  # exactly-1800 gap: same session
+    assert plain[3][0] == 2  # 1801 gap: split
+    assert plain[4][0] == 2  # chunk hole: no spurious merge
