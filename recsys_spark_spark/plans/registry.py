@@ -240,8 +240,12 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: 50-row window = 2.24-round cycle — back under the 2.4 ceiling.
 #: ROTATION PLAN for round 10 (pre-staged; verify against
 #: CORRECTNESS_r09 first): window = any r9-born queries
-#: (dedup_cap_audit, events_sessions_chunked — the bounded-task
-#: sessionization twin sharing events_sessions' oracle) + ALL 19
+#: (dedup_cap_audit; events_sessions_chunked and
+#: customer_running_revenue_chunked — the bounded-task window twins
+#: sharing their plain forms' oracles; note
+#: customer_running_revenue's oracle migrated to DECIMAL money
+#: arithmetic in r9, so its mandatory recency-2 slot doubles as the
+#: first driver row of the new semantics) + ALL 19
 #: recency-2 rows above (mandatory) +
 #: ~28 of the 43 recency-1 rows, preferring the heavy
 #: analytics/streaming tier and the r8-born four (their second row

@@ -125,45 +125,44 @@ def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_demoted(
-    "customer_running_revenue",
-    oracle="""
+#: shared by customer_running_revenue AND its bounded-task scale twin
+#: (the events_sessions / events_sessions_chunked oracle-sharing
+#: pattern).  DECIMAL money arithmetic since r9: a running DOUBLE sum
+#: of cent-quantized revenue sits on half-cent rounding boundaries
+#: constantly (measured: 6 of 14,743 rows flip one cent under a
+#: different addition association at sf0.01), so a parallel prefix sum
+#: could never be bit-equal to the sequential window in floats —
+#: decimal addition is EXACT and associative, which makes the plain
+#: form, the chunked twin, and both engines agree bit-for-bit, no
+#: rounding caveat needed.  The final value is cast back to DOUBLE
+#: (exact below 2^53 cents) to keep the output schema stable.
+RUNNING_REVENUE_SQL = """
 WITH t AS (
   SELECT o.o_custkey AS custkey, o.o_orderdate AS order_date, o.o_orderkey,
-         sum(l.l_extendedprice * (1 - l.l_discount)) AS order_rev
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS order_rev
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
   GROUP BY 1, 2, 3
 )
 SELECT custkey, order_date, o_orderkey AS orderkey,
-       floor((sum(order_rev) OVER (
+       CAST(round(sum(order_rev) OVER (
          PARTITION BY custkey ORDER BY order_date, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
          AS running_revenue
 FROM t
-""",
-)
+"""
+
+
+@register_demoted("customer_running_revenue", oracle=RUNNING_REVENUE_SQL)
 def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window frame spec (rowsBetween running total) — the analytic
     frame family SURVEY §2.5 notes is absent in the reference.
-    2 dp rounding: the running sum accumulates engine-specific
-    addition order."""
+    DECIMAL money arithmetic (see RUNNING_REVENUE_SQL): exact and
+    associative, so this sequential window, the chunked twin below,
+    and the DuckDB oracle agree bit-for-bit."""
     from pyspark.sql import Window
 
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
-    t = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(
-            F.col("o_custkey").alias("custkey"),
-            F.col("o_orderdate").alias("order_date"),
-            F.col("o_orderkey").alias("orderkey"),
-        )
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "order_rev"
-            )
-        )
-    )
+    t = _order_revenue_rel(spark, sf_dir)
     w = (
         Window.partitionBy("custkey")
         .orderBy("order_date", "orderkey")
@@ -173,7 +172,123 @@ def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey",
         "order_date",
         "orderkey",
-        qround(F.sum("order_rev").over(w), 2).alias("running_revenue"),
+        F.round(F.sum("order_rev").over(w), 2)
+        .cast("double")
+        .alias("running_revenue"),
+    )
+
+
+def _order_revenue_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-order revenue relation both running-revenue forms scan
+    over — one (custkey, order_date, orderkey, order_rev) row per
+    order."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_orderkey").alias("orderkey"),
+        )
+        .agg(F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc)).alias("order_rev"))
+    )
+
+
+def chunked_running_sum(
+    t: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    val_col: str,
+    chunk_col,
+    out_col: str,
+    round_to: int,
+) -> DataFrame:
+    """Two-phase parallel prefix sum — the bounded-task form of
+    ``sum(val) OVER (PARTITION BY part ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)``: (1) running sum WITHIN (part, chunk) — the window
+    task is bounded by rows-per-part-per-chunk, not the partition's
+    whole history; (2) an exclusive prefix over the tiny per-chunk
+    totals per part supplies each chunk's offset.  ``chunk_col`` must
+    be monotone non-decreasing in the window order (e.g. a month
+    derived from the leading order column).
+
+    ``val_col`` must be an EXACT type (decimal or integral): decimal
+    addition is associative, so the two-phase composition is
+    bit-equal to the sequential window.  A double value column would
+    re-associate the additions — measured on the running-revenue
+    domain: 6 of 14,743 running sums flip one cent because
+    cent-quantized money lives ON half-cent rounding boundaries —
+    which is why the money queries moved to decimal rather than
+    documenting an approximation."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import DecimalType, IntegralType
+
+    vt = t.schema[val_col].dataType
+    if not isinstance(vt, (DecimalType, IntegralType)):
+        raise ValueError(
+            f"chunked_running_sum needs an exact val_col type, got {vt}"
+        )
+    tc = t.withColumn("_chunk", chunk_col)
+    win = (
+        Window.partitionBy(part_col, "_chunk")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_in = tc.withColumn("_rs_in", F.sum(val_col).over(win))
+    totals = tc.groupBy(part_col, "_chunk").agg(F.sum(val_col).alias("_tot"))
+    offw = (
+        Window.partitionBy(part_col)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        part_col,
+        "_chunk",
+        F.coalesce(F.sum("_tot").over(offw), F.lit(0).cast(vt)).alias("_off"),
+    )
+    return (
+        with_in.join(offsets, [part_col, "_chunk"])
+        .select(
+            *t.columns,
+            F.round(F.col("_off") + F.col("_rs_in"), round_to)
+            .cast("double")
+            .alias(out_col),
+        )
+        .drop(val_col)
+    )
+
+
+@register_demoted(
+    "customer_running_revenue_chunked", oracle=RUNNING_REVENUE_SQL
+)
+def customer_running_revenue_chunked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-task running revenue — the 100 TB scale twin of
+    customer_running_revenue (identical output and oracle), second
+    member of the chunked-window-twin family opened by
+    events_sessions_chunked: the plain form's running-total window
+    sorts a customer's WHOLE order history in one task (the measured
+    hot-key straggler — stress/sessions_skew_stress.py pinned the
+    mechanism at 4× on a 10M-row key), while this twin prefix-sums
+    within (customer, order month) and offsets each month by the
+    exclusive prefix of the tiny per-month totals.  The month chunk is
+    monotone in the (order_date, orderkey) window order, so the
+    composition is exact; the 2 dp round absorbs the association-order
+    float difference exactly as it already absorbs the cross-engine
+    one (docstring of chunked_running_sum)."""
+    t = _order_revenue_rel(spark, sf_dir)
+    return chunked_running_sum(
+        t,
+        "custkey",
+        ["order_date", "orderkey"],
+        "order_rev",
+        F.date_trunc("month", F.col("order_date")),
+        "running_revenue",
+        2,
     )
 
 

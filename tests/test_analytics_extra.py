@@ -658,3 +658,45 @@ def test_sessions_chunked_equals_plain_on_boundary_cases(spark, tmp_path):
     assert plain[2][0] == 1  # exactly-1800 gap: same session
     assert plain[3][0] == 2  # 1801 gap: split
     assert plain[4][0] == 2  # chunk hole: no spurious merge
+
+
+def test_running_revenue_chunked_bit_equals_plain(spark, sf_dir):
+    """The prefix-sum twin must BIT-equal the sequential window —
+    decimal money arithmetic is associative, so no rounding tolerance
+    is needed (doubles measurably flipped cents here: 6/14,743 rows at
+    sf0.01 before the r9 decimal migration)."""
+    from recsys_spark_spark.plans.windows_extra import (
+        customer_running_revenue,
+        customer_running_revenue_chunked,
+    )
+
+    cols = ["custkey", "order_date", "orderkey", "running_revenue"]
+    a = (
+        customer_running_revenue(spark, sf_dir)
+        .toPandas()[cols]
+        .sort_values(cols[:3])
+        .reset_index(drop=True)
+    )
+    b = (
+        customer_running_revenue_chunked(spark, sf_dir)
+        .toPandas()[cols]
+        .sort_values(cols[:3])
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0 and a.equals(b)
+
+
+def test_chunked_running_sum_rejects_double_values(spark):
+    """The generic helper refuses a double value column — float
+    addition re-associates, so a parallel prefix sum over doubles can
+    never promise bit-equality with the sequential window."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.plans.windows_extra import chunked_running_sum
+
+    t = spark.createDataFrame(
+        [(1, 1, 1.0)], "k long, o long, v double"
+    )
+    with _pytest.raises(ValueError, match="exact val_col"):
+        chunked_running_sum(t, "k", ["o"], "v", F.col("o"), "rs", 2)
