@@ -1,0 +1,138 @@
+"""Property tests for the bounded-task window-twin family (r9):
+events_sessions_chunked and chunked_running_sum must equal their
+sequential forms on RANDOM timelines at RANDOM chunk granularities —
+the boundary cases (ties at chunk edges, sessions spanning many
+chunks, empty chunks) are exactly where a two-phase composition
+breaks, and a fixed fixture only pins the boundaries someone thought
+of."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    derandomize=True,  # driver-gate convention (test_similarity_props)
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (user, offset-seconds) event lists: offsets cluster near multiples
+# of the chunk width so ties and boundary-straddles are common
+timelines = st.lists(
+    st.tuples(
+        st.integers(1, 4),  # user
+        st.integers(0, 40),  # coarse slot
+        st.integers(-2, 2),  # jitter around the slot edge
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _sessions_plain(rows, gap):
+    out = {}
+    by_user = {}
+    for eid, (u, ts) in enumerate(rows):
+        by_user.setdefault(u, []).append((ts, eid))
+    for u, evs in by_user.items():
+        evs.sort()
+        n = 0
+        prev = None
+        for ts, _ in evs:
+            if prev is None or ts - prev > gap:
+                n += 1
+            prev = ts
+        out[u] = (n, len(evs))
+    return out
+
+
+@given(tl=timelines, chunk_s=st.sampled_from([7, 13, 50]))
+@SETTINGS
+def test_sessions_chunked_equals_python_reference(spark, tl, chunk_s):
+    """Chunked sessionization == a sequential pure-python reference on
+    random timelines, for chunk widths both below and above the 30 s
+    session gap (a chunk narrower than the gap forces MOST session
+    merges across boundaries — the hardest regime)."""
+    from recsys_spark_spark.plans.relational import events_sessions_chunked
+
+    rows = [(u, max(0, slot * 10 + j)) for u, slot, j in tl]
+    events = [(eid, u, ts) for eid, (u, ts) in enumerate(rows)]
+    # the public function hard-pins the 1800 s production gap, so
+    # scale the synthetic offsets by 60: a 30 s reference gap becomes
+    # 1800 s, and the chunk width scales with it
+    import tempfile
+
+    scaled = [(eid, u, ts * 60) for eid, u, ts in events]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            scaled, "event_id long, user_id long, off long"
+        ).select(
+            "event_id",
+            "user_id",
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(secs=F.col("off").cast("double"))
+            ).alias("ts"),
+            F.lit("view").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r["user_id"]: (r["n_sessions"], r["n_events"])
+            for r in events_sessions_chunked(
+                spark, d, chunk_s=chunk_s * 60
+            ).collect()
+        }
+    want = _sessions_plain(
+        [(u, ts * 60) for u, _, ts in [(e[1], e[0], e[2]) for e in events]],
+        1800,
+    )
+    assert got == want
+
+
+@given(
+    tl=st.lists(
+        st.tuples(
+            st.integers(1, 3),  # part
+            st.integers(0, 30),  # order key
+            st.integers(-500, 500),  # value in cents
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    chunk_w=st.sampled_from([3, 7, 100]),
+)
+@SETTINGS
+def test_chunked_running_sum_equals_sequential(spark, tl, chunk_w):
+    """The generic two-phase prefix sum == the sequential window on
+    random exact-decimal values at random chunk widths (including one
+    wider than every key range — the single-chunk degenerate case)."""
+    from recsys_spark_spark.plans.windows_extra import chunked_running_sum
+
+    t = spark.createDataFrame(
+        [(p, o, v) for p, o, v in tl], "p long, o long, cents long"
+    ).select("p", "o", (F.col("cents").cast("decimal(18,0)")).alias("v"))
+    seq = t.select(
+        "p",
+        "o",
+        F.round(
+            F.sum("v").over(
+                Window.partitionBy("p")
+                .orderBy("o")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("rs"),
+    )
+    par = chunked_running_sum(
+        t, "p", ["o"], "v", F.floor(F.col("o") / chunk_w), "rs", 2
+    )
+    key = ["p", "o"]
+    a = {(r["p"], r["o"]): r["rs"] for r in seq.collect()}
+    b = {(r["p"], r["o"]): r["rs"] for r in par.collect()}
+    assert a == b
