@@ -78,7 +78,7 @@ def test_dedup_cap_audit_caps_inactive_on_shipped_corpus(spark, sf_dir):
     n_items = size · n_buckets holds on every row."""
     rows = dedup_cap_audit(spark, sf_dir).collect()
     gens = {r["generator"] for r in rows}
-    assert gens == {"dhash_chunk", "fuzzy_variant", "minhash_band"}
+    assert gens == {"dhash_chunk", "fuzzy_variant", "minhash_band", "cf_item_raters"}
     assert all(r["over_cap"] == 0 for r in rows)
     assert all(
         r["n_items"] == r["bucket_size"] * r["n_buckets"] for r in rows
@@ -87,3 +87,4 @@ def test_dedup_cap_audit_caps_inactive_on_shipped_corpus(spark, sf_dir):
     assert caps["dhash_chunk"] == 64
     assert caps["fuzzy_variant"] == 1000
     assert caps["minhash_band"] is None
+    assert caps["cf_item_raters"] == 500
