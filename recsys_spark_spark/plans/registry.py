@@ -240,8 +240,9 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: 50-row window = 2.24-round cycle — back under the 2.4 ceiling.
 #: ROTATION PLAN for round 10 (pre-staged; verify against
 #: CORRECTNESS_r09 first): window = any r9-born queries
-#: (dedup_cap_audit; events_sessions_chunked and
-#: customer_running_revenue_chunked — the bounded-task window twins
+#: (dedup_cap_audit; events_sessions_chunked,
+#: customer_running_revenue_chunked and events_prev_gap_chunked —
+#: the bounded-task window twins
 #: sharing their plain forms' oracles; note
 #: customer_running_revenue's oracle migrated to DECIMAL money
 #: arithmetic in r9, so its mandatory recency-2 slot doubles as the

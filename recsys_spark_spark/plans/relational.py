@@ -382,17 +382,26 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: chunk width for the bounded-task window twins (1 day): the
+#: per-task row bound becomes events-per-user-per-DAY instead of the
+#: user's whole history — pick from the skew audit when a corpus has
+#: hotter-than-daily users
+SESSION_CHUNK_S = 86_400
+
+
 # --- lag / event gaps (as-of building block) -------------------------------
-@register(
-    "events_prev_gap",
-    oracle="""
+#: shared by events_prev_gap and its bounded-task scale twin (the
+#: window-twin oracle-sharing pattern, third member)
+EVENTS_PREV_GAP_SQL = """
 SELECT event_id, user_id,
        CAST(date_diff('second',
             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
             ts) AS BIGINT) AS gap_s
 FROM events
-""",
-)
+"""
+
+
+@register("events_prev_gap", oracle=EVENTS_PREV_GAP_SQL)
 def events_prev_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seconds since the user's previous event — lag() window, the
     building block for as-of joins and sessionization (SURVEY §2.3
@@ -413,6 +422,51 @@ def events_prev_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("second", F.col("ts")),
     )
     return e.select("event_id", "user_id", gap.alias("gap_s"))
+
+
+@register_demoted("events_prev_gap_chunked", oracle=EVENTS_PREV_GAP_SQL)
+def events_prev_gap_chunked(
+    spark: SparkSession, sf_dir: str, chunk_s: int = SESSION_CHUNK_S
+) -> DataFrame:
+    """Bounded-task lag — third member of the chunked window-twin
+    family (sessions count a flag, running revenue carries a SUM,
+    lag carries ONE ROW): lag within (user, day-chunk), and the first
+    row of each chunk takes its predecessor from the previous PRESENT
+    chunk's last (ts, event_id) summary — a tiny per-(user, chunk)
+    relation, so no task ever sorts more than one user-day.  The
+    chunk is monotone in the (ts, event_id) window order and
+    same-second ties share a chunk by construction, so the carried
+    row is exactly the global predecessor; a user's first chunk
+    carries NULL, matching the plain form's first-event NULL gap.
+    Identical output and oracle to events_prev_gap; the switch signal
+    is the skew audit, as for the other twins."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "_chunk",
+        F.floor(
+            F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+            / F.lit(chunk_s)
+        ),
+    )
+    w_in = Window.partitionBy("user_id", "_chunk").orderBy("ts", "event_id")
+    prev_in = F.lag("ts").over(w_in)
+    last_per_chunk = e.groupBy("user_id", "_chunk").agg(
+        F.max(F.struct("ts", "event_id")).alias("_last")
+    )
+    cw = Window.partitionBy("user_id").orderBy("_chunk")
+    carry = last_per_chunk.select(
+        "user_id",
+        "_chunk",
+        F.lag(F.col("_last.ts")).over(cw).alias("_carry_ts"),
+    )
+    gap = F.timestamp_diff(
+        "SECOND",
+        F.date_trunc("second", F.coalesce(prev_in, F.col("_carry_ts"))),
+        F.date_trunc("second", F.col("ts")),
+    )
+    return (
+        e.join(carry, ["user_id", "_chunk"])
+        .select("event_id", "user_id", gap.alias("gap_s"))
+    )
 
 
 @register(
@@ -487,13 +541,6 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
-
-
-#: chunk width for the bounded-task sessionization twin (1 day): the
-#: per-task row bound becomes events-per-user-per-DAY instead of the
-#: user's whole history — pick from the skew audit when a corpus has
-#: hotter-than-daily users
-SESSION_CHUNK_S = 86_400
 
 
 @register_demoted("events_sessions_chunked", oracle=SESSIONS_SQL)

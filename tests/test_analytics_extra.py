@@ -700,3 +700,53 @@ def test_chunked_running_sum_rejects_double_values(spark):
     )
     with _pytest.raises(ValueError, match="exact val_col"):
         chunked_running_sum(t, "k", ["o"], "v", F.col("o"), "rs", 2)
+
+
+def test_prev_gap_chunked_equals_plain_on_boundaries(spark, tmp_path):
+    """The chunked lag twin must equal the plain window on chunk-edge
+    shapes: consecutive events straddling a midnight boundary, a
+    same-second tie pair at the boundary (event_id breaks the tie
+    inside ONE chunk — ties can never split), a user whose chunks have
+    holes, and each user's first event (NULL gap)."""
+    import pyspark.sql.functions as F
+
+    from recsys_spark_spark.plans.relational import (
+        events_prev_gap,
+        events_prev_gap_chunked,
+    )
+
+    day = 86_400
+    rows = [
+        # user 1: events 10 s either side of two midnights + a hole
+        (0, 1, day - 10), (1, 1, day + 10), (2, 1, 3 * day + 5),
+        # user 2: same-second tie right at a boundary second
+        (10, 2, day), (11, 2, day), (12, 2, day + 30),
+        # user 3: single event (NULL gap only)
+        (20, 3, 500),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, off long"
+    ).select(
+        "event_id",
+        "user_id",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("off").cast("double"))
+        ).alias("ts"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    plain = {
+        r["event_id"]: r["gap_s"]
+        for r in events_prev_gap(spark, str(tmp_path)).collect()
+    }
+    chunked = {
+        r["event_id"]: r["gap_s"]
+        for r in events_prev_gap_chunked(spark, str(tmp_path)).collect()
+    }
+    assert chunked == plain
+    assert plain[1] == 20  # carried across the midnight boundary
+    assert plain[2] == 2 * day - 5  # carried across a chunk hole
+    assert plain[11] == 0 and plain[12] == 30  # tie pair intact
+    assert plain[0] is None and plain[20] is None  # first events
