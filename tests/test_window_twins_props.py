@@ -136,3 +136,46 @@ def test_chunked_running_sum_equals_sequential(spark, tl, chunk_w):
     a = {(r["p"], r["o"]): r["rs"] for r in seq.collect()}
     b = {(r["p"], r["o"]): r["rs"] for r in par.collect()}
     assert a == b
+
+
+@given(tl=timelines, chunk_s=st.sampled_from([7, 13, 50]))
+@SETTINGS
+def test_prev_gap_chunked_equals_python_reference(spark, tl, chunk_s):
+    """Chunked lag == a sequential pure-python reference on random
+    timelines (ties included via the jitter strategy), at chunk widths
+    small enough that most gaps cross a boundary."""
+    import tempfile
+
+    from recsys_spark_spark.plans.relational import events_prev_gap_chunked
+
+    rows = [(eid, u, max(0, slot * 10 + j)) for eid, (u, slot, j) in enumerate(tl)]
+    # pure-python reference: sort by (ts, event_id) per user, diff
+    want = {}
+    by_user = {}
+    for eid, u, ts in rows:
+        by_user.setdefault(u, []).append((ts, eid))
+    for u, evs in by_user.items():
+        evs.sort()
+        prev = None
+        for ts, eid in evs:
+            want[eid] = None if prev is None else ts - prev
+            prev = ts
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, off long"
+        ).select(
+            "event_id",
+            "user_id",
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(secs=F.col("off").cast("double"))
+            ).alias("ts"),
+            F.lit("view").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r["event_id"]: r["gap_s"]
+            for r in events_prev_gap_chunked(spark, d, chunk_s=chunk_s).collect()
+        }
+    assert got == want
