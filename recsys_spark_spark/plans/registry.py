@@ -236,8 +236,10 @@ DEMOTED: dict[str, QuerySpec] = {}
 #:                  user_cf_coverage_novelty)
 #:   never: 2 no-oracle BY DESIGN (sequential_topk + als_topk) + any
 #:          r9-born queries (staged at the r10 window head)
-#: Steady state: 112 oracled (118 − 2 trio-merge − 4 knn-merge) /
-#: 50-row window = 2.24-round cycle — back under the 2.4 ceiling.
+#: Steady state: 116 oracled (118 − 2 trio-merge − 4 knn-merge + the
+#: 4 r9-born: dedup_cap_audit + the three bounded-task window twins)
+#: / 50-row window = 2.32-round cycle — under the 2.4 ceiling but
+#: close; the staged merges below pull it back.
 #: ROTATION PLAN for round 10 (pre-staged; verify against
 #: CORRECTNESS_r09 first): window = any r9-born queries
 #: (dedup_cap_audit; events_sessions_chunked,
@@ -248,13 +250,21 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: arithmetic in r9, so its mandatory recency-2 slot doubles as the
 #: first driver row of the new semantics) + ALL 19
 #: recency-2 rows above (mandatory) +
-#: ~28 of the 43 recency-1 rows, preferring the heavy
+#: ~24 of the 43 recency-1 rows, preferring the heavy
 #: analytics/streaming tier and the r8-born four (their second row
 #: certifies stability).  STAGED MERGE for r10 (execute once both
 #: members' r9 rows land green): popularity_topk + random_topk →
 #: one baseline_topk row with a variant tag — both share the
 #: (user_id, item_id, score, rank) grain and exist purely as ranking
-#: baselines; pulls oracled 113 → 112.  Rejected merge candidates,
+#: baselines; pulls oracled 116 → 115.  FURTHER STAGED (execute in r10 or
+#: r11 once each twin's first driver row lands green): merge each
+#: bounded-task window twin with its plain form as ONE variant-tagged
+#: row (identical grain and columns by construction — a 'variant'
+#: column distinguishes plain/chunked and the shared oracle stays,
+#: replayed once per variant tag): events_sessions(+_chunked),
+#: customer_running_revenue(+_chunked), events_prev_gap(+_chunked) —
+#: pulls oracled to 112 and certifies both plans in one slot
+#: forever.  Rejected merge candidates,
 #: for the record: the neardup trio (minhash/ngram/simhash) shares
 #: the pair grain but minhash_lsh is a BENCH row whose timing line
 #: must stay attributable, and jaccard-vs-hamming value columns
