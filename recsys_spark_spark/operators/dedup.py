@@ -204,8 +204,37 @@ def band_rows(
     return sigs.select("id", F.posexplode(bands).alias("band", "bsig"))
 
 
-def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing at least one band bucket."""
+#: drop LSH band buckets larger than this before the candidate
+#: self-join (hot-band guard — the same idiom as the dHash chunk cap
+#: MAX_DHASH_BUCKET and the lift MAX_BASKET).  A band bucket of size m
+#: emits C(m,2) candidate pairs: one boilerplate-heavy bucket of 10⁵
+#: docs is 5·10⁹ pairs — the quadratic collapse the cap bounds.
+#: Recall consequence (like dHash): a true near-dup pair is missed
+#: only if EVERY band it collides in is over-cap; with 16 independent
+#: bands that requires the pair to live exclusively in hot boilerplate
+#: mass.  The shipped corpus' worst bucket sits far below the cap —
+#: value-certified by dedup_cap_audit's minhash_band rows (over_cap
+#: all zero), not asserted here.
+MAX_MINHASH_BUCKET = 1000
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one band bucket.
+
+    ``max_bucket`` drops over-cap buckets BEFORE the self-join (see
+    :data:`MAX_MINHASH_BUCKET`); the size filter and the self-join
+    shuffle on the same (band, bsig) key, so the guard adds no new
+    partitioning."""
+    if max_bucket is not None:
+        ok = (
+            bands.groupBy("band", "bsig")
+            .agg(F.count("*").alias("_bsz"))
+            .where(F.col("_bsz") <= max_bucket)
+            .select("band", "bsig")
+        )
+        bands = bands.join(ok, ["band", "bsig"], "semi")
     a = bands.select(F.col("id").alias("id_a"), "band", "bsig")
     b = bands.select(F.col("id").alias("id_b"), "band", "bsig")
     return (
@@ -254,13 +283,18 @@ def minhash_neardup_pairs(
     rows_per_band: int = ROWS_PER_BAND,
     shingle: int = SHINGLE,
     hash_mode: str = "md5",
+    max_bucket: int | None = MAX_MINHASH_BUCKET,
 ) -> DataFrame:
     """Full MinHash-LSH near-dedup: (id_a, id_b, jaccard ≥ threshold).
 
     Detection probability per true pair at Jaccard s:
     1 − (1 − s^rows_per_band)^(n_hashes/rows_per_band); defaults
     (16 bands × 4) give ≈1−4·10⁻⁸ at s=0.9 and 0.64 at s=0.5 — tune
-    rows_per_band down for lower-similarity regimes."""
+    rows_per_band down for lower-similarity regimes.  ``max_bucket``
+    (default :data:`MAX_MINHASH_BUCKET`, r10) caps band buckets
+    before the candidate join; ``minhash_neardup_sql`` mirrors the
+    same default so the two engines stay bit-equal at every
+    setting."""
     # sh feeds FOUR subtrees (signatures, pair sizes, both verify join
     # sides); persist so the text scan + shingle explode run once per
     # action, not 4x (same discipline as ngram_jaccard_pairs — lazily
@@ -268,7 +302,9 @@ def minhash_neardup_pairs(
     # plan-identity cache in this package)
     sh = shingle_rows(docs, id_col, text_col, shingle).persist()
     sigs = minhash_signatures(sh, n_hashes, hash_mode)
-    cand = lsh_candidate_pairs(band_rows(sigs, rows_per_band, n_hashes))
+    cand = lsh_candidate_pairs(
+        band_rows(sigs, rows_per_band, n_hashes), max_bucket
+    )
     return verify_jaccard(cand, sh, threshold)
 
 
@@ -314,13 +350,30 @@ def minhash_neardup_sql(
     n_hashes: int = N_HASHES,
     rows_per_band: int = ROWS_PER_BAND,
     shingle: int = SHINGLE,
+    max_bucket: int | None = MAX_MINHASH_BUCKET,
 ) -> str:
-    """DuckDB twin of `minhash_neardup_pairs` (md5 hash mode)."""
+    """DuckDB twin of `minhash_neardup_pairs` (md5 hash mode);
+    mirrors the same ``max_bucket`` default so cap settings stay
+    engine-symmetric."""
+    okb = (
+        ""
+        if max_bucket is None
+        else f"""okb AS (
+  SELECT band, bsig FROM bands
+  GROUP BY band, bsig HAVING count(*) <= {max_bucket}
+),
+"""
+    )
+    cap_join = (
+        ""
+        if max_bucket is None
+        else "\n  JOIN okb k ON k.band = a.band AND k.bsig = a.bsig"
+    )
     return f"""
 WITH {minhash_bands_ctes(table, n_hashes, rows_per_band, shingle)},
-cand AS (
+{okb}cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig{cap_join}
   WHERE a.id < b.id
 ),
 sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),

@@ -1,14 +1,21 @@
 """Cap-drop observability: what the capped candidate generators drop.
 
-Four candidate generators in this engine guard against hot-bucket
-quadratic collapse by DROPPING over-cap buckets (pairs inside them are
-silently missed): the dHash 16-bit chunk bands
-(operators/multimodal.py MAX_DHASH_BUCKET), the fuzzy-linkage delete-1
-variant buckets (plans/linkage.py MAX_BUCKET), the CF co-rated pair
-join's raters-per-item cut (plans/recsys.py MAX_RATERS_PER_ITEM — a
-deliberate no-op at oracle scale, which this audit value-CERTIFIES
-instead of asserting in a comment), and — uncapped today but the same
-hazard class — the MinHash band buckets (operators/dedup.py).  Correctness of the shipped queries is
+Six candidate generators in this engine either guard against
+hot-bucket quadratic collapse by DROPPING over-cap buckets (pairs
+inside them are silently missed) or expose the knob to: the dHash
+16-bit chunk bands (operators/multimodal.py MAX_DHASH_BUCKET), the
+fuzzy-linkage delete-1 variant buckets (plans/linkage.py MAX_BUCKET),
+the CF co-rated pair join's raters-per-item cut (plans/recsys.py
+MAX_RATERS_PER_ITEM — a deliberate no-op at oracle scale, which this
+audit value-CERTIFIES instead of asserting in a comment), the lift
+pair join's basket-size cut (plans/market.py MAX_BASKET, r10), the
+MinHash band buckets (operators/dedup.py MAX_MINHASH_BUCKET — capped
+as of r10, closing the one uncapped member of the hot-bucket hazard
+class; engine-symmetric defaults in minhash_neardup_pairs/_sql), and
+— uncapped in the shipped query but the same hazard class — the
+inverted-index Jaccard's stop-shingle document-frequency cut
+(ngram_jaccard_pairs' max_doc_freq, r10; the histogram row is the
+deliverable there).  Correctness of the shipped queries is
 oracle-certified GIVEN each cap, but before trusting a dedup run an
 operator needs the number the cap hides: how many buckets/items/pairs
 would be dropped on THIS corpus (r8 VERDICT what's-missing #3 — the
@@ -39,15 +46,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    MAX_MINHASH_BUCKET,
     band_rows,
     minhash_bands_ctes,
     minhash_signatures,
     shingle_rows,
+    shingles_sql,
 )
 from ..operators.multimodal import MAX_DHASH_BUCKET, dhash_chunk_rows
 from ..sources.readers import table
 from .linkage import MAX_BUCKET as FUZZY_MAX_BUCKET
 from .linkage import name_variant_rows
+from .market import LIFT_B0_SQL, MAX_BASKET as LIFT_MAX_BASKET
+from .market import lift_basket_rows
 from .recsys import MAX_RATERS_PER_ITEM as CF_MAX_RATERS
 from .recsys import _cached_ratings
 from .mm import dhash_twinned_hashed_ctes
@@ -146,6 +157,27 @@ SELECT CAST(count(*) AS BIGINT) AS bsz FROM bands GROUP BY band, bsig
 """.strip()
 
 
+def _ngram_df_sizes_sql() -> str:
+    # the exact shingle relation the inverted-index Jaccard self-join
+    # explodes, bucketed by shingle (bsz = document frequency — the
+    # population a max_doc_freq stop-shingle cut would drop from)
+    return f"""
+WITH sh AS (
+{shingles_sql()}
+)
+SELECT CAST(count(*) AS BIGINT) AS bsz FROM sh GROUP BY s
+""".strip()
+
+
+def _lift_basket_sizes_sql() -> str:
+    # verbatim the b0 CTE the lift oracle pairs on (module constant
+    # shared with plans/market.py)
+    return f"""
+WITH b0 AS ({LIFT_B0_SQL})
+SELECT CAST(count(*) AS BIGINT) AS bsz FROM b0 GROUP BY ok
+""".strip()
+
+
 def _cf_raters_sizes_sql() -> str:
     # the ratings projection every CF plan shares (FIXTURES.md §B),
     # bucketed by the co-rated pair join's key (item)
@@ -165,21 +197,32 @@ SELECT CAST(count(*) AS BIGINT) AS bsz FROM r GROUP BY item_id
         [
             _hist_sql("dhash_chunk", MAX_DHASH_BUCKET, _dhash_sizes_sql()),
             _hist_sql("fuzzy_variant", FUZZY_MAX_BUCKET, _fuzzy_sizes_sql()),
-            _hist_sql("minhash_band", None, _minhash_sizes_sql()),
+            _hist_sql(
+                "minhash_band", MAX_MINHASH_BUCKET, _minhash_sizes_sql()
+            ),
             _hist_sql(
                 "cf_item_raters", CF_MAX_RATERS, _cf_raters_sizes_sql()
+            ),
+            _hist_sql("ngram_shingle_df", None, _ngram_df_sizes_sql()),
+            _hist_sql(
+                "lift_basket", LIFT_MAX_BASKET, _lift_basket_sizes_sql()
             ),
         ]
     ),
 )
 def dedup_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket-size histograms + cap-drop volumes for the four
-    hot-bucket-guarded candidate generators (module docstring): dHash
+    """Bucket-size histograms + cap-drop volumes for the six
+    hot-bucket-hazard candidate generators (module docstring): dHash
     16-bit chunks over the registered near-pairs corpus (base + twin
     payloads), fuzzy-linkage delete-1 variants over customer names,
-    MinHash band buckets over the document corpus, and raters-per-item
-    over the shared CF ratings projection (whose cap's documented
-    no-op-at-this-scale claim becomes a value-checked row here).
+    MinHash band buckets over the document corpus (capped at
+    MAX_MINHASH_BUCKET as of r10), raters-per-item over the shared CF
+    ratings projection (whose cap's documented no-op-at-this-scale
+    claim becomes a value-checked row here), shingle document
+    frequency for the inverted-index Jaccard (uncapped in the shipped
+    query — the stop-shingle population a max_doc_freq cut would drop
+    from), and basket sizes for the co-occurrence lift pair join at
+    the shipped MAX_BASKET.
 
     Read it like the skew audit: over_cap = 1 rows are what the
     generator's shipped default cap silently drops (n_items hashes /
@@ -219,13 +262,36 @@ def dedup_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("item_id")
         .agg(F.count("*").alias("bsz"))
     )
+    # r10 extension (r9 VERDICT #7): the remaining two silent-cut
+    # parameters join the audit — the inverted-index Jaccard's shingle
+    # document-frequency distribution (the population a max_doc_freq
+    # stop-shingle cut drops from; the shipped neardup_ngram_jaccard
+    # runs UNCAPPED, so like minhash_band the histogram is the
+    # deliverable) and the lift pair join's basket sizes at the
+    # shipped MAX_BASKET hot-key guard.
+    shingle_df_sizes = (
+        shingle_rows(docs).groupBy("s").agg(F.count("*").alias("bsz"))
+    )
+    basket_sizes = (
+        lift_basket_rows(spark, sf_dir)
+        .groupBy("ok")
+        .agg(F.count("*").alias("bsz"))
+    )
     return (
         cap_histogram(dhash_sizes, "dhash_chunk", MAX_DHASH_BUCKET)
         .unionByName(
             cap_histogram(fuzzy_sizes, "fuzzy_variant", FUZZY_MAX_BUCKET)
         )
-        .unionByName(cap_histogram(band_sizes, "minhash_band", None))
+        .unionByName(
+            cap_histogram(band_sizes, "minhash_band", MAX_MINHASH_BUCKET)
+        )
         .unionByName(
             cap_histogram(rater_sizes, "cf_item_raters", CF_MAX_RATERS)
+        )
+        .unionByName(
+            cap_histogram(shingle_df_sizes, "ngram_shingle_df", None)
+        )
+        .unionByName(
+            cap_histogram(basket_sizes, "lift_basket", LIFT_MAX_BASKET)
         )
     )

@@ -39,12 +39,28 @@ TOP_N = 100
 
 _LIFT = "CAST(nab AS DOUBLE) * nb.n / (CAST(ia.c AS DOUBLE) * ib.c)"
 
+#: the distinct (basket, item) relation the lift pair join runs on —
+#: module constant so dedup_cap_audit's basket-size histogram replays
+#: the generator's own bucket relation verbatim (caps.py discipline)
+LIFT_B0_SQL = "SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem"
+
+
+def lift_basket_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :data:`LIFT_B0_SQL` — the exact distinct
+    (ok, pk) relation ``cooccurrence_lift``'s first stage computes
+    from the lineitem projection, shared with the cap audit."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+
 
 @register_demoted(
     # new in r4 (registry window full at 50); rotate REGISTERED in r5
     "item_cooccurrence_lift",
     oracle=f"""
-WITH b0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+WITH b0 AS ({LIFT_B0_SQL}),
 sz AS (SELECT ok FROM b0 GROUP BY ok HAVING count(*) <= {MAX_BASKET}),
 b AS (SELECT b0.* FROM b0 JOIN sz USING (ok)),
 nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM b),

@@ -1260,9 +1260,10 @@ def user_cf_coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 POP_POOL = 50
 
 
-@register_demoted(
-    "popularity_topk",
-    oracle=f"""
+#: oracle of the popularity member — kept as a module constant so the
+#: merged baseline_topk row (r10 rotation) replays it verbatim in its
+#: variant slice
+POPULARITY_TOPK_SQL = f"""
 WITH {RATINGS_CTE},
 pop AS (
   SELECT item_id, CAST(count(*) AS BIGINT) AS n_r,
@@ -1285,8 +1286,11 @@ FROM (
     PARTITION BY user_id ORDER BY prank ASC) AS rk
   FROM cand
 ) WHERE rk <= {K_ITEMS}
-""",
-)
+"""
+
+
+# r10 rotation: registration merged into baseline_topk (variant
+# "pop") — the function stays library API and feeds the merged row.
 def popularity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-personalized POPULARITY baseline: every user's top-5 most-
     rated items they have not rated — the control every ranking eval
@@ -1324,9 +1328,9 @@ def popularity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_demoted(
-    "random_topk",
-    oracle=f"""
+#: oracle of the deterministic-random member — module constant for the
+#: merged baseline_topk row's variant slice (r10 rotation)
+RANDOM_TOPK_SQL = f"""
 WITH {RATINGS_CTE},
 pool AS (
   SELECT item_id
@@ -1351,8 +1355,11 @@ FROM (
     PARTITION BY user_id ORDER BY h, item_id) AS rk
   FROM cand
 ) WHERE rk <= {K_ITEMS}
-""",
-)
+"""
+
+
+# r10 rotation: registration merged into baseline_topk (variant
+# "random") — the function stays library API and feeds the merged row.
 def random_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DETERMINISTIC-random ranking baseline (the floor every
     personalized model and the popularity baseline must clear): each
@@ -1401,3 +1408,56 @@ def random_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= K_ITEMS)
         .select("user_id", "item_id", "rank")
     )
+
+
+# --- merged ranking-baseline row (r10 rotation) -------------------------------
+# popularity_topk and random_topk share the (user_id, item_id, rank)
+# grain over the same bounded POP_POOL candidate shape and exist purely
+# as the two non-personalized controls every ranking eval needs, so ONE
+# tagged-union row carries both oracles (the embedding_knn_exact
+# precedent): a regression in either baseline flips the merged row's
+# value hash.  `score` is the ranking statistic where one exists —
+# popularity's rating count n_r; the deterministic-random baseline has
+# no score by construction, so its slice pins the 0 sentinel (NOT NULL:
+# the oracle compare should never depend on engine null ordering).
+
+
+@register_demoted(
+    "baseline_topk",
+    oracle=f"""
+SELECT 'pop' AS variant, user_id, item_id,
+       CAST(n_r AS BIGINT) AS score, rank
+FROM ({POPULARITY_TOPK_SQL}) _v_pop
+UNION ALL
+SELECT 'random' AS variant, user_id, item_id,
+       CAST(0 AS BIGINT) AS score, rank
+FROM ({RANDOM_TOPK_SQL}) _v_random
+""",
+)
+def baseline_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged non-personalized ranking baselines: the popularity@k and
+    deterministic-random@k controls as tagged variants on one
+    (variant, user_id, item_id, score, rank) relation — the merged
+    form of the formerly-standalone popularity_topk / random_topk
+    registered rows (r10 rotation; both earned driver-green rows in
+    r9 first, and the library functions are unchanged).
+
+    Scale shape: per member unchanged — each variant's candidate
+    relation is users × POP_POOL (global top-pool broadcast after
+    TakeOrderedAndProject), never users × catalog; the union is two
+    independent bounded plans with no barrier between them."""
+    pop = popularity_topk(spark, sf_dir).select(
+        F.lit("pop").alias("variant"),
+        "user_id",
+        "item_id",
+        F.col("n_r").cast("bigint").alias("score"),
+        "rank",
+    )
+    rnd = random_topk(spark, sf_dir).select(
+        F.lit("random").alias("variant"),
+        "user_id",
+        "item_id",
+        F.lit(0).cast("bigint").alias("score"),
+        "rank",
+    )
+    return pop.unionByName(rnd)

@@ -270,66 +270,115 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: must stay attributable, and jaccard-vs-hamming value columns
 #: would union awkwardly; corpus_pps_sample + corpus_mixture_sample
 #: differ in grain (per-doc sample vs per-source rate).
+#:
+#: Round 10 (EXECUTED this round): verified CORRECTNESS_r09 50/50
+#: green first (zero err), then the pre-staged plan ran verbatim:
+#: window = the 4 r9-born queries (dedup_cap_audit + the three
+#: bounded-task window twins; customer_running_revenue's mandatory
+#: slot doubles as the first driver row of the r9 DECIMAL money
+#: semantics) + ALL 19 mandatory recency-2 rows + the staged
+#: baseline_topk merge EXECUTED in this commit (popularity_topk +
+#: random_topk -> one variant-tagged row on the (variant, user_id,
+#: item_id, score, rank) grain; both members landed green r9, the
+#: precondition held; oracled 116 -> 115) + 26 of the 43 recency-1
+#: rows, preferring the heavy analytics/streaming tier
+#: (corpus_train_ready, hybrid_topk, the neardup family, the CF eval
+#: family, stream quantile sketch, skew/DQ audits).
+#:
+#: Post-r10 audit (recency = rounds since last driver-green row,
+#: assuming the r10 window runs green):
+#:   recency 0: 50 (the window below)
+#:   recency 1: 48 (the r9 window minus the 2 merged-away names
+#:                  popularity_topk / random_topk)
+#:   recency 2: 17 (green r8, not re-promoted this round — mandatory
+#:                  in r11: brand_region_market_share,
+#:                  cf_negative_samples, corpus_line_dedup,
+#:                  corpus_mixture_sample, corpus_pps_sample,
+#:                  corpus_splits, corpus_vocab,
+#:                  customer_name_fuzzy_pairs, customer_rfm_segments,
+#:                  doc_dedup_cut, doc_duplicate_spans,
+#:                  doc_quality_scores, events_daily_dense,
+#:                  multimodal_image_dhash_dedup,
+#:                  multimodal_wav_features, top_tokens_cms,
+#:                  user_value_scd2)
+#:   never: 2 no-oracle BY DESIGN (sequential_topk + als_topk) + the
+#:          oracle-less bench carriers + any r10-born names
+#: Steady state: 115 oracled / 50-row window = 2.30-round cycle.
+#: ROTATION PLAN for round 11 (pre-staged; verify against
+#: CORRECTNESS_r10 first): window = ALL 17 recency-2 rows above
+#: (mandatory) + the three twin variant merges EXECUTED in the same
+#: commit (their members' first driver rows land in r10, so the
+#: precondition will hold): events_sessions(+_chunked),
+#: customer_running_revenue(+_chunked), events_prev_gap(+_chunked)
+#: each become ONE variant-tagged row keeping the PLAIN name
+#: (identical grain and columns by construction; a 'variant' column
+#: distinguishes plain/chunked and the shared oracle replays once per
+#: tag — the baseline_topk/knn precedent), pulling oracled 115 -> 112
+#: and the cycle to 2.24; the merged rows deserve immediate driver
+#: rows + ~30 of the 48 recency-1 rows, preferring whichever tier r10
+#: skipped.
 
 #: THE driver-facing correctness window for this round — exactly the
 #: names whose QuerySpec lands in QUERIES; every other registration
 #: lands in DEMOTED regardless of which decorator the def site uses.
 #: Rotations edit THIS tuple (and the audit comment above) only.
 REGISTERED_WINDOW: frozenset[str] = frozenset({
-    # r8-born, never had a driver row (4)
-    "image_dhash_near_pairs",
-    "lineitem_bloom_semijoin",
-    "events_join_explosion_audit",
-    "events_user_temporal_split",
-    # recency 2 — green r6, skipped in r7/r8 (16, mandatory)
-    "decontaminate_docs",
-    "doc_bm25_search",
-    "doc_repetition_scores",
-    "doc_simhash",
-    "doc_zipf_fit",
-    "event_ratings_projection",
-    "events_dau_wau_stickiness",
-    "events_in_anomaly_windows",
-    "events_prev_gap",
-    "events_purchase_view_join",
-    "multimodal_ppm_resize",
-    "order_ship_latency",
-    "sales_rollup",
-    "seq_baskets_periods",
-    "seq_rule_support",
-    "seq_sequences",
-    # merged this round — new names deserve immediate driver rows (3)
-    "events_value_features",
-    "embedding_knn_exact",
-    "embedding_knn_indexed",
-    # recency 1 — green r7, demoted r8 (27 of 46)
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "item_pagerank",
-    "item_sims",
-    "events_stream_user_cms",
-    "events_sessions",
-    "events_sliding_1h",
-    "events_asof_last_purchase",
-    "events_json_props",
-    "events_value_robust_scaled",
-    "events_value_quantile_sketch",
-    "embedding_semdedup_scale",
-    "embedding_neardup_pairs",
-    "embedding_centroids_by_label",
-    "dedup_docs",
-    "neardup_dedup_docs",
-    "doc_pii_scrub",
-    "doc_winnow_fingerprints",
-    "doc_unigram_logprob",
-    "corpus_bpe_pair_counts",
-    "corpus_lang_temperature_weights",
-    "cf_predictions",
-    "content_topk_cosine",
-    "popularity_topk",
-    "random_topk",
-    "multimodal_video_frames",
+    # r9-born, never had a driver row (4) — note the revenue twin
+    # family carries the r9 DECIMAL money migration
+    "dedup_cap_audit",
+    "events_sessions_chunked",
+    "customer_running_revenue_chunked",
+    "events_prev_gap_chunked",
+    # recency 2 — green r7, skipped in r8/r9 (19, mandatory)
+    "corpus_pack",
+    "corpus_samples",
+    "customer_k_anonymity",
+    "customer_running_revenue",
+    "customer_semi_anti_joins",
+    "doc_chunks",
+    "doc_stats_by_lang",
+    "doc_url_domains",
+    "events_daily",
+    "itemmean_rmse_mae",
+    "multimodal_features_frames",
+    "order_customer_set_ops",
+    "order_priority_pivot",
+    "part_price_median_by_brand",
+    "rating_stats_per_user",
+    "sales_cube",
+    "top_orders_per_customer",
+    "top_tokens",
+    "user_cf_coverage_novelty",
+    # merged this round — new name deserves an immediate driver row (1)
+    "baseline_topk",
+    # recency 1 — green r8, demoted r9 (26 of 43; heavy
+    # analytics/streaming tier preferred)
+    "corpus_clean",
+    "corpus_train_ready",
+    "embedding_knn_lsh",
+    "embedding_knn_recall_audit",
+    "embedding_semdedup",
+    "events_anomaly_daily",
+    "events_dq_audit",
+    "events_funnel",
+    "events_key_skew_audit",
+    "events_stream_quantile_sketch",
+    "events_transition_matrix",
+    "hybrid_topk",
+    "item_cooccurrence_lift",
+    "item_graph_triangles",
+    "item_topk_cosine",
+    "neardup_components",
+    "neardup_group_keepers",
+    "neardup_minhash_lsh",
+    "neardup_ngram_jaccard",
+    "neardup_simhash",
+    "user_cf_cv5_rmse",
+    "user_cf_ranking_eval",
+    "user_cf_rmse_mae",
+    "user_retention_cohorts",
+    "user_sims",
+    "user_topk_cosine",
 })
 
 

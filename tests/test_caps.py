@@ -78,7 +78,14 @@ def test_dedup_cap_audit_caps_inactive_on_shipped_corpus(spark, sf_dir):
     n_items = size · n_buckets holds on every row."""
     rows = dedup_cap_audit(spark, sf_dir).collect()
     gens = {r["generator"] for r in rows}
-    assert gens == {"dhash_chunk", "fuzzy_variant", "minhash_band", "cf_item_raters"}
+    assert gens == {
+        "dhash_chunk",
+        "fuzzy_variant",
+        "minhash_band",
+        "cf_item_raters",
+        "ngram_shingle_df",
+        "lift_basket",
+    }
     assert all(r["over_cap"] == 0 for r in rows)
     assert all(
         r["n_items"] == r["bucket_size"] * r["n_buckets"] for r in rows
@@ -86,5 +93,73 @@ def test_dedup_cap_audit_caps_inactive_on_shipped_corpus(spark, sf_dir):
     caps = {r["generator"]: r["cap"] for r in rows}
     assert caps["dhash_chunk"] == 64
     assert caps["fuzzy_variant"] == 1000
-    assert caps["minhash_band"] is None
+    assert caps["minhash_band"] == 1000  # MAX_MINHASH_BUCKET, capped r10
     assert caps["cf_item_raters"] == 500
+    assert caps["ngram_shingle_df"] is None  # shipped query runs uncapped
+    assert caps["lift_basket"] == 1000  # MAX_BASKET
+
+
+def test_minhash_band_cap_drops_hot_band(spark):
+    """Planted hot-band mass (the boilerplate collapse the r10 cap
+    guards): six IDENTICAL documents share every band bucket, so a cap
+    below 6 drops all their buckets and the LSH pipeline emits no
+    pairs for them — while an unrelated sub-cap duplicate pair is
+    still found.  Uncapped (max_bucket=None) recovers the hot
+    cluster's pairs, pinning that the cap (not banding) removed
+    them."""
+    from recsys_spark_spark.operators.dedup import minhash_neardup_pairs
+
+    boiler = "the same boilerplate text repeated across many documents here"
+    rows = [(i, boiler) for i in range(1, 7)]
+    rows += [(10, "a unique pair of documents about spark execution plans"),
+             (11, "a unique pair of documents about spark execution plans")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_neardup_pairs(docs, threshold=0.5, max_bucket=5).collect()
+    }
+    assert capped == {(10, 11)}  # hot cluster dropped, cold pair kept
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_neardup_pairs(docs, threshold=0.5, max_bucket=None).collect()
+    }
+    assert (10, 11) in uncapped
+    assert {(a, b) for a in range(1, 7) for b in range(a + 1, 7)} <= uncapped
+
+
+def test_minhash_cap_oracle_symmetry(spark):
+    """The SQL twin mirrors the cap: with the planted hot band, Spark
+    and DuckDB agree at max_bucket=5 AND at max_bucket=None (the r10
+    engine-symmetry contract of minhash_neardup_pairs/_sql)."""
+    import duckdb
+
+    from recsys_spark_spark.operators.dedup import (
+        minhash_neardup_pairs,
+        minhash_neardup_sql,
+    )
+
+    boiler = "the same boilerplate text repeated across many documents here"
+    rows = [(i, boiler) for i in range(1, 7)]
+    rows += [(10, "a unique pair of documents about spark execution plans"),
+             (11, "a unique pair of documents about spark execution plans")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    for cap in (5, None):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_neardup_pairs(
+                docs, threshold=0.5, max_bucket=cap
+            ).collect()
+        }
+        want = {
+            (a, b)
+            for a, b, _ in con.sql(
+                minhash_neardup_sql(0.5, max_bucket=cap)
+            ).fetchall()
+        }
+        assert got == want, f"cap={cap}"
