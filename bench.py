@@ -20,12 +20,63 @@ from recsys_spark_spark.plans.registry import bench_queries
 from recsys_spark_spark.session import get_spark
 
 
+def _quiet_probe(seconds: float) -> dict:
+    """Ambient-contention metadata (r9 bench-floor watch): 1/5/15-min
+    load averages plus the host CPU busy fraction measured over an
+    idle pre-bench window (this process sleeps, so any busy CPU is
+    OTHER tenants).  Recorded into both bench JSON lines so a drifted
+    floor can be attributed to — or cleared of — ambient load with
+    evidence instead of inference."""
+
+    def snap() -> tuple[int, int]:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), vals[3] + vals[4]  # total, idle+iowait
+
+    t0, i0 = snap()
+    time.sleep(seconds)
+    t1, i1 = snap()
+    busy = 1.0 - (i1 - i0) / max(t1 - t0, 1)
+    la1, la5, la15 = os.getloadavg()
+    # absolute host-speed calibration (r10): an idle loadavg does not
+    # rule out co-tenant memory-bandwidth/SMT pressure on shared
+    # hardware, so time a fixed BLAS GEMM — a slow host shows up as
+    # low GFLOPS even at busy_frac 0, which is exactly the signal the
+    # r9 bench-floor drift lacked.
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((1024, 1024))
+    b = rng.random((1024, 1024))
+    best = float("inf")
+    for _ in range(3):
+        g0 = time.perf_counter()
+        a @ b
+        best = min(best, time.perf_counter() - g0)
+    gflops = 2 * 1024**3 / best / 1e9
+    return {
+        "probe_sec": seconds,
+        "host_cpu_busy_frac": round(busy, 4),
+        "loadavg": [round(la1, 2), round(la5, 2), round(la15, 2)],
+        "gemm_gflops": round(gflops, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
+
+    # quiet-window probe BEFORE the JVM starts: default 30 s at the
+    # headline sf (the driver protocol), skipped at smoke scales;
+    # override with SPARK_GRAFT_QUIET_PROBE_SEC (0 disables).
+    probe_default = 30.0 if abs(sf - 0.1) < 1e-9 else 0.0
+    probe_sec = float(
+        os.environ.get("SPARK_GRAFT_QUIET_PROBE_SEC", probe_default)
+    )
+    ambient = _quiet_probe(probe_sec) if probe_sec > 0 else {}
 
     spark = get_spark(app_name="recsys-spark-bench")
     # registry.bench_queries() spans both correctness tiers — the
@@ -163,6 +214,7 @@ def main() -> None:
                 "queries": timings,
                 "stages": stages,
                 "scaling": scaling,
+                "ambient": ambient,
                 "sf": sf,
             }
         )
@@ -194,6 +246,7 @@ def main() -> None:
                 "like_for_like_r4_set": like_for_like,
                 "queries": timings,
                 "als_stages": stages.get("als_topk", {}),
+                "ambient": ambient,
                 "sf": sf,
             }
         )

@@ -224,17 +224,22 @@ def lsh_candidate_pairs(
     """Distinct (id_a < id_b) pairs sharing at least one band bucket.
 
     ``max_bucket`` drops over-cap buckets BEFORE the self-join (see
-    :data:`MAX_MINHASH_BUCKET`); the size filter and the self-join
-    shuffle on the same (band, bsig) key, so the guard adds no new
-    partitioning."""
+    :data:`MAX_MINHASH_BUCKET`).  Guard shape (A/B'd at sf0.1, r10):
+    over-cap keys are RARE by construction (zero on a healthy corpus,
+    a handful of boilerplate families on a sick one), so aggregate to
+    the tiny HOT key set and broadcast ANTI-join it — the only cost is
+    the map-side-combinable count (measured +0.6-0.8 s on a 4.3 s
+    sf0.1 line, ~15%; the semi-join and window-count variants measured
+    +1.0-2.0 s, rejected — see PERF.md r10).  The broadcast stays
+    O(hot families), never O(buckets)."""
     if max_bucket is not None:
-        ok = (
+        hot = (
             bands.groupBy("band", "bsig")
             .agg(F.count("*").alias("_bsz"))
-            .where(F.col("_bsz") <= max_bucket)
+            .where(F.col("_bsz") > max_bucket)
             .select("band", "bsig")
         )
-        bands = bands.join(ok, ["band", "bsig"], "semi")
+        bands = bands.join(F.broadcast(hot), ["band", "bsig"], "anti")
     a = bands.select(F.col("id").alias("id_a"), "band", "bsig")
     b = bands.select(F.col("id").alias("id_b"), "band", "bsig")
     return (

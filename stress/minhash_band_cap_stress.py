@@ -86,7 +86,11 @@ for n_hot in (2000, 8000):
             "whole crawl segment with no variation at all between pages"
         ).alias("text"),
     )
-    corpus = docs01.unionByName(hot).repartition(32).persist()
+    corpus = (
+        docs01.select("doc_id", "text").unionByName(hot)
+        .repartition(32)
+        .persist()
+    )
     corpus.count()
     t0 = time.perf_counter()
     n_capped = minhash_neardup_pairs(corpus, threshold=0.5).count()
@@ -119,7 +123,9 @@ hot = spark.range(n_hot).select(
         "whole crawl segment with no variation at all between pages"
     ).alias("text"),
 )
-corpus = docs01.unionByName(hot).repartition(32).persist()
+corpus = (
+    docs01.select("doc_id", "text").unionByName(hot).repartition(32).persist()
+)
 corpus.count()
 t0 = time.perf_counter()
 n_capped = minhash_neardup_pairs(corpus, threshold=0.5).count()
