@@ -819,3 +819,143 @@ def embedding_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_tagged(cosine_knn_pq(e, q, KNN_K), "pq"))
         .unionByName(_tagged(cosine_knn_ivfpq(e, q, KNN_K), "ivfpq"))
     )
+
+
+# --- hard-negative mining (r10) ---------------------------------------------
+#: top-k depth for hard negatives (same depth as the KNN family so the
+#: relation composes with contrastive-pair builders downstream)
+HARD_NEG_K = 5
+
+#: DuckDB twin of :func:`embedding_hard_negatives` — the label
+#: predicate lands INSIDE the dot-product join in both engines, so the
+#: oracle certifies the pushed-down plan's semantics, not a post-filter
+#: approximation of them.
+HARD_NEG_SQL = f"""
+WITH flat AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY 1
+),
+dots AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         b.vec_id AS match_id, b.label AS match_label,
+         sum(q.v * b.v) AS dot
+  FROM flat q JOIN flat b ON q.pos = b.pos
+  WHERE q.vec_id < {{n_queries}} AND b.label <> q.label
+  GROUP BY 1, 2, 3, 4
+),
+sims AS (
+  SELECT d.query_id, d.query_label, d.match_id, d.match_label,
+         floor((CASE WHEN nq.nrm * nb.nrm = 0.0 THEN 0.0
+                     ELSE d.dot / (nq.nrm * nb.nrm) END)
+               * 10000000.0 + 0.5) / 10000000.0 AS sim
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.match_id
+)
+SELECT query_id, query_label, match_id, match_label,
+       floor((sim) * 1000000.0 + 0.5) / 1000000.0 AS sim,
+       CAST(rk AS INTEGER) AS rank
+FROM (
+  SELECT query_id, query_label, match_id, match_label, sim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, match_id ASC) AS rk
+  FROM sims
+) WHERE rk <= {{k}}
+""".strip()
+
+
+@register_demoted(
+    "embedding_hard_negatives",
+    oracle=HARD_NEG_SQL.format(n_queries=KNN_QUERIES, k=HARD_NEG_K),
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k highest-cosine vectors whose label DIFFERS from
+    the query's — the "similar but wrong" examples retrieval training
+    needs (in-batch negatives are mostly easy; mined hard negatives
+    carry the gradient signal).
+
+    Plan shape: the label predicate is applied INSIDE the dot-product
+    join (the query side broadcasts (vec, label) together), so
+    disqualified pairs never reach the aggregate — the filter-aware
+    form of the ANN scan, not filter-after-ANN.  At 100 TB the same
+    predicate-inside-the-index recipe applies to the IVF route
+    (cosine_knn_ivf's candidate join takes an extra join predicate) or
+    an over-fetch k' = k/label-selectivity + post-filter when the
+    predicate is not index-pushable; this exact form is the oracle
+    baseline both are recalled against.  No reference analogue
+    (SURVEY §2 L3 extension)."""
+    return hard_negatives(
+        table(spark, sf_dir, "embeddings"), KNN_QUERIES, HARD_NEG_K
+    )
+
+
+def hard_negatives(e: DataFrame, n_queries: int, k: int) -> DataFrame:
+    """Library form of embedding_hard_negatives (planted-fixture tests
+    feed synthetic embedding tables)."""
+    flat = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "v"),
+    ).select("vec_id", "label", "pos", F.col("v").cast("double").alias("v"))
+    norms = flat.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+
+    q = flat.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        "pos",
+        F.col("v").alias("qv"),
+    )
+    dots = (
+        F.broadcast(q)
+        .join(flat.alias("b"), "pos")
+        # label mismatch INSIDE the join: wrong-label pairs never
+        # reach the (query_id, match_id) hash aggregate
+        .where(F.col("b.label") != F.col("query_label"))
+        .groupBy(
+            "query_id",
+            "query_label",
+            F.col("b.vec_id").alias("match_id"),
+            F.col("b.label").alias("match_label"),
+        )
+        .agg(F.sum(F.col("qv") * F.col("v")).alias("dot"))
+    )
+    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("nq"))
+    nb = norms.select(F.col("vec_id").alias("match_id"), F.col("nrm").alias("nb"))
+    sims = (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(nb, "match_id")
+        .select(
+            "query_id",
+            "query_label",
+            "match_id",
+            "match_label",
+            qround(
+                F.when(F.col("nq") * F.col("nb") == 0.0, 0.0).otherwise(
+                    F.col("dot") / (F.col("nq") * F.col("nb"))
+                ),
+                7,
+            ).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "match_id",
+            "match_label",
+            qround("sim", 6).alias("sim"),
+            "rank",
+        )
+    )

@@ -1157,3 +1157,190 @@ def dau_wau_stickiness(e: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+# --- time-RANGE rolling aggregates (r10) -------------------------------------
+#: trailing rolling-window span in seconds (7 days, inclusive ends)
+ROLLING_SPAN_S = 7 * 86400
+
+#: DuckDB twin of :func:`orders_rolling_7d_revenue`.  Both engines
+#: order the frame by EPOCH SECONDS (o_orderdate is midnight-aligned,
+#: TESTDATA) so the RANGE endpoints agree exactly; DECIMAL(18,2) money
+#: arithmetic per the r9 migration — a rolling DOUBLE sum is
+#: order-sensitive on half-cent boundaries, decimal addition is exact
+#: and associative, so any frame evaluation order agrees bit-for-bit.
+ROLLING_7D_REVENUE_SQL = f"""
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       o_orderdate AS order_date,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN {ROLLING_SPAN_S} PRECEDING AND CURRENT ROW), 2)
+         AS DOUBLE) AS revenue_7d,
+       count(*) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN {ROLLING_SPAN_S} PRECEDING AND CURRENT ROW)
+         AS n_orders_7d
+FROM orders
+""".strip()
+
+
+@register_demoted("orders_rolling_7d_revenue", oracle=ROLLING_7D_REVENUE_SQL)
+def orders_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling revenue + order count per customer — the
+    time-RANGE window frame (``rangeBetween`` over epoch seconds), the
+    one frame family the running-revenue ROWS queries don't cover:
+    the frame width varies per row with the data's timestamps, not
+    with a fixed row count.
+
+    RANGE frames are peer-inclusive in both engines (all rows with
+    the same order timestamp share one frame), so the result is
+    deterministic without a tiebreak column.  Scale shape: ONE shuffle
+    on custkey + a linear two-pointer frame scan per key — the same
+    cost class as sessionization; a hot customer is the
+    chunked-running-sum twin's territory (the trailing frame carries
+    across a chunk boundary as (ts, order_rev) pairs within the span,
+    bounded by span/min-order-gap rows).  No reference analogue
+    (SURVEY §2.5 extension)."""
+    return rolling_span_revenue(table(spark, sf_dir, "orders"), ROLLING_SPAN_S)
+
+
+def rolling_span_revenue(o: DataFrame, span_s: int) -> DataFrame:
+    """Library form of orders_rolling_7d_revenue (planted-fixture
+    tests feed synthetic order tables)."""
+    from pyspark.sql import Window
+
+    # NTZ-safe epoch seconds: timestamp_diff is pure local-datetime
+    # arithmetic (Spark 4 disallows NTZ→BIGINT casts; unix_timestamp
+    # is session-tz-dependent) — matches DuckDB's epoch() exactly
+    epoch_s = F.timestamp_diff(
+        "SECOND",
+        F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")),
+        F.col("o_orderdate"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_s)
+        .rangeBetween(-span_s, 0)
+    )
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").alias("order_date"),
+        F.round(F.sum(price).over(w), 2).cast("double").alias("revenue_7d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_7d"),
+    )
+
+
+# --- last-touch attribution (r10) --------------------------------------------
+#: attribution lookback: a purchase is credited to the most recent
+#: prior view by the same user only if it happened within this many
+#: MICROseconds (7 days); older views (or none) mean "direct"
+ATTRIB_WINDOW_US = 7 * 86400 * 1_000_000
+
+#: DuckDB twin of :func:`events_attribution_last_touch`.  The oracle
+#: deliberately does NOT mirror the union-window as-of plan: it
+#: resolves each purchase's last prior view with a quadratic-per-user
+#: argmax join (obviously-correct at sf0.01), so the two engines reach
+#: the same relation through INDEPENDENT algorithms — stronger
+#: evidence than a mirrored implementation.
+ATTRIBUTION_SQL = f"""
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+),
+lastv AS (
+  SELECT p.event_id, max(v.ts) AS view_ts
+  FROM p JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+  GROUP BY 1
+),
+attr AS (
+  SELECT p.ts, p.value,
+         (lv.view_ts IS NOT NULL AND
+          epoch_us(p.ts) - epoch_us(lv.view_ts) <= {ATTRIB_WINDOW_US})
+           AS attributed,
+         epoch_us(p.ts) - epoch_us(lv.view_ts) AS gap_us
+  FROM p LEFT JOIN lastv lv ON lv.event_id = p.event_id
+)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) AS n_purchases,
+       count(*) FILTER (WHERE attributed) AS n_attributed,
+       floor((coalesce(sum(value) FILTER (WHERE attributed), 0.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS attributed_value,
+       floor((coalesce(sum(value) FILTER (WHERE NOT attributed), 0.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS direct_value,
+       floor((CAST(sum(gap_us) FILTER (WHERE attributed) AS DOUBLE)
+              / nullif(count(*) FILTER (WHERE attributed), 0)
+              / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS avg_gap_s
+FROM attr
+GROUP BY 1
+""".strip()
+
+
+@register_demoted("events_attribution_last_touch", oracle=ATTRIBUTION_SQL)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily last-touch attribution: each purchase is credited to the
+    most recent prior view by the same user within a 7-day lookback
+    (at-or-before semantics), else counted as direct; aggregated to
+    per-day conversion totals (the marketing-analytics table the
+    funnel/session family feeds).
+
+    Composition of the as-of operator (operators/asof.py — ONE user
+    shuffle + a linear carry-forward window, never the O(views ×
+    purchases) pair join the oracle uses at toy scale) with a daily
+    aggregate.  Gap arithmetic runs in integer MICROseconds
+    (``timestamp_diff`` / ``epoch_us``) — the sums stay exact in int64
+    across engines, so the 6-dp-rounded average is bit-stable.  Money
+    follows the events_daily sum convention (double + 6-dp quantize).
+    No reference analogue (SURVEY §2.3 extension)."""
+    return last_touch_attribution(table(spark, sf_dir, "events"), ATTRIB_WINDOW_US)
+
+
+def last_touch_attribution(e: DataFrame, window_us: int) -> DataFrame:
+    """Library form of events_attribution_last_touch (planted-fixture
+    tests feed synthetic event tables)."""
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    enriched = asof_join(
+        purchases,
+        views,
+        by="user_id",
+        value_col="ts",
+        out_col="view_ts",
+    )
+    # NTZ-safe exact integer microseconds (unix_micros rejects NTZ;
+    # timestamp_diff is pure local-datetime arithmetic)
+    gap_us = F.timestamp_diff("MICROSECOND", F.col("view_ts"), F.col("ts"))
+    attributed = F.col("view_ts").isNotNull() & (gap_us <= window_us)
+    attr = enriched.select(
+        "ts",
+        "value",
+        attributed.alias("attributed"),
+        gap_us.alias("gap_us"),
+    )
+    agg = attr.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n_purchases"),
+        F.count_if("attributed").alias("n_attributed"),
+        qround(
+            F.coalesce(F.sum(F.when(F.col("attributed"), F.col("value"))), F.lit(0.0)),
+            6,
+        ).alias("attributed_value"),
+        qround(
+            F.coalesce(F.sum(F.when(~F.col("attributed"), F.col("value"))), F.lit(0.0)),
+            6,
+        ).alias("direct_value"),
+        qround(
+            F.sum(F.when(F.col("attributed"), F.col("gap_us"))).cast("double")
+            / F.nullif(F.count_if("attributed"), F.lit(0))
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("avg_gap_s"),
+    )
+    return agg
