@@ -302,28 +302,37 @@ DEMOTED: dict[str, QuerySpec] = {}
 #:                  multimodal_wav_features, top_tokens_cms,
 #:                  user_value_scd2)
 #:   never: 2 no-oracle BY DESIGN (sequential_topk + als_topk) + the
-#:          oracle-less bench carriers + the 3 r10-born names
-#:          (embedding_hard_negatives, orders_rolling_7d_revenue,
+#:          oracle-less bench carriers + the 4 r10-born names
+#:          (embedding_hard_negatives, orders_rolling_7d_revenue +
+#:          its ghost-replica bounded-task twin
+#:          orders_rolling_7d_revenue_chunked sharing the same oracle,
 #:          events_attribution_last_touch — each sf0.01 AND sf0.1
-#:          oracle-parity-verified at birth, planted-fixture pytests
-#:          in tests/test_r10_queries.py; staged at the r11 head)
-#: Steady state: 118 oracled (115 + 3 r10-born) / 50-row window =
-#: 2.36-round cycle — near the 2.4 ceiling; the three twin merges
-#: below pull back to 2.30.
+#:          oracle-parity-verified at birth, planted-fixture +
+#:          hypothesis pytests in tests/test_r10_queries.py, the twin
+#:          crossover measured in stress/rolling_twin_stress.py;
+#:          staged at the r11 head)
+#: Steady state: 119 oracled (115 + 4 r10-born) / 50-row window =
+#: 2.38-round cycle — at the ceiling; the three executed twin merges
+#: below pull back to 2.32 and the rolling pair's own merge (r12)
+#: to 2.30.
 #: ROTATION PLAN for round 11 (pre-staged; verify against
-#: CORRECTNESS_r10 first): window = the 3 r10-born queries above
-#: (never-checked names lead every rotation) + ALL 17 recency-2 rows
-#: above (mandatory) + the three twin variant merges EXECUTED in the
-#: same commit (their members' first driver rows land in r10, so the
-#: precondition will hold): events_sessions(+_chunked),
-#: customer_running_revenue(+_chunked), events_prev_gap(+_chunked)
-#: each become ONE variant-tagged row keeping the PLAIN name
-#: (identical grain and columns by construction; a 'variant' column
-#: distinguishes plain/chunked and the shared oracle replays once per
-#: tag — the baseline_topk/knn precedent), pulling oracled 118 -> 115
-#: and the cycle to 2.30; the merged rows deserve immediate driver
-#: rows + ~27 of the 48 recency-1 rows, preferring whichever tier r10
-#: skipped.
+#: CORRECTNESS_r10 first): window = the 4 r10-born queries above
+#: (never-checked names lead every rotation; the rolling pair's two
+#: rows certify plain AND chunked before their r12 variant merge) +
+#: ALL 17 recency-2 rows above (mandatory) + the three twin variant
+#: merges EXECUTED in the same commit (their members' first driver
+#: rows land in r10, so the precondition will hold):
+#: events_sessions(+_chunked), customer_running_revenue(+_chunked),
+#: events_prev_gap(+_chunked) each become ONE variant-tagged row
+#: keeping the PLAIN name (identical grain and columns by
+#: construction; a 'variant' column distinguishes plain/chunked and
+#: the shared oracle replays once per tag — the baseline_topk/knn
+#: precedent), pulling oracled 119 -> 116 and the cycle to 2.32; the
+#: merged rows deserve immediate driver rows + ~26 of the 48
+#: recency-1 rows, preferring whichever tier r10 skipped.  STAGED
+#: MERGE for r12 (execute once both rolling rows land green in r11):
+#: orders_rolling_7d_revenue(+_chunked) -> one variant-tagged row,
+#: oracled 116 -> 115.
 
 #: THE driver-facing correctness window for this round — exactly the
 #: names whose QuerySpec lands in QUERIES; every other registration

@@ -1344,3 +1344,114 @@ def last_touch_attribution(e: DataFrame, window_us: int) -> DataFrame:
         ).alias("avg_gap_s"),
     )
     return agg
+
+
+# --- bounded-task twin of the time-RANGE rolling window (r10) ----------------
+#: chunk width for the rolling twin — must be >= the frame span (the
+#: ghost construction below replicates at most one chunk back); 4x the
+#: span keeps the replication overhead at ~span/chunk = 25% worst case
+ROLLING_CHUNK_S = 4 * ROLLING_SPAN_S
+
+
+@register_demoted(
+    "orders_rolling_7d_revenue_chunked", oracle=ROLLING_7D_REVENUE_SQL
+)
+def orders_rolling_7d_revenue_chunked(
+    spark: SparkSession, sf_dir: str, chunk_s: int = ROLLING_CHUNK_S
+) -> DataFrame:
+    """Bounded-task twin of orders_rolling_7d_revenue — FOURTH member
+    of the chunked window-twin family, and a new carry class: sessions
+    carry a FLAG, running revenue carries a SUM, lag carries ONE ROW;
+    a trailing-RANGE frame's boundary state is the previous chunk's
+    TAIL, so this twin carries GHOST REPLICAS: every row within
+    ``span`` of its chunk's end is replicated into the next chunk
+    (ghost-tagged), the RANGE window then runs entirely WITHIN
+    (custkey, chunk) — task size bounded by one customer-month, never
+    a customer's whole history — and ghosts are dropped from the
+    output.
+
+    Exactness: with ``chunk_s >= span``, a row's trailing frame can
+    only reach into the immediately previous chunk, and the ghost
+    predicate ``epoch >= next_chunk_start - span`` admits exactly the
+    rows any next-chunk frame could need (boundary row at
+    ``ts - span == prev_chunk_start`` included — pinned by pytest).
+    DECIMAL money addition keeps every frame sum bit-equal to the
+    plain form's regardless of evaluation order, so this twin SHARES
+    the plain query's oracle verbatim (the events_sessions_chunked
+    precedent).  Switch signal: events_key_skew_audit's skew_ratio ≫
+    n_partitions, as for the other twins."""
+    return rolling_span_revenue_chunked(
+        table(spark, sf_dir, "orders"), ROLLING_SPAN_S, chunk_s
+    )
+
+
+def rolling_span_revenue_chunked(
+    o: DataFrame, span_s: int, chunk_s: int
+) -> DataFrame:
+    """Library form of orders_rolling_7d_revenue_chunked (planted
+    ghost-boundary tests feed synthetic order tables and narrow
+    chunks)."""
+    if chunk_s < span_s:
+        raise ValueError(
+            f"chunk_s ({chunk_s}) must be >= the frame span "
+            f"({span_s}) — ghosts only reach one chunk back"
+        )
+    from pyspark.sql import Window
+
+    epoch_s = F.timestamp_diff(
+        "SECOND",
+        F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")),
+        F.col("o_orderdate"),
+    )
+    base = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").alias("order_date"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        epoch_s.alias("_epoch"),
+    ).withColumn("_chunk", F.floor(F.col("_epoch") / F.lit(chunk_s)))
+    # ghost replica into the NEXT chunk for rows a next-chunk trailing
+    # frame could reach: epoch >= next_chunk_start - span (inclusive)
+    is_tail = F.col("_epoch") >= (F.col("_chunk") + 1) * chunk_s - span_s
+    replicas = F.when(
+        is_tail,
+        F.array(
+            F.struct(F.col("_chunk").alias("c"), F.lit(0).alias("g")),
+            F.struct((F.col("_chunk") + 1).alias("c"), F.lit(1).alias("g")),
+        ),
+    ).otherwise(
+        F.array(F.struct(F.col("_chunk").alias("c"), F.lit(0).alias("g")))
+    )
+    exploded = base.select(
+        "custkey",
+        "orderkey",
+        "order_date",
+        "price",
+        "_epoch",
+        F.explode(replicas).alias("_r"),
+    ).select(
+        "custkey",
+        "orderkey",
+        "order_date",
+        "price",
+        "_epoch",
+        F.col("_r.c").alias("_chunk_eff"),
+        F.col("_r.g").alias("_ghost"),
+    )
+    w = (
+        Window.partitionBy("custkey", "_chunk_eff")
+        .orderBy("_epoch")
+        .rangeBetween(-span_s, 0)
+    )
+    return (
+        exploded.withColumn("_rev", F.sum("price").over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .where(F.col("_ghost") == 0)
+        .select(
+            "custkey",
+            "orderkey",
+            "order_date",
+            F.round(F.col("_rev"), 2).cast("double").alias("revenue_7d"),
+            F.col("_n").alias("n_orders_7d"),
+        )
+    )

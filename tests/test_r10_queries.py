@@ -165,3 +165,111 @@ def test_attribution_last_view_wins_not_first(spark):
     row = last_touch_attribution(e, 7 * 86400 * 1_000_000).collect()[0]
     assert row["avg_gap_s"] == 20.0
     assert (row["n_attributed"], row["attributed_value"]) == (1, 4.0)
+
+
+# --- ghost-replica rolling twin ----------------------------------------------
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from recsys_spark_spark.plans.windows_extra import (
+    rolling_span_revenue_chunked,
+)
+
+
+def test_rolling_chunked_rejects_narrow_chunks(spark):
+    o = _orders(spark, [(1, 1, 1.0, 1)])
+    with pytest.raises(ValueError):
+        rolling_span_revenue_chunked(o, span_s=7 * 86400, chunk_s=86400)
+
+
+def _both_forms(spark, rows, span_s, chunk_s):
+    from recsys_spark_spark.plans.windows_extra import rolling_span_revenue
+
+    o = _orders(spark, rows)
+    plain = {
+        r["orderkey"]: (r["revenue_7d"], r["n_orders_7d"])
+        for r in rolling_span_revenue(o, span_s).collect()
+    }
+    chunked = {
+        r["orderkey"]: (r["revenue_7d"], r["n_orders_7d"])
+        for r in rolling_span_revenue_chunked(o, span_s, chunk_s).collect()
+    }
+    return plain, chunked
+
+
+def test_rolling_chunked_ghost_boundary_exact(spark):
+    """chunk_s == span (maximal ghosting): a frame reaching exactly to
+    the previous chunk's first row still matches the plain form —
+    the >= ghost predicate's boundary case."""
+    span = 7 * 86400
+    # day 8 starts chunk 1 (epoch 7*86400·… aligned by luck of 1970);
+    # rows straddle the chunk edge with an exactly-span-wide reach
+    rows = [
+        (1, 5, 10.0, 1),
+        (2, 5, 20.0, 7),
+        (3, 5, 30.0, 8),
+        (4, 5, 40.0, 14),
+        (5, 5, 50.0, 15),
+    ]
+    plain, chunked = _both_forms(spark, rows, span, span)
+    assert plain == chunked
+
+
+def test_rolling_chunked_matches_plain_on_sf0001(spark, sf_dir):
+    """Bit-equality of the two forms on the real table at smoke scale
+    (both also hash-match the shared DuckDB oracle at sf0.01 via
+    test_oracle_parity)."""
+    from recsys_spark_spark.plans.windows_extra import (
+        orders_rolling_7d_revenue,
+        orders_rolling_7d_revenue_chunked,
+    )
+
+    small = "/root/testdata/sf0.001"
+    a = orders_rolling_7d_revenue(spark, small)
+    b = orders_rolling_7d_revenue_chunked(spark, small)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+@settings(
+    derandomize=True,
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    days=st.lists(
+        st.tuples(st.integers(1, 27), st.integers(1, 3), st.integers(0, 999)),
+        min_size=1,
+        max_size=25,
+    ),
+    span_days=st.integers(1, 9),
+)
+def test_rolling_chunked_property_vs_python(spark, days, span_days):
+    """Chunked twin vs a pure-python trailing-window reference, chunk
+    width == span (the most-ghosts regime), random same-day ties."""
+    from datetime import datetime
+
+    span = span_days * 86400
+    rows = [
+        (i + 1, cust, cents / 100.0, day)
+        for i, (day, cust, cents) in enumerate(days)
+    ]
+    o = _orders(spark, rows)
+    got = {
+        r["orderkey"]: (r["revenue_7d"], r["n_orders_7d"])
+        for r in rolling_span_revenue_chunked(o, span, span).collect()
+    }
+    # python reference: peer-inclusive trailing [ts-span, ts] per cust
+    import collections
+
+    by_cust = collections.defaultdict(list)
+    for ok, cust, price, day in rows:
+        by_cust[cust].append((day * 86400, ok, price))
+    want = {}
+    for cust, rs in by_cust.items():
+        for ts, ok, _ in rs:
+            inwin = [p for (t2, _, p) in rs if ts - span <= t2 <= ts]
+            want[ok] = (round(sum(int(round(p * 100)) for p in inwin) / 100.0, 2),
+                        len(inwin))
+    assert got == want
