@@ -62,6 +62,18 @@ def _quiet_probe(seconds: float) -> dict:
     }
 
 
+#: Pinned reference host speed for cross-round bench comparison (r11,
+#: VERDICT r10 #4): the r10 local host's ambient-clean BLAS GEMM
+#: calibration band was 235-248 GFLOPS (PERF.md r10); 240 is its
+#: midpoint.  ``grand_gflops_normalized = grand * gemm_gflops / 240``
+#: expresses every round's grand total in "seconds on the pinned
+#: reference host" — a slower host (low GFLOPS) inflates raw grand and
+#: deflates the multiplier symmetrically, so the normalized line (NOT
+#: raw grand) is the round-over-round signal.  Convention documented
+#: in PERF.md (r11).
+REFERENCE_GFLOPS = 240.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -181,6 +193,13 @@ def main() -> None:
             stages[name] = tr
 
     total = round(sum(timings.values()), 3)
+    # host-normalized grand (see REFERENCE_GFLOPS): None when the quiet
+    # probe was skipped (smoke scales) — never guess the host speed
+    grand_normalized = (
+        round(total * ambient["gemm_gflops"] / REFERENCE_GFLOPS, 3)
+        if ambient.get("gemm_gflops")
+        else None
+    )
 
     # scale-curve evidence: replay the bench set at sf0.01 AFTER the
     # cold headline pass (protocol above stays round-comparable; the
@@ -215,6 +234,8 @@ def main() -> None:
                 "stages": stages,
                 "scaling": scaling,
                 "ambient": ambient,
+                "grand_gflops_normalized": grand_normalized,
+                "reference_gflops": REFERENCE_GFLOPS,
                 "sf": sf,
             }
         )
@@ -243,6 +264,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "grand": total,
+                "grand_gflops_normalized": grand_normalized,
+                "reference_gflops": REFERENCE_GFLOPS,
                 "like_for_like_r4_set": like_for_like,
                 "queries": timings,
                 "als_stages": stages.get("als_topk", {}),

@@ -315,86 +315,122 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: 2.38-round cycle — at the ceiling; the three executed twin merges
 #: below pull back to 2.32 and the rolling pair's own merge (r12)
 #: to 2.30.
-#: ROTATION PLAN for round 11 (pre-staged; verify against
-#: CORRECTNESS_r10 first): window = the 4 r10-born queries above
-#: (never-checked names lead every rotation; the rolling pair's two
-#: rows certify plain AND chunked before their r12 variant merge) +
-#: ALL 17 recency-2 rows above (mandatory) + the three twin variant
-#: merges EXECUTED in the same commit (their members' first driver
-#: rows land in r10, so the precondition will hold):
-#: events_sessions(+_chunked), customer_running_revenue(+_chunked),
-#: events_prev_gap(+_chunked) each become ONE variant-tagged row
-#: keeping the PLAIN name (identical grain and columns by
-#: construction; a 'variant' column distinguishes plain/chunked and
-#: the shared oracle replays once per tag — the baseline_topk/knn
-#: precedent), pulling oracled 119 -> 116 and the cycle to 2.32; the
-#: merged rows deserve immediate driver rows + ~26 of the 48
-#: recency-1 rows, preferring whichever tier r10 skipped.  STAGED
-#: MERGE for r12 (execute once both rolling rows land green in r11):
-#: orders_rolling_7d_revenue(+_chunked) -> one variant-tagged row,
-#: oracled 116 -> 115.
+#:
+#: Round 11 (EXECUTED this round): verified CORRECTNESS_r10 50/50
+#: green first (zero err), then the pre-staged plan ran verbatim:
+#: window = the 4 r10-born queries (embedding_hard_negatives,
+#: orders_rolling_7d_revenue + its ghost-replica twin
+#: orders_rolling_7d_revenue_chunked, events_attribution_last_touch)
+#: + ALL 17 mandatory recency-2 rows + the THREE twin variant merges
+#: EXECUTED in this commit (precondition held — every member
+#: driver-green by r10): events_sessions(+_chunked),
+#: customer_running_revenue(+_chunked), events_prev_gap(+_chunked)
+#: each became ONE variant-tagged row keeping the PLAIN name
+#: ((variant, ...) grain, shared oracle replayed once per tag — the
+#: baseline_topk precedent; oracled 119 -> 116, cycle 2.32); the
+#: three merged rows take window slots for immediate driver rows on
+#: their new variant columns + 26 of the 46 surviving recency-1 rows,
+#: preferring the tiers r10 skipped (the r9-merged trio's second
+#: rows, the r8-born four's second rows, the ANN/embedding family,
+#: the seq trio, TPC-H q1/q3/q5, multimodal decode, streaming CMS,
+#: the as-of family — companions to this round's asof twin work).
+#:
+#: Post-r11 audit (recency = rounds since last driver-green row,
+#: assuming the r11 window runs green):
+#:   recency 0: 50 (the window below)
+#:   recency 1: 47 (the r10 window minus the 3 merged-away chunked
+#:                  names: events_sessions_chunked,
+#:                  customer_running_revenue_chunked,
+#:                  events_prev_gap_chunked)
+#:   recency 2: 20 (green r9, not re-promoted this round — mandatory
+#:                  in r12: cf_predictions, corpus_bpe_pair_counts,
+#:                  corpus_lang_temperature_weights,
+#:                  decontaminate_docs, dedup_docs, doc_bm25_search,
+#:                  doc_pii_scrub, doc_repetition_scores, doc_simhash,
+#:                  doc_unigram_logprob, doc_winnow_fingerprints,
+#:                  doc_zipf_fit, event_ratings_projection,
+#:                  events_dau_wau_stickiness,
+#:                  events_in_anomaly_windows, events_json_props,
+#:                  events_value_robust_scaled, neardup_dedup_docs,
+#:                  order_ship_latency, sales_rollup)
+#:   never: 2 no-oracle BY DESIGN (sequential_topk + als_topk) + the
+#:          oracle-less bench carriers + any r11-born queries
+#:          (staged at the r12 window head)
+#: Steady state: 116 oracled / 50-row window = 2.32-round cycle.
+#: ROTATION PLAN for round 12 (pre-staged; verify against
+#: CORRECTNESS_r11 first): window = any r11-born queries
+#: (never-checked names lead every rotation) + ALL 20 recency-2 rows
+#: above (mandatory) + the STAGED rolling-pair merge EXECUTED in the
+#: same commit (precondition: both rolling rows land green in r11):
+#: orders_rolling_7d_revenue(+_chunked) -> one variant-tagged row
+#: keeping the plain name (oracled 116 -> 115), which then deserves
+#: an immediate driver row on its variant columns + the remaining
+#: slots from the 47 recency-1 rows, preferring whichever tier r11
+#: skipped (the heavy analytics/streaming + neardup + CF eval tier).
 
 #: THE driver-facing correctness window for this round — exactly the
 #: names whose QuerySpec lands in QUERIES; every other registration
 #: lands in DEMOTED regardless of which decorator the def site uses.
 #: Rotations edit THIS tuple (and the audit comment above) only.
 REGISTERED_WINDOW: frozenset[str] = frozenset({
-    # r9-born, never had a driver row (4) — note the revenue twin
-    # family carries the r9 DECIMAL money migration
-    "dedup_cap_audit",
-    "events_sessions_chunked",
-    "customer_running_revenue_chunked",
-    "events_prev_gap_chunked",
-    # recency 2 — green r7, skipped in r8/r9 (19, mandatory)
-    "corpus_pack",
-    "corpus_samples",
-    "customer_k_anonymity",
+    # r10-born, never had a driver row (4) — the rolling pair's two
+    # rows certify plain AND chunked before their r12 variant merge
+    "embedding_hard_negatives",
+    "orders_rolling_7d_revenue",
+    "orders_rolling_7d_revenue_chunked",
+    "events_attribution_last_touch",
+    # recency 2 — green r8, skipped in r9/r10 (17, mandatory)
+    "brand_region_market_share",
+    "cf_negative_samples",
+    "corpus_line_dedup",
+    "corpus_mixture_sample",
+    "corpus_pps_sample",
+    "corpus_splits",
+    "corpus_vocab",
+    "customer_name_fuzzy_pairs",
+    "customer_rfm_segments",
+    "doc_dedup_cut",
+    "doc_duplicate_spans",
+    "doc_quality_scores",
+    "events_daily_dense",
+    "multimodal_image_dhash_dedup",
+    "multimodal_wav_features",
+    "top_tokens_cms",
+    "user_value_scd2",
+    # merged this round — the variant-tagged twin rows deserve
+    # immediate driver rows on their new variant columns (3)
+    "events_sessions",
     "customer_running_revenue",
-    "customer_semi_anti_joins",
-    "doc_chunks",
-    "doc_stats_by_lang",
-    "doc_url_domains",
-    "events_daily",
-    "itemmean_rmse_mae",
-    "multimodal_features_frames",
-    "order_customer_set_ops",
-    "order_priority_pivot",
-    "part_price_median_by_brand",
-    "rating_stats_per_user",
-    "sales_cube",
-    "top_orders_per_customer",
-    "top_tokens",
-    "user_cf_coverage_novelty",
-    # merged this round — new name deserves an immediate driver row (1)
-    "baseline_topk",
-    # recency 1 — green r8, demoted r9 (26 of 43; heavy
-    # analytics/streaming tier preferred)
-    "corpus_clean",
-    "corpus_train_ready",
-    "embedding_knn_lsh",
-    "embedding_knn_recall_audit",
-    "embedding_semdedup",
-    "events_anomaly_daily",
-    "events_dq_audit",
-    "events_funnel",
-    "events_key_skew_audit",
-    "events_stream_quantile_sketch",
-    "events_transition_matrix",
-    "hybrid_topk",
-    "item_cooccurrence_lift",
-    "item_graph_triangles",
-    "item_topk_cosine",
-    "neardup_components",
-    "neardup_group_keepers",
-    "neardup_minhash_lsh",
-    "neardup_ngram_jaccard",
-    "neardup_simhash",
-    "user_cf_cv5_rmse",
-    "user_cf_ranking_eval",
-    "user_cf_rmse_mae",
-    "user_retention_cohorts",
-    "user_sims",
-    "user_topk_cosine",
+    "events_prev_gap",
+    # recency 1 — green r9, demoted r10 (26 of 46; tiers r10 skipped:
+    # r9-merged trio + r8-born four second rows, ANN/embedding, seq,
+    # TPC-H, multimodal, streaming CMS, as-of family)
+    "content_topk_cosine",
+    "embedding_centroids_by_label",
+    "embedding_knn_exact",
+    "embedding_knn_indexed",
+    "embedding_neardup_pairs",
+    "embedding_semdedup_scale",
+    "events_asof_last_purchase",
+    "events_join_explosion_audit",
+    "events_purchase_view_join",
+    "events_sliding_1h",
+    "events_stream_user_cms",
+    "events_user_temporal_split",
+    "events_value_features",
+    "events_value_quantile_sketch",
+    "image_dhash_near_pairs",
+    "item_pagerank",
+    "item_sims",
+    "lineitem_bloom_semijoin",
+    "multimodal_ppm_resize",
+    "multimodal_video_frames",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "seq_baskets_periods",
+    "seq_rule_support",
+    "seq_sequences",
 })
 
 

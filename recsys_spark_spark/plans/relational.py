@@ -401,7 +401,9 @@ FROM events
 """
 
 
-@register("events_prev_gap", oracle=EVENTS_PREV_GAP_SQL)
+# r11 rotation: registration merged into the variant-tagged
+# "events_prev_gap" row below (the baseline_topk precedent) — the
+# function stays library API and feeds the merged row's plain slice.
 def events_prev_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seconds since the user's previous event — lag() window, the
     building block for as-of joins and sessionization (SURVEY §2.3
@@ -424,7 +426,8 @@ def events_prev_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_id", "user_id", gap.alias("gap_s"))
 
 
-@register_demoted("events_prev_gap_chunked", oracle=EVENTS_PREV_GAP_SQL)
+# r11 rotation: registration merged into "events_prev_gap" (variant
+# "chunked") — library API, feeds the merged row's chunked slice.
 def events_prev_gap_chunked(
     spark: SparkSession, sf_dir: str, chunk_s: int = SESSION_CHUNK_S
 ) -> DataFrame:
@@ -467,6 +470,38 @@ def events_prev_gap_chunked(
         e.join(carry, ["user_id", "_chunk"])
         .select("event_id", "user_id", gap.alias("gap_s"))
     )
+
+
+@register(
+    "events_prev_gap",
+    oracle=f"""
+SELECT 'plain' AS variant, * FROM ({EVENTS_PREV_GAP_SQL}) _v_plain
+UNION ALL
+SELECT 'chunked' AS variant, * FROM ({EVENTS_PREV_GAP_SQL}) _v_chunked
+""",
+)
+def events_prev_gap_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged window-twin row (r11 rotation): the plain lag query and
+    its bounded-task chunked twin as tagged variants on one
+    (variant, event_id, user_id, gap_s) relation — both members
+    earned first driver rows (plain r9, chunked r10), so one
+    variant-tagged slot certifies BOTH plans forever (the
+    baseline_topk precedent; the shared oracle replays once per tag).
+    A divergence between the plain window and the chunked
+    carry-forward composition flips the merged row's value hash.
+
+    Scale shape: per member unchanged — plain is the one-shuffle
+    per-user window, chunked bounds every task at one user-day (the
+    hot-key straggler answer, stress-measured in
+    stress/sessions_skew_stress.py)."""
+    cols = ["event_id", "user_id", "gap_s"]
+    plain = events_prev_gap(spark, sf_dir).select(
+        F.lit("plain").alias("variant"), *cols
+    )
+    chunked = events_prev_gap_chunked(spark, sf_dir).select(
+        F.lit("chunked").alias("variant"), *cols
+    )
+    return plain.unionByName(chunked)
 
 
 @register(
@@ -520,7 +555,8 @@ GROUP BY user_id
 """
 
 
-@register_demoted("events_sessions", oracle=SESSIONS_SQL)
+# r11 rotation: registration merged into the variant-tagged
+# "events_sessions" row below — library API, feeds the plain slice.
 def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (30-min gap): lag + flag + sum — the batch
     twin of streaming session_window (streaming/windows.py)."""
@@ -543,7 +579,8 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_demoted("events_sessions_chunked", oracle=SESSIONS_SQL)
+# r11 rotation: registration merged into "events_sessions" (variant
+# "chunked") — library API, feeds the merged row's chunked slice.
 def events_sessions_chunked(
     spark: SparkSession, sf_dir: str, chunk_s: int = SESSION_CHUNK_S
 ) -> DataFrame:
@@ -611,6 +648,38 @@ def events_sessions_chunked(
             F.sum("n_ev").alias("n_events"),
         )
     )
+
+
+@register(
+    "events_sessions",
+    oracle=f"""
+SELECT 'plain' AS variant, * FROM ({SESSIONS_SQL}) _v_plain
+UNION ALL
+SELECT 'chunked' AS variant, * FROM ({SESSIONS_SQL}) _v_chunked
+""",
+)
+def events_sessions_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged window-twin row (r11 rotation): plain sessionization and
+    its bounded-task chunked twin as tagged variants on one
+    (variant, user_id, n_sessions, n_events) relation — both members
+    driver-green (plain r9, chunked r10), so one variant-tagged slot
+    certifies both plans (the baseline_topk precedent; the shared
+    SESSIONS_SQL oracle replays once per tag).  A divergence between
+    the one-task-per-user window and the two-phase boundary-merge
+    composition flips the value hash.
+
+    Scale shape: per member unchanged — chunked bounds every window
+    task at one user-day and merges boundary-spanning sessions on the
+    tiny per-chunk summary relation (1.73× measured on a 2M-event hot
+    user, stress/sessions_skew_stress.py)."""
+    cols = ["user_id", "n_sessions", "n_events"]
+    plain = events_sessions(spark, sf_dir).select(
+        F.lit("plain").alias("variant"), *cols
+    )
+    chunked = events_sessions_chunked(spark, sf_dir).select(
+        F.lit("chunked").alias("variant"), *cols
+    )
+    return plain.unionByName(chunked)
 
 
 # --- exact median / quantiles ---------------------------------------------

@@ -153,7 +153,8 @@ FROM t
 """
 
 
-@register_demoted("customer_running_revenue", oracle=RUNNING_REVENUE_SQL)
+# r11 rotation: registration merged into the variant-tagged
+# "customer_running_revenue" row below — library API, plain slice.
 def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window frame spec (rowsBetween running total) — the analytic
     frame family SURVEY §2.5 notes is absent in the reference.
@@ -261,9 +262,8 @@ def chunked_running_sum(
     )
 
 
-@register_demoted(
-    "customer_running_revenue_chunked", oracle=RUNNING_REVENUE_SQL
-)
+# r11 rotation: registration merged into "customer_running_revenue"
+# (variant "chunked") — library API, feeds the merged chunked slice.
 def customer_running_revenue_chunked(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -290,6 +290,41 @@ def customer_running_revenue_chunked(
         "running_revenue",
         2,
     )
+
+
+@register(
+    "customer_running_revenue",
+    oracle=f"""
+SELECT 'plain' AS variant, * FROM ({RUNNING_REVENUE_SQL}) _v_plain
+UNION ALL
+SELECT 'chunked' AS variant, * FROM ({RUNNING_REVENUE_SQL}) _v_chunked
+""",
+)
+def customer_running_revenue_merged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Merged window-twin row (r11 rotation): the plain running-total
+    window and its two-phase parallel-prefix twin as tagged variants
+    on one (variant, custkey, order_date, orderkey, running_revenue)
+    relation — both members driver-green r10, so one variant-tagged
+    slot certifies both plans (the baseline_topk precedent; the
+    shared RUNNING_REVENUE_SQL oracle replays once per tag).  The
+    DECIMAL money arithmetic makes the two compositions bit-equal
+    (decimal addition is associative — see RUNNING_REVENUE_SQL), so
+    any divergence flips the value hash with no rounding caveat.
+
+    Scale shape: per member unchanged — chunked prefix-sums within
+    (customer, order-month) and offsets by the exclusive prefix of
+    the tiny per-month totals (the hot-key straggler answer, 4×
+    measured at a 10M-row key)."""
+    cols = ["custkey", "order_date", "orderkey", "running_revenue"]
+    plain = customer_running_revenue(spark, sf_dir).select(
+        F.lit("plain").alias("variant"), *cols
+    )
+    chunked = customer_running_revenue_chunked(spark, sf_dir).select(
+        F.lit("chunked").alias("variant"), *cols
+    )
+    return plain.unionByName(chunked)
 
 
 @register_demoted(
