@@ -206,12 +206,28 @@ def cosine_knn_ivf(
     vec_col: str = "embedding",
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
+    query_meta_cols: tuple[str, ...] = (),
+    match_meta_cols: tuple[str, ...] = (),
+    match_predicate=None,
 ) -> DataFrame:
     """Approximate cosine top-k of each query against ``base`` via
     IVF-Flat.  Returns ``(query_id, match_id, sim, rank)``; ``sim``
     is the EXACT cosine of the probed candidates (like the LSH
     operator, approximation lives only in candidate generation —
-    recall, not precision, is probabilistic)."""
+    recall, not precision, is probabilistic).
+
+    FILTERED ANN (r11): ``match_predicate`` is a pyspark ``Column``
+    over columns ``q_<name>`` (from ``query_meta_cols``, carried onto
+    the broadcast probe relation) and ``m_<name>`` (from
+    ``match_meta_cols``, carried onto the cell-member relation),
+    applied INSIDE the candidate join — disqualified pairs never
+    reach the exact-rerank dot product, the filter-aware form every
+    production vector store serves (filter-after-ANN returns < k rows
+    exactly when the filter bites; over-fetch is the fallback for
+    non-pushable predicates — see ``overfetch_k``).  When meta cols
+    are requested the output carries them (``q_*`` before ``m_*``);
+    the default path emits the historical 4-column grain and an
+    unchanged plan."""
     # Index construction makes THREE passes over base (seed top-N,
     # Lloyd partials, member assignment) — cache it so passes 2-3 read
     # columnar blocks instead of re-scanning and re-decoding parquet
@@ -224,41 +240,82 @@ def cosine_knn_ivf(
 
     members = assign_cells(base, c1, vec_col).select(
         F.col(id_col).alias("match_id"),
+        *[F.col(c).alias(f"m_{c}") for c in match_meta_cols],
         "cell",
         _vec_double(F.col(vec_col)).alias("bv"),
         _norm(F.col(vec_col)).alias("nb"),
     )
     probes = probe_cells(queries, c1, n_probe, id_col, vec_col)
+    if query_meta_cols:
+        # probe relation stays broadcast-tiny: |queries| × n_probe rows
+        # plus a few scalar meta columns
+        q_meta = queries.select(
+            F.col(id_col).alias("query_id"),
+            *[F.col(c).alias(f"q_{c}") for c in query_meta_cols],
+        )
+        probes = probes.join(q_meta, "query_id")
     q_vec = queries.select(
         F.col(id_col).alias("query_id"),
         _vec_double(F.col(vec_col)).alias("qv"),
         _norm(F.col(vec_col)).alias("nq"),
     )
-    sims = (
+    meta_cols = [f"q_{c}" for c in query_meta_cols] + [
+        f"m_{c}" for c in match_meta_cols
+    ]
+    cand = (
         F.broadcast(probes)
         .join(members, "cell")
         .where(F.col("match_id") != F.col("query_id"))
-        .join(F.broadcast(q_vec), "query_id")
-        .select(
-            "query_id",
-            "match_id",
-            # zero-vector cosine pinned to 0.0 in both engines (see
-            # operators/knn.py)
-            qround(
-                F.when(F.col("nq") * F.col("nb") == 0.0, 0.0).otherwise(
-                    _dot(F.col("qv"), F.col("bv"))
-                    / (F.col("nq") * F.col("nb"))
-                ),
-                SIM_ROUND,
-            ).alias("sim"),
-        )
+    )
+    if match_predicate is not None:
+        # the filter-aware step: applied with the candidate join, so
+        # Catalyst folds it into the join filter and wrong-meta pairs
+        # never reach the rerank dot product
+        cand = cand.where(match_predicate)
+    sims = cand.join(F.broadcast(q_vec), "query_id").select(
+        "query_id",
+        "match_id",
+        *meta_cols,
+        # zero-vector cosine pinned to 0.0 in both engines (see
+        # operators/knn.py)
+        qround(
+            F.when(F.col("nq") * F.col("nb") == 0.0, 0.0).otherwise(
+                _dot(F.col("qv"), F.col("bv")) / (F.col("nq") * F.col("nb"))
+            ),
+            SIM_ROUND,
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "match_id", qround("sim", 6).alias("sim"), "rank")
+        .select(
+            "query_id",
+            "match_id",
+            *meta_cols,
+            qround("sim", 6).alias("sim"),
+            "rank",
+        )
     )
+
+
+def overfetch_k(k: int, selectivity: float) -> int:
+    """Over-fetch depth k' = ceil(k / selectivity) for predicates the
+    index cannot push (e.g. a predicate over a column the candidate
+    relations don't carry, or a per-pair UDF): fetch k' unfiltered
+    neighbors, post-filter, truncate to k.  ``selectivity`` is the
+    expected pass fraction of the predicate among near neighbors —
+    at uniform label frequency f the different-label selectivity is
+    1 − f.  Documented fallback of the filter-aware route
+    (plans/ann.py::embedding_hard_negatives docstring); the pushed
+    predicate is strictly better when available because over-fetch
+    still returns < k rows whenever the local pass rate dips below
+    k/k' (tested in tests/test_r11_queries.py)."""
+    import math
+
+    if not 0.0 < selectivity <= 1.0:
+        raise ValueError(f"selectivity must be in (0, 1], got {selectivity}")
+    return int(math.ceil(k / selectivity))
 
 
 def knn_ivf_oracle_sql(
@@ -269,15 +326,35 @@ def knn_ivf_oracle_sql(
     n_probe: int = N_PROBE,
     table: str = "embeddings",
     prelude_ctes: str = "",
+    exclude_same: str | None = None,
 ) -> str:
     """DuckDB twin of ``cosine_knn_ivf`` over the ``table`` view
     (default ``embeddings``): replays hash-seeded init → one Lloyd
     step → probe → exact rerank with the identical 7dp quantization at
     every ranking decision.  ``prelude_ctes`` (e.g. the int8
     dequantization CTE) is spliced ahead of the pipeline so composed
-    sources replay inside the same WITH chain."""
+    sources replay inside the same WITH chain.
+
+    ``exclude_same`` (r11, the filtered-ANN twin): when set to a meta
+    column name, the candidate CTE joins ``table`` on both sides and
+    drops candidates sharing the query's value BEFORE the exact
+    rerank — mirroring the Spark side's ``match_predicate`` landing
+    inside the candidate join — and the output gains
+    ``query_<col>`` / ``match_<col>``."""
     q7 = lambda e: qround_sql(e, 7)  # noqa: E731
     prelude = f"{prelude_ctes},\n" if prelude_ctes else ""
+    if exclude_same:
+        c = exclude_same
+        meta_sel = f", qm.{c} AS query_{c}, bm.{c} AS match_{c}"
+        meta_joins = (
+            f"\n  JOIN {table} qm ON qm.vec_id = p.query_id"
+            f"\n  JOIN {table} bm ON bm.vec_id = a.vec_id"
+        )
+        meta_pred = f" AND bm.{c} <> qm.{c}"
+        meta_group = f", query_{c}, match_{c}"
+        meta_out = f", query_{c}, match_{c}"
+    else:
+        meta_sel = meta_joins = meta_pred = meta_group = meta_out = ""
     return f"""
 WITH {prelude}flat AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
@@ -348,30 +425,30 @@ probe AS (
   ) WHERE rn <= {n_probe}
 ),
 cand AS (
-  SELECT DISTINCT p.query_id, a.vec_id AS match_id
-  FROM probe p JOIN a1 a ON a.cell = p.cell
-  WHERE a.vec_id <> p.query_id
+  SELECT DISTINCT p.query_id{meta_sel}, a.vec_id AS match_id
+  FROM probe p JOIN a1 a ON a.cell = p.cell{meta_joins}
+  WHERE a.vec_id <> p.query_id{meta_pred}
 ),
 pdots AS (
-  SELECT c.query_id, c.match_id, sum(q.v * b.v) AS dot
+  SELECT c.query_id, c.match_id{meta_group}, sum(q.v * b.v) AS dot
   FROM cand c
   JOIN flat q ON q.vec_id = c.query_id
   JOIN flat b ON b.vec_id = c.match_id AND b.j = q.j
-  GROUP BY 1, 2
+  GROUP BY ALL
 ),
 sims AS (
-  SELECT p.query_id, p.match_id,
+  SELECT p.query_id, p.match_id{meta_group},
          {q7("CASE WHEN nq.nrm * nb.nrm = 0.0 THEN 0.0 "
              "ELSE p.dot / (nq.nrm * nb.nrm) END")} AS sim
   FROM pdots p
   JOIN norms nq ON nq.vec_id = p.query_id
   JOIN norms nb ON nb.vec_id = p.match_id
 )
-SELECT query_id, match_id,
+SELECT query_id, match_id{meta_out},
        {qround_sql("sim", 6)} AS sim,
        CAST(rk AS INTEGER) AS rank
 FROM (
-  SELECT query_id, match_id, sim,
+  SELECT query_id, match_id{meta_group}, sim,
          row_number() OVER (
            PARTITION BY query_id ORDER BY sim DESC, match_id ASC) AS rk
   FROM sims

@@ -662,60 +662,9 @@ from .llm import KNN_BF_SQL, embedding_knn_bruteforce  # noqa: E402
 _KNN_IVF_SQL = knn_ivf_oracle_sql(KNN_QUERIES, KNN_K, EMB_DIM)
 
 
-@register_demoted(
-    "embedding_knn_recall_audit",
-    oracle=f"""
-WITH bf AS (SELECT * FROM ({KNN_BF_SQL}) _bf),
-ivf AS (SELECT * FROM ({_KNN_IVF_SQL}) _ivf),
-ex AS (
-  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM bf GROUP BY 1
-),
-hits AS (
-  SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n_hits
-  FROM bf JOIN ivf ON ivf.query_id = bf.query_id
-                  AND ivf.match_id = bf.match_id
-  GROUP BY 1
-)
-SELECT ex.query_id, ex.n_exact,
-       coalesce(hits.n_hits, 0) AS n_hits,
-       floor((CAST(coalesce(hits.n_hits, 0) AS DOUBLE) / ex.n_exact)
-             * 1000000.0 + 0.5) / 1000000.0 AS recall
-FROM ex LEFT JOIN hits USING (query_id)
-""",
-)
-def embedding_knn_recall_audit(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Per-query recall@k of the served IVF index against the exact
-    brute-force scan on the fixed probe set — the index-health metric
-    a production vector store alerts on (Jégou et al. evaluation
-    protocol).  Runs BOTH registered pipelines and intersects their
-    (query, match) sets; the oracle splices both queries' oracle SQL
-    verbatim into one WITH chain, so the audit can never drift from
-    the queries it audits.
-
-    Scale shape: the exact side is the one that costs (it exists as a
-    correctness baseline; at 100 TB the probe set is a fixed O(100)
-    sample, so the exact scan is 100 × one-vector passes — linear,
-    batched through the same dimension join); the intersection and
-    recall arithmetic are O(queries × k)."""
-    bf = embedding_knn_bruteforce(spark, sf_dir).select(
-        "query_id", "match_id"
-    )
-    iv = embedding_knn_ivf(spark, sf_dir).select("query_id", "match_id")
-    ex = bf.groupBy("query_id").agg(F.count("*").alias("n_exact"))
-    hits = bf.join(iv, ["query_id", "match_id"], "semi").groupBy(
-        "query_id"
-    ).agg(F.count("*").alias("n_hits"))
-    return ex.join(hits, "query_id", "left").select(
-        "query_id",
-        "n_exact",
-        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
-        qround(
-            F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_exact"),
-            6,
-        ).alias("recall"),
-    )
+# r11: the recall audit's registration moved BELOW the hard-negatives
+# section (its oracle now splices HARD_NEG_SQL, defined there) and
+# became a variant-tagged row — see embedding_knn_recall_audit.
 
 
 # --- merged ANN family rows (r9 rotation) -----------------------------------
@@ -882,13 +831,14 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the label predicate is applied INSIDE the dot-product
     join (the query side broadcasts (vec, label) together), so
     disqualified pairs never reach the aggregate — the filter-aware
-    form of the ANN scan, not filter-after-ANN.  At 100 TB the same
-    predicate-inside-the-index recipe applies to the IVF route
-    (cosine_knn_ivf's candidate join takes an extra join predicate) or
-    an over-fetch k' = k/label-selectivity + post-filter when the
-    predicate is not index-pushable; this exact form is the oracle
-    baseline both are recalled against.  No reference analogue
-    (SURVEY §2 L3 extension)."""
+    form of the ANN scan, not filter-after-ANN.  The 100 TB route is
+    SHIPPED as embedding_hard_negatives_ivf (r11): the same predicate
+    inside cosine_knn_ivf's candidate join (``match_predicate``),
+    recall-audited against this exact form by the 'hard_neg_ivf'
+    variant of embedding_knn_recall_audit; over-fetch k' =
+    k/label-selectivity + post-filter (operators/ivf.py::overfetch_k)
+    is the fallback when a predicate is not index-pushable.  No
+    reference analogue (SURVEY §2 L3 extension)."""
     return hard_negatives(
         table(spark, sf_dir, "embeddings"), KNN_QUERIES, HARD_NEG_K
     )
@@ -958,4 +908,140 @@ def hard_negatives(e: DataFrame, n_queries: int, k: int) -> DataFrame:
             qround("sim", 6).alias("sim"),
             "rank",
         )
+    )
+
+
+# --- filter-aware ANN on the IVF route (r11) --------------------------------
+@register_demoted(
+    "embedding_hard_negatives_ivf",
+    oracle=knn_ivf_oracle_sql(
+        KNN_QUERIES, HARD_NEG_K, EMB_DIM, exclude_same="label"
+    ),
+)
+def embedding_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining through the INDEXED route — the 100 TB
+    recipe the exact form's docstring promises, now shipped: the
+    different-label predicate rides INSIDE ``cosine_knn_ivf``'s
+    candidate join (``match_predicate`` — cell members carry their
+    label, the broadcast probe relation carries the query's), so
+    disqualified candidates never reach the exact rerank.  This is
+    filtered ANN as a production vector store serves it: the
+    alternative, filtering AFTER an unfiltered top-k, returns < k
+    rows exactly when the filter bites (over-fetch k' =
+    k/selectivity is the documented fallback for non-pushable
+    predicates — ``operators/ivf.py::overfetch_k``).
+
+    Same (query_id, query_label, match_id, match_label, sim, rank)
+    grain as the exact ``embedding_hard_negatives``, which is the
+    recall baseline: the ``hard_neg_ivf`` variant of
+    ``embedding_knn_recall_audit`` measures this route against it.
+    Scale shape: identical to embedding_knn_ivf — the predicate adds
+    one scalar column to each side of the candidate join and strictly
+    SHRINKS the rerank relation.  No reference analogue (SURVEY §2 L3
+    extension)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < KNN_QUERIES)
+    out = cosine_knn_ivf(
+        e,
+        q,
+        HARD_NEG_K,
+        query_meta_cols=("label",),
+        match_meta_cols=("label",),
+        match_predicate=F.col("m_label") != F.col("q_label"),
+    )
+    return out.select(
+        "query_id",
+        F.col("q_label").alias("query_label"),
+        "match_id",
+        F.col("m_label").alias("match_label"),
+        "sim",
+        "rank",
+    )
+
+
+# --- recall audit (variant-tagged since r11) --------------------------------
+def _recall_variant_sql(tag: str, exact_cte: str, approx_cte: str) -> str:
+    """One variant slice of the recall-audit oracle: recall@k of
+    ``approx_cte`` against ``exact_cte`` (both WITH-chain CTE names
+    over the (query_id, match_id, ...) grain)."""
+    return f"""
+SELECT '{tag}' AS variant, ex.query_id, ex.n_exact,
+       coalesce(hits.n_hits, 0) AS n_hits,
+       floor((CAST(coalesce(hits.n_hits, 0) AS DOUBLE) / ex.n_exact)
+             * 1000000.0 + 0.5) / 1000000.0 AS recall
+FROM (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM {exact_cte} GROUP BY 1
+) ex
+LEFT JOIN (
+  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM {exact_cte} e JOIN {approx_cte} a
+    ON a.query_id = e.query_id AND a.match_id = e.match_id
+  GROUP BY 1
+) hits USING (query_id)"""
+
+
+def _recall_audit_of(exact: DataFrame, approx: DataFrame, tag: str) -> DataFrame:
+    ex = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hits = (
+        exact.join(approx, ["query_id", "match_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return ex.join(hits, "query_id", "left").select(
+        F.lit(tag).alias("variant"),
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        qround(
+            F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_exact"),
+            6,
+        ).alias("recall"),
+    )
+
+
+_HARD_NEG_IVF_SQL = knn_ivf_oracle_sql(
+    KNN_QUERIES, HARD_NEG_K, EMB_DIM, exclude_same="label"
+)
+
+
+@register(
+    "embedding_knn_recall_audit",
+    oracle=f"""
+WITH bf AS (SELECT * FROM ({KNN_BF_SQL}) _bf),
+ivf AS (SELECT * FROM ({_KNN_IVF_SQL}) _ivf),
+hn AS (SELECT * FROM ({HARD_NEG_SQL.format(n_queries=KNN_QUERIES, k=HARD_NEG_K)}) _hn),
+hnivf AS (SELECT * FROM ({_HARD_NEG_IVF_SQL}) _hnivf)
+{_recall_variant_sql("ivf", "bf", "ivf")}
+UNION ALL
+{_recall_variant_sql("hard_neg_ivf", "hn", "hnivf")}
+""",
+)
+def embedding_knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the served index routes against their
+    exact baselines on the fixed probe set — the index-health metric
+    a production vector store alerts on (Jégou et al. evaluation
+    protocol).  Variant-tagged since r11 (the baseline_topk merge
+    pattern): 'ivf' = the unfiltered IVF route vs the brute-force
+    scan (the historical row), 'hard_neg_ivf' = the NEW filter-aware
+    IVF route (label predicate inside the candidate join) vs the
+    exact hard-negative miner — landing the filtered-ANN
+    certification in the established audit row.  Runs all four
+    registered pipelines and intersects (query, match) sets; the
+    oracle splices each query's oracle SQL verbatim into one WITH
+    chain, so the audit can never drift from the queries it audits.
+
+    Scale shape: the exact sides cost (they exist as correctness
+    baselines; at 100 TB the probe set is a fixed O(100) sample, so
+    each exact scan is 100 × one-vector passes — linear, batched
+    through the same dimension join); intersection and recall
+    arithmetic are O(queries × k)."""
+    bf = embedding_knn_bruteforce(spark, sf_dir).select("query_id", "match_id")
+    iv = embedding_knn_ivf(spark, sf_dir).select("query_id", "match_id")
+    hn = embedding_hard_negatives(spark, sf_dir).select("query_id", "match_id")
+    hniv = embedding_hard_negatives_ivf(spark, sf_dir).select(
+        "query_id", "match_id"
+    )
+    return _recall_audit_of(bf, iv, "ivf").unionByName(
+        _recall_audit_of(hn, hniv, "hard_neg_ivf")
     )

@@ -338,12 +338,13 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: Post-r11 audit (recency = rounds since last driver-green row,
 #: assuming the r11 window runs green):
 #:   recency 0: 50 (the window below)
-#:   recency 1: 47 (the r10 window minus the 3 merged-away chunked
-#:                  names: events_sessions_chunked,
-#:                  customer_running_revenue_chunked,
-#:                  events_prev_gap_chunked)
-#:   recency 2: 20 (green r9, not re-promoted this round — mandatory
-#:                  in r12: cf_predictions, corpus_bpe_pair_counts,
+#:   recency 1: 46 (the r10 window minus the 3 merged-away chunked
+#:                  names minus embedding_knn_recall_audit, re-promoted
+#:                  this round for its r11-changed variant grain)
+#:   recency 2: 21 (green r9, not re-promoted this round — mandatory
+#:                  in r12: item_pagerank — displaced by the
+#:                  re-promoted recall audit — plus cf_predictions,
+#:                  corpus_bpe_pair_counts,
 #:                  corpus_lang_temperature_weights,
 #:                  decontaminate_docs, dedup_docs, doc_bm25_search,
 #:                  doc_pii_scrub, doc_repetition_scores, doc_simhash,
@@ -354,9 +355,14 @@ DEMOTED: dict[str, QuerySpec] = {}
 #:                  events_value_robust_scaled, neardup_dedup_docs,
 #:                  order_ship_latency, sales_rollup)
 #:   never: 2 no-oracle BY DESIGN (sequential_topk + als_topk) + the
-#:          oracle-less bench carriers + any r11-born queries
-#:          (staged at the r12 window head)
-#: Steady state: 116 oracled / 50-row window = 2.32-round cycle.
+#:          oracle-less bench carriers + the r11-born queries (staged
+#:          at the r12 window head): embedding_hard_negatives_ivf
+#:          (filter-aware IVF — though its PLAN is already
+#:          driver-certified this round through the windowed recall
+#:          audit's 'hard_neg_ivf' variant, whose oracle splices its
+#:          SQL verbatim) and any later r11 births
+#: Steady state: 117 oracled (116 + embedding_hard_negatives_ivf) /
+#: 50-row window = 2.34-round cycle.
 #: ROTATION PLAN for round 12 (pre-staged; verify against
 #: CORRECTNESS_r11 first): window = any r11-born queries
 #: (never-checked names lead every rotation) + ALL 20 recency-2 rows
@@ -420,7 +426,11 @@ REGISTERED_WINDOW: frozenset[str] = frozenset({
     "events_value_features",
     "events_value_quantile_sketch",
     "image_dhash_near_pairs",
-    "item_pagerank",
+    # r11-changed grain (variant-tagged since r11: 'ivf' +
+    # 'hard_neg_ivf' filtered-ANN certification) — changed rows
+    # deserve immediate driver rows; displaces item_pagerank to the
+    # r12 mandatory set
+    "embedding_knn_recall_audit",
     "item_sims",
     "lineitem_bloom_semijoin",
     "multimodal_ppm_resize",
