@@ -81,3 +81,113 @@ def asof_join(
         *[F.col("_row")[c].alias(c) for c in lcols],
         F.col("_asof").alias(out_col),
     )
+
+
+def asof_join_chunked(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    value_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tiebreak: str | None = None,
+    out_col: str | None = None,
+    chunk_s: int = 86_400,
+) -> DataFrame:
+    """Bounded-task scale twin of :func:`asof_join` (IDENTICAL output
+    and semantics) — fifth member of the chunked window-twin family
+    and its simplest carry class yet (sessions carry a FLAG, running
+    revenue a SUM, lag ONE ROW, rolling-RANGE a GHOST TAIL; the as-of
+    carry is the previous chunk's LAST RIGHT-SIDE STRUCT):
+
+    1. the union-trick carry runs WITHIN (key, time-chunk), so no
+       task ever sorts more than one key-chunk of rows — the plain
+       form's per-key unbounded window sort is the measured hot-key
+       straggler class (stress/rolling_twin_stress.py: 8× at 2M rows
+       per key for per-row-maintenance frames; ``last(ignorenulls)``
+       is cheaper per row but a 10M-event key still lands one task);
+    2. one tiny per-(key, present-chunk) relation summarizes each
+       chunk's last right struct in window order; an exclusive
+       ``last(ignorenulls)`` prefix over it supplies each chunk's
+       carry-in — rows in a chunk with no earlier in-chunk right row
+       fall back to the carried struct (hole chunks propagate the
+       carry through ``ignorenulls``).
+
+    The chunk id is monotone in the (ts, side, tiebreak) window order
+    and same-second ties share a chunk by construction (epoch-second
+    floor), so composition is exact: a right row at exactly a left
+    row's ts lands in the same chunk and the in-chunk window applies
+    the at-or-before tie rule; a key's first chunk carries NULL,
+    matching the plain form's no-prior-right NULL.  Struct-wrapped
+    carry preserves the genuine-NULL-value semantics (docstring of
+    :func:`asof_join`).  Switch signal: the skew audit's skew_ratio,
+    as for every twin."""
+    out_col = out_col or f"asof_{value_col}"
+    tb_l = tiebreak or left_ts
+    tb_r = tiebreak or right_ts
+
+    lcols = left.columns
+    vtype = right.schema[value_col].dataType
+    l = left.select(
+        F.col(by).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.col(tb_l).alias("_tb"),
+        F.lit(1).alias("_is_l"),
+        F.lit(None).cast(f"struct<v: {vtype.simpleString()}>").alias("_v"),
+        F.struct(*lcols).alias("_row"),
+    )
+    r = right.select(
+        F.col(by).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.col(tb_r).alias("_tb"),
+        F.lit(0).alias("_is_l"),
+        F.struct(F.col(value_col).alias("v")).alias("_v"),
+        F.lit(None).cast(l.schema["_row"].dataType).alias("_row"),
+    )
+    # NTZ-safe epoch chunking — same arithmetic as the other twins
+    # (second-truncate first so boundary semantics are tz-independent)
+    tagged = l.unionByName(r).withColumn(
+        "_chunk",
+        F.floor(
+            F.unix_timestamp(F.date_trunc("second", F.col("_ts")))
+            / F.lit(chunk_s)
+        ),
+    )
+    w_in = (
+        Window.partitionBy("_k", "_chunk")
+        .orderBy("_ts", "_is_l", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_chunk = tagged.withColumn(
+        "_asof_in", F.last("_v", ignorenulls=True).over(w_in)
+    )
+    # per-(key, present chunk) summary: the chunk's last right struct
+    # in window order — right rows order by (_ts, _tb) among
+    # themselves (side is constant), so max of (_ts, _tb, _v) is the
+    # window-order last
+    per_chunk = tagged.groupBy("_k", "_chunk").agg(
+        F.max(
+            F.when(
+                F.col("_is_l") == 0,
+                F.struct("_ts", "_tb", F.col("_v").alias("v")),
+            )
+        ).alias("_last_r")
+    )
+    cw = (
+        Window.partitionBy("_k")
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = per_chunk.select(
+        "_k",
+        "_chunk",
+        F.last("_last_r", ignorenulls=True).over(cw)["v"].alias("_carry"),
+    )
+    return (
+        in_chunk.join(carry, ["_k", "_chunk"])
+        .where(F.col("_is_l") == 1)
+        .select(
+            *[F.col("_row")[c].alias(c) for c in lcols],
+            F.coalesce(F.col("_asof_in"), F.col("_carry"))["v"].alias(out_col),
+        )
+    )

@@ -360,9 +360,16 @@ DEMOTED: dict[str, QuerySpec] = {}
 #:          (filter-aware IVF — though its PLAN is already
 #:          driver-certified this round through the windowed recall
 #:          audit's 'hard_neg_ivf' variant, whose oracle splices its
-#:          SQL verbatim) and any later r11 births
-#: Steady state: 117 oracled (116 + embedding_hard_negatives_ivf) /
-#: 50-row window = 2.34-round cycle.
+#:          SQL verbatim) and events_attribution_last_touch_chunked
+#:          (the as-of bounded-task twin, sharing the plain form's
+#:          oracle verbatim; crossover measured in
+#:          stress/asof_twin_stress.py)
+#: Steady state: 118 oracled (116 + the 2 r11-born) / 50-row window =
+#: 2.36-round cycle — under the 2.4 ceiling; the staged merges below
+#: pull back.  FURTHER STAGED MERGE for r13 (execute once the chunked
+#: twin's first driver row lands green in r12; the plain form's row
+#: lands r11): events_attribution_last_touch(+_chunked) -> one
+#: variant-tagged row keeping the plain name, oracled -> 117.
 #: ROTATION PLAN for round 12 (pre-staged; verify against
 #: CORRECTNESS_r11 first): window = any r11-born queries
 #: (never-checked names lead every rotation) + ALL 20 recency-2 rows

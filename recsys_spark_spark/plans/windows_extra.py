@@ -1334,22 +1334,39 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     return last_touch_attribution(table(spark, sf_dir, "events"), ATTRIB_WINDOW_US)
 
 
-def last_touch_attribution(e: DataFrame, window_us: int) -> DataFrame:
+def last_touch_attribution(
+    e: DataFrame, window_us: int, chunk_s: int | None = None
+) -> DataFrame:
     """Library form of events_attribution_last_touch (planted-fixture
-    tests feed synthetic event tables)."""
+    tests feed synthetic event tables).  ``chunk_s`` switches the
+    as-of step to its bounded-task twin (operators/asof.py::
+    asof_join_chunked) — identical semantics, per-task row bound of
+    one user-chunk."""
+    from ..operators.asof import asof_join_chunked
+
     purchases = e.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
     views = e.where(F.col("event_type") == "view").select(
         "user_id", "ts", "event_id"
     )
-    enriched = asof_join(
-        purchases,
-        views,
-        by="user_id",
-        value_col="ts",
-        out_col="view_ts",
-    )
+    if chunk_s is None:
+        enriched = asof_join(
+            purchases,
+            views,
+            by="user_id",
+            value_col="ts",
+            out_col="view_ts",
+        )
+    else:
+        enriched = asof_join_chunked(
+            purchases,
+            views,
+            by="user_id",
+            value_col="ts",
+            out_col="view_ts",
+            chunk_s=chunk_s,
+        )
     # NTZ-safe exact integer microseconds (unix_micros rejects NTZ;
     # timestamp_diff is pure local-datetime arithmetic)
     gap_us = F.timestamp_diff("MICROSECOND", F.col("view_ts"), F.col("ts"))
@@ -1379,6 +1396,30 @@ def last_touch_attribution(e: DataFrame, window_us: int) -> DataFrame:
         ).alias("avg_gap_s"),
     )
     return agg
+
+
+@register_demoted(
+    "events_attribution_last_touch_chunked", oracle=ATTRIBUTION_SQL
+)
+def events_attribution_last_touch_chunked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-task last-touch attribution — the scale twin of
+    events_attribution_last_touch (IDENTICAL output and oracle,
+    shared verbatim — the window-twin convention), composing
+    operators/asof.py::asof_join_chunked: the plain as-of operator
+    was the last per-key unbounded window sort without a twin
+    (VERDICT r10 'what's wrong' #3), and the r10 rolling-twin
+    measurement shows this straggler class bites from ~2M rows per
+    key.  Fifth carry class: the previous chunk's last right-side
+    struct — one tiny per-(user, day-chunk) relation plus an
+    exclusive ignorenulls prefix, so no task sorts more than one
+    user-day of events.  Crossover measured in
+    stress/asof_twin_stress.py; switch signal = the skew audit's
+    skew_ratio, as for every twin."""
+    return last_touch_attribution(
+        table(spark, sf_dir, "events"), ATTRIB_WINDOW_US, chunk_s=86_400
+    )
 
 
 # --- bounded-task twin of the time-RANGE rolling window (r10) ----------------

@@ -63,3 +63,108 @@ def test_pagerank_sink_nodes_get_rank_rows(spark):
     out = {r["id"]: r["pr"] for r in pagerank(edges, iters=3).collect()}
     assert set(out) == {"a", "b"}
     assert out["b"] > out["a"]  # b receives a's mass on top of (1-d)/n
+
+
+# --- bounded-task chunked twin (r11) ----------------------------------------
+
+
+def _chunked(left, right, **kw):
+    from recsys_spark_spark.operators.asof import asof_join_chunked
+
+    return asof_join_chunked(left, right, **kw)
+
+
+def test_asof_chunked_carry_from_previous_chunk(spark):
+    """The right row lives in an EARLIER chunk than the left row —
+    only the cross-chunk carry (previous chunk's last right struct)
+    can serve it."""
+    left = spark.createDataFrame(
+        [(1, _ts(100))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(1), 7.0), (1, _ts(3), 8.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = _chunked(left, right, by="k", value_col="v", chunk_s=10).collect()
+    assert len(out) == 1 and out[0]["asof_v"] == 8.0
+
+
+def test_asof_chunked_hole_chunks_propagate(spark):
+    """Chunks with no rows at all between the right row and the left
+    row: the ignorenulls prefix over PRESENT chunks must carry the
+    struct across the hole."""
+    left = spark.createDataFrame([(1, _ts(1000))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(0), 5.0)], "k long, ts timestamp, v double"
+    )
+    # chunk_s=10: right in chunk 0, left in chunk 100, 99 hole chunks
+    out = _chunked(left, right, by="k", value_col="v", chunk_s=10).collect()
+    assert out[0]["asof_v"] == 5.0
+
+
+def test_asof_chunked_left_only_chunk_between(spark):
+    """A PRESENT chunk holding only left rows must not reset the
+    carry (its per-chunk last-right summary is NULL — ignorenulls
+    skips it)."""
+    left = spark.createDataFrame(
+        [(1, _ts(15)), (1, _ts(25))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 3.0)], "k long, ts timestamp, v double"
+    )
+    got = {
+        r["ts"]: r["asof_v"]
+        for r in _chunked(left, right, by="k", value_col="v", chunk_s=10).collect()
+    }
+    assert got == {_ts(15): 3.0, _ts(25): 3.0}
+
+
+def test_asof_chunked_exact_ts_tie_at_boundary(spark):
+    """A right row at EXACTLY the left row's ts shares its chunk by
+    construction (same epoch second → same chunk), so the at-or-before
+    tie rule applies in-chunk — including when that ts IS a chunk
+    boundary."""
+    boundary = _ts(20)  # epoch multiple of chunk_s=10 offset irrelevant
+    left = spark.createDataFrame([(1, boundary)], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(19), 1.0), (1, boundary, 2.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = _chunked(left, right, by="k", value_col="v", chunk_s=10).collect()
+    assert out[0]["asof_v"] == 2.0
+
+
+def test_asof_chunked_null_right_value_carried(spark):
+    """The struct-wrapped carry preserves genuine-NULL semantics
+    ACROSS chunks: the newest right record's NULL must be served, not
+    the older chunk's non-NULL value."""
+    left = spark.createDataFrame([(1, _ts(100))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(1), 10.0), (1, _ts(12), None)],
+        "k long, ts timestamp, v double",
+    )
+    out = _chunked(left, right, by="k", value_col="v", chunk_s=10).collect()
+    assert len(out) == 1 and out[0]["asof_v"] is None
+
+
+def test_asof_chunked_equals_plain_on_dense_history(spark):
+    """Bit-equality with the plain operator over a dense multi-key
+    synthetic history crossing many chunk boundaries."""
+    import itertools
+
+    rows_l, rows_r = [], []
+    for k, i in itertools.product(range(3), range(40)):
+        rows_l.append((k, _ts(7 * i + k)))
+        if i % 3 != 2:
+            rows_r.append((k, _ts(5 * i + 2 * k), float(100 * k + i)))
+    left = spark.createDataFrame(rows_l, "k long, ts timestamp")
+    right = spark.createDataFrame(rows_r, "k long, ts timestamp, v double")
+    plain = {
+        (r["k"], r["ts"]): r["asof_v"]
+        for r in asof_join(left, right, by="k", value_col="v").collect()
+    }
+    chunked = {
+        (r["k"], r["ts"]): r["asof_v"]
+        for r in _chunked(left, right, by="k", value_col="v", chunk_s=30).collect()
+    }
+    assert plain == chunked
