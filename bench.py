@@ -106,9 +106,20 @@ def main() -> None:
     # warm the JVM + parquet footers once with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # SPARK_GRAFT_BENCH_FIRST hoists one query to the head of the
+    # (otherwise alphabetical) loop — the r11 probe instrument for
+    # order-dependent effects: the in-bench vs isolated hybrid gap
+    # survived six rejected mechanisms (PERF.md r10), and running
+    # hybrid FIRST separates "JVM age" (gap follows position) from
+    # "leaked predecessor state" (gap follows the preceding queries).
+    order = sorted(bench.items())
+    first = os.environ.get("SPARK_GRAFT_BENCH_FIRST")
+    if first:
+        order.sort(key=lambda kv: kv[0] != first)
+
     timings: dict[str, float] = {}
     stages: dict[str, dict] = {}
-    for name, fn in sorted(bench.items()):
+    for name, fn in order:
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         t_build = time.perf_counter() - t0

@@ -15,6 +15,14 @@ Conventions that make cross-engine hashing stable:
 - integer-ish outputs are cast to the same width (Spark count() is
   BIGINT; DuckDB SUM(int) would be HUGEINT → cast);
 - ties at any rank boundary break by an explicit id column.
+
+Long sweeps over many registry entries in ONE session must release
+per-query state between queries (``release_query_state`` /
+``drive_all`` below; ``stress/full_registry_cert.py`` is the
+canonical consumer): accumulated model caches OOMed a default-1g
+vanilla JVM after ~80 queries in the r10 certification (PERF.md r10
+wrap), and leaked ALS state measurably drifted later queries 2-4x in
+the r4 bench.
 """
 
 from __future__ import annotations
@@ -490,6 +498,59 @@ def oracle_of(name: str) -> str:
     if spec is None or spec.oracle is None:
         raise KeyError(f"no oracled query named {name!r} in either tier")
     return spec.oracle
+
+
+def release_query_state(spark: SparkSession, clear_sql_cache: bool = True) -> None:
+    """Drop every piece of session state a query run can accumulate:
+    the cache-tracking pool (ANN/PageRank internals), the ALS and
+    CF-LSH model caches, and (by default) the ENTIRE SQL cache.
+
+    Exists because accumulated model caches are a measured failure
+    mode, not a hypothetical: the r10 full-registry certification
+    found a default-1g vanilla JVM OOMs after ~80 queries of
+    accumulated caches (PERF.md r10 wrap — the 81st query was merely
+    the victim, not the culprit), and the r4 bench measured leaked ALS
+    state drifting later queries 2-4x.  Any harness that loops over
+    many registry entries in one session (the full-registry
+    certification, model sweeps, notebooks) should call this between
+    queries; correctness is unaffected — released relations recompute
+    if re-executed."""
+    from ..operators.cache_tracking import release_tracked
+
+    release_tracked()
+    from ..operators import cf_lsh
+    from ..recommenders import als
+
+    als.release_last_state()
+    cf_lsh.release_last_state()
+    if clear_sql_cache:
+        spark.catalog.clearCache()
+
+
+def drive_all(
+    spark: SparkSession,
+    sf_dir: str,
+    names: list[str] | None = None,
+    release_between: bool = True,
+):
+    """Execute registry queries (BOTH tiers) one at a time, yielding
+    ``(name, row_count, seconds)``; with ``release_between`` (the
+    default — see :func:`release_query_state`) the session stays
+    flat-memory no matter how many queries run, so the sweep is
+    reproducible on a default JVM heap.  Materialization forces every
+    column (the bench.py hash action), not just a count."""
+    import time as _time
+
+    _load_all()
+    allq = {**QUERIES, **DEMOTED}
+    for name in names if names is not None else sorted(allq):
+        t0 = _time.perf_counter()
+        df = allq[name].fn(spark, sf_dir)
+        n = df.count()
+        df.selectExpr("bit_xor(xxhash64(*)) AS h").collect()
+        if release_between:
+            release_query_state(spark)
+        yield name, n, round(_time.perf_counter() - t0, 3)
 
 
 def demoted_queries() -> dict[str, QuerySpec]:

@@ -165,6 +165,140 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- correlated-subquery shapes: decorrelation patterns (r11) ---------------
+# TPC-H q17/q22 are THE textbook correlated-subquery classes — a
+# per-group scalar threshold (q17) and a global-scalar + NOT EXISTS
+# (q22).  The oracles keep the CORRELATED form verbatim (DuckDB's
+# binder decorrelates internally) while the Spark plans are the
+# hand-decorrelated joins — independent algorithms, one value hash
+# (the events_attribution_last_touch evidence pattern).  Both
+# threshold comparisons run in PURE INTEGER arithmetic (the
+# corpus_pps_sample discipline): quantities are integer-valued and
+# acctbal is cent-quantized, so `5*qty*cnt < sum_qty` and
+# `cents*n > sum_cents` are exact and association-free in BOTH
+# engines — a float `avg()` threshold would sit one ulp from flipping
+# a boundary row under a different partial-agg association.
+
+#: q17's brand scope (the reference TPC-H parameter is one brand;
+#: Brand#13 is the most-populated brand in the shipped part table)
+Q17_BRAND = "Brand#13"
+
+
+@register_demoted(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       floor((sum(l_extendedprice) / 7.0) * 1000000.0 + 0.5) / 1000000.0
+         AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = '{Q17_BRAND}'
+  AND l.l_quantity * 5 *
+        (SELECT count(*) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT sum(l_quantity) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 (small-quantity-order revenue): average yearly
+    revenue lost if small orders — quantity below 20% of the part's
+    average — were no longer filled, over one brand's parts.  The
+    classic CORRELATED SCALAR SUBQUERY; the oracle keeps it
+    correlated, this plan hand-decorrelates: one per-part (count,
+    sum_qty) aggregate over the brand-restricted lineitems, joined
+    back, with the 0.2·avg comparison rewritten to the exact integer
+    form ``5·qty·cnt < sum_qty`` (quantities are integer-valued
+    doubles — no float-division boundary to flip cross-engine).
+
+    Scale shape: the brand's parts are a broadcast (|parts|/|brands|
+    rows); lineitem is semi-joined down to the brand FIRST, so the
+    per-part aggregate and the threshold join shuffle only the brand's
+    lineitems (~1/25 of the fact table), grouped on l_partkey — at
+    100 TB this is one bounded-key shuffle, no correlated per-row
+    subplan execution (the decorrelation IS the optimization)."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_brand") == Q17_BRAND)
+    brand_lines = l.join(
+        F.broadcast(p.select("p_partkey")),
+        l.l_partkey == F.col("p_partkey"),
+    ).drop("p_partkey")
+    stats = brand_lines.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.count("*").alias("_cnt"), F.sum("l_quantity").alias("_sum_qty")
+    )
+    return (
+        brand_lines.join(stats, brand_lines.l_partkey == stats._pk)
+        .where(F.col("l_quantity") * 5 * F.col("_cnt") < F.col("_sum_qty"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            qround(F.sum("l_extendedprice") / 7.0, R6).alias("avg_yearly"),
+        )
+    )
+
+
+#: q22's dormancy horizon: a customer is dormant if they placed no
+#: order at-or-after this date (every shipped customer has SOME order,
+#: so plain NOT EXISTS over all orders is vacuous on this corpus)
+Q22_DORMANT_SINCE = "2000-01-01"
+
+
+@register_demoted(
+    "q22_dormant_high_value",
+    oracle=f"""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       floor((sum(c_acctbal)) * 1000000.0 + 0.5) / 1000000.0 AS total_acctbal
+FROM customer c
+WHERE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) *
+        (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+         FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{Q22_DORMANT_SINCE}')
+GROUP BY 1
+""",
+)
+def q22_dormant_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22 (global-average threshold + NOT EXISTS): per market
+    segment, the count and total balance of ABOVE-AVERAGE-balance
+    customers with no order since {Q22_DORMANT_SINCE} — the sales
+    opportunity sitting in dormant high-value accounts.  The oracle
+    keeps both correlated forms (scalar subquery + NOT EXISTS); this
+    plan decorrelates to a broadcast 1-row threshold crossJoin + a
+    LEFT ANTI join on the date-filtered orders.  The
+    above-average test runs in exact integer CENTS
+    (``cents·n > sum_cents`` — acctbal is cent-quantized, so the sum
+    is an exact BIGINT and no float-avg association can flip a
+    boundary customer cross-engine).
+
+    Scale shape: the threshold relation is ONE row (broadcast); the
+    anti-join shuffles on o_custkey with the date filter pushed to the
+    orders scan; output is |segments| rows."""
+    c = table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+    pos = c.where(F.col("c_acctbal") > 0)
+    thr = pos.agg(
+        F.count("*").alias("_n_pos"),
+        F.sum(cents).alias("_sum_cents"),
+    )
+    recent = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit(Q22_DORMANT_SINCE).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .where(cents * F.col("_n_pos") > F.col("_sum_cents"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            qround(F.sum("c_acctbal"), R6).alias("total_acctbal"),
+        )
+    )
+
+
 # --- SQL window functions: per-group top-k (T2/T3 relational form) ---------
 @register_demoted(
     "top_orders_per_customer",

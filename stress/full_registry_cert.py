@@ -1,0 +1,92 @@
+"""Full-registry vanilla certification harness (r11 — makes the r10
+wrap's ad-hoc sweep a permanent, reproducible artifact).
+
+Drives EVERY named query (both tiers) in a VANILLA SparkSession from
+outside the repo's cwd assumptions, hash-compares each oracled query
+against DuckDB at sf0.01, and — the r10 lesson turned into code —
+releases per-query session state between queries via
+``registry.release_query_state`` so the sweep finishes on a DEFAULT
+JVM heap (a 1g vanilla session OOMed after ~80 queries of accumulated
+model caches before this existed; PERF.md r10 wrap).
+
+Usage:  python stress/full_registry_cert.py [sf_dir]
+Exit code 0 iff every oracled query hash-matches and every no-oracle
+query executes.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+from recsys_spark_spark.plans import registry  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].map(lambda v: "nan" if pd.isna(v) else "%.6f" % v)
+        else:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # VANILLA on purpose: the driver builds its own session without our
+    # configs — sources/readers.py::ensure_session_confs must keep it
+    # working (nanos timestamps, UTC)
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    registry._load_all()
+    allq = {**registry.QUERIES, **registry.DEMOTED}
+    fails, t_start = [], time.time()
+    for i, name in enumerate(sorted(allq), 1):
+        spec = allq[name]
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf).toPandas()
+            if spec.oracle is None:
+                tag = f"rows-only {len(sdf)}"
+            else:
+                odf = con.sql(spec.oracle).df()
+                a, b = canon(sdf), canon(odf)
+                ok = (
+                    list(a.columns) == list(b.columns)
+                    and len(a) == len(b)
+                    and a.equals(b)
+                )
+                tag = f"MATCH {len(a)}" if ok else f"MISMATCH {len(a)}/{len(b)}"
+                if not ok:
+                    fails.append(name)
+        except Exception as e:  # noqa: BLE001 — harness must finish the sweep
+            tag = f"ERR {repr(e)[:120]}"
+            fails.append(name)
+        # the r10 lesson as code: flat-memory sweep on any heap
+        registry.release_query_state(spark)
+        print(f"[{i}/{len(allq)}] {name}: {tag} {time.time()-t0:.1f}s", flush=True)
+
+    print(
+        f"done: {len(allq)} queries, {len(fails)} fails in "
+        f"{time.time()-t_start:.0f}s  fails={fails}",
+        flush=True,
+    )
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -158,3 +158,79 @@ def test_recall_audit_variants(spark, sf_dir):
     hn = p[p["variant"] == "hard_neg_ivf"]
     assert (hn["recall"] >= 0.0).all() and (hn["recall"] <= 1.0).all()
     assert hn["recall"].mean() >= 0.5
+
+
+# --- correlated-subquery shapes (q17/q22 class) -----------------------------
+
+
+def test_q17_integer_threshold_semantics(spark, tmp_path):
+    """qty < 0.2*avg(part) via the exact 5*qty*cnt < sum form: part 10
+    has quantities [1,10,10,10,10] (avg 8.2, threshold 1.64) — only
+    the qty-1 line qualifies; an off-brand part with a tiny quantity
+    must not leak in."""
+    from datetime import datetime
+
+    from recsys_spark_spark.plans.relational import (
+        Q17_BRAND,
+        q17_small_quantity_revenue,
+    )
+
+    parts = spark.createDataFrame(
+        [(10, "na", Q17_BRAND, "t", 1, 1.0), (20, "nb", "Brand#99", "t", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    li_rows = [(1, 10, 1.0, 700.0)] + [
+        (k, 10, 10.0, 100.0) for k in range(2, 6)
+    ] + [(6, 20, 1.0, 999.0)]
+    lineitem = spark.createDataFrame(
+        [
+            (ok, pk, 1, 1, q, px, 0.0, 0.0, "N", "O", datetime(2024, 1, 1))
+            for ok, pk, q, px in li_rows
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    parts.write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    lineitem.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    out = q17_small_quantity_revenue(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["n_lines"] == 1
+    assert abs(out[0]["avg_yearly"] - 700.0 / 7.0) < 1e-6
+
+
+def test_q22_dormant_threshold_and_anti_join(spark, tmp_path):
+    """Cent-exact above-average test + dormancy anti-join: A (high
+    balance, only an OLD order) is the one survivor; B below average;
+    C high balance but recently active; D negative balance (never
+    above a positive-average threshold)."""
+    from datetime import datetime
+
+    from recsys_spark_spark.plans.relational import q22_dormant_high_value
+
+    customers = spark.createDataFrame(
+        [
+            (1, "A", 0, 100.00, "SEG_X"),
+            (2, "B", 0, 10.00, "SEG_X"),
+            (3, "C", 0, 100.00, "SEG_Y"),
+            (4, "D", 0, -5.00, "SEG_X"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [
+            (11, 1, datetime(1999, 6, 1)),   # A: old order only -> dormant
+            (12, 3, datetime(2001, 6, 1)),   # C: recent -> active
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    customers.write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    orders.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    out = q22_dormant_high_value(spark, str(tmp_path)).collect()
+    # positive set {100, 10, 100}: avg = 70 -> A and C above; C active
+    assert [(r["c_mktsegment"], r["n_customers"], r["total_acctbal"]) for r in out] == [
+        ("SEG_X", 1, 100.00)
+    ]
