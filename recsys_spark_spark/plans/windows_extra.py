@@ -1377,7 +1377,15 @@ def last_touch_attribution(
         attributed.alias("attributed"),
         gap_us.alias("gap_us"),
     )
-    agg = attr.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+    return _attribution_daily_agg(attr)
+
+
+def _attribution_daily_agg(attr: DataFrame) -> DataFrame:
+    """Shared daily rollup of the (ts, value, attributed, gap_us)
+    attribution relation — one definition for the batch form, the
+    chunked twin, and the streaming twin, so the three queries cannot
+    drift in their aggregate semantics."""
+    return attr.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count("*").alias("n_purchases"),
         F.count_if("attributed").alias("n_attributed"),
         qround(
@@ -1395,7 +1403,6 @@ def last_touch_attribution(
             6,
         ).alias("avg_gap_s"),
     )
-    return agg
 
 
 @register_demoted(
@@ -1420,6 +1427,77 @@ def events_attribution_last_touch_chunked(
     return last_touch_attribution(
         table(spark, sf_dir, "events"), ATTRIB_WINDOW_US, chunk_s=86_400
     )
+
+
+@register_demoted("events_stream_attribution", oracle=ATTRIBUTION_SQL)
+def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING last-touch attribution — the L6 completion of the
+    r10-born attribution family (r10 VERDICT #8 option a), third
+    driver-oracled streaming query (after the quantile-sketch and
+    user-CMS paths) and the first driving a stream-stream join into
+    the driver correctness gate:
+
+        events readStream → purchase×view interval join (both sides
+        watermarked, state bounded by the horizon, APPEND mode — the
+        only mode stream-stream joins run in) → exactly-once batch_id
+        sink of the pair relation → batch read-back: max-collapse
+        v_ts per purchase, LEFT join from the batch purchases
+        (direct = no in-lookback view), the SAME daily rollup the
+        batch form uses (_attribution_daily_agg)
+
+    The oracle is the batch attribution's INDEPENDENT quadratic-argmax
+    SQL verbatim, so the driver hash certifies the full streaming path
+    — join state, watermark eviction, exactly-once sink — against an
+    algorithm that shares nothing with it.  Lookback-restriction
+    correctness and the why-not-stream-side-max mode note live at
+    streaming/joins.py::attribution_view_pairs_stream.
+
+    100 TB shape: join state lives inside the watermark horizon
+    partitioned by the user equi-key; the sink stores the
+    duplicate-bounded pair relation (≤ in-lookback views per
+    purchase); the read-back aggregates only the sink store and the
+    purchases slice, never re-scans views."""
+    import tempfile
+
+    from ..streaming.joins import attribution_view_pairs_stream
+    from ..streaming.sinks import read_batched, write_stream_exactly_once
+    from ..streaming.windows import read_events_stream
+    from .sketch import STREAM_STATE_PARTITIONS
+
+    workdir = tempfile.mkdtemp(prefix="stream_attrib_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        stream = attribution_view_pairs_stream(
+            read_events_stream(spark, sf_dir),
+            lookback="7 days",
+            watermark="8 days",
+        )
+        q = write_stream_exactly_once(
+            stream, f"{workdir}/store", f"{workdir}/ck", output_mode="append"
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    last_view = (
+        read_batched(spark, f"{workdir}/store")
+        .groupBy("purchase_id")
+        .agg(F.max("v_ts").alias("view_ts"))
+    )
+    purchases = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "ts", "value")
+    )
+    enriched = purchases.join(last_view, "purchase_id", "left")
+    gap_us = F.timestamp_diff("MICROSECOND", F.col("view_ts"), F.col("ts"))
+    attr = enriched.select(
+        "ts",
+        "value",
+        F.col("view_ts").isNotNull().alias("attributed"),
+        gap_us.alias("gap_us"),
+    )
+    return _attribution_daily_agg(attr)
 
 
 # --- bounded-task twin of the time-RANGE rolling window (r10) ----------------

@@ -234,3 +234,39 @@ def test_q22_dormant_threshold_and_anti_join(spark, tmp_path):
     assert [(r["c_mktsegment"], r["n_customers"], r["total_acctbal"]) for r in out] == [
         ("SEG_X", 1, 100.00)
     ]
+
+
+# --- streaming attribution twin ---------------------------------------------
+
+
+def test_stream_attribution_equals_batch(spark, sf_dir):
+    """The full streaming path (interval join -> append sink ->
+    read-back collapse) must reproduce the batch attribution
+    bit-for-bit on the same corpus — the two forms share only
+    _attribution_daily_agg."""
+    from recsys_spark_spark.plans.windows_extra import (
+        events_attribution_last_touch,
+        events_stream_attribution,
+    )
+
+    batch = {
+        r["day"]: (
+            r["n_purchases"],
+            r["n_attributed"],
+            r["attributed_value"],
+            r["direct_value"],
+            r["avg_gap_s"],
+        )
+        for r in events_attribution_last_touch(spark, sf_dir).collect()
+    }
+    streamed = {
+        r["day"]: (
+            r["n_purchases"],
+            r["n_attributed"],
+            r["attributed_value"],
+            r["direct_value"],
+            r["avg_gap_s"],
+        )
+        for r in events_stream_attribution(spark, sf_dir).collect()
+    }
+    assert batch == streamed and len(batch) > 0
