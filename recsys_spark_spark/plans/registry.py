@@ -363,21 +363,32 @@ DEMOTED: dict[str, QuerySpec] = {}
 #:                  events_value_robust_scaled, neardup_dedup_docs,
 #:                  order_ship_latency, sales_rollup)
 #:   never: 2 no-oracle BY DESIGN (sequential_topk + als_topk) + the
-#:          oracle-less bench carriers + the r11-born queries (staged
-#:          at the r12 window head): embedding_hard_negatives_ivf
-#:          (filter-aware IVF — though its PLAN is already
-#:          driver-certified this round through the windowed recall
-#:          audit's 'hard_neg_ivf' variant, whose oracle splices its
-#:          SQL verbatim) and events_attribution_last_touch_chunked
-#:          (the as-of bounded-task twin, sharing the plain form's
-#:          oracle verbatim; crossover measured in
-#:          stress/asof_twin_stress.py)
-#: Steady state: 118 oracled (116 + the 2 r11-born) / 50-row window =
-#: 2.36-round cycle — under the 2.4 ceiling; the staged merges below
-#: pull back.  FURTHER STAGED MERGE for r13 (execute once the chunked
-#: twin's first driver row lands green in r12; the plain form's row
-#: lands r11): events_attribution_last_touch(+_chunked) -> one
-#: variant-tagged row keeping the plain name, oracled -> 117.
+#:          oracle-less bench carriers + the 5 r11-born queries
+#:          (staged at the r12 window head, each born with
+#:          sf0.001+sf0.01+sf0.1 oracle parity):
+#:          embedding_hard_negatives_ivf (filter-aware IVF — its PLAN
+#:          is already driver-certified this round through the
+#:          windowed recall audit's 'hard_neg_ivf' variant, whose
+#:          oracle splices its SQL verbatim),
+#:          events_attribution_last_touch_chunked (the as-of
+#:          bounded-task twin, plain form's oracle verbatim; crossover
+#:          measured in stress/asof_twin_stress.py),
+#:          events_stream_attribution (stream-stream join +
+#:          exactly-once sink certified against the independent
+#:          quadratic-argmax oracle), and the two correlated-subquery
+#:          shapes q17_small_quantity_revenue / q22_dormant_high_value
+#:          (correlated oracles vs decorrelated Spark plans).
+#: Steady state: 121 oracled (116 + the 5 r11-born) / 50-row window =
+#: 2.42-round cycle — marginally over the 2.4 ceiling until the
+#: staged merges below execute (the r12 rolling merge brings 120, the
+#: r13 attribution merge 119; the attribution FAMILY is the next
+#: merge frontier: plain/chunked/streaming share one oracle and could
+#: converge on a single 3-variant row by r13, bringing 118).
+#: FURTHER STAGED MERGE for r13 (execute once the chunked twin's and
+#: streaming twin's first driver rows land green in r12; the plain
+#: form's row lands r11): events_attribution_last_touch(+_chunked)
+#: (+ events_stream_attribution if its r12 row is green) -> one
+#: variant-tagged row keeping the plain name.
 #: ROTATION PLAN for round 12 (pre-staged; verify against
 #: CORRECTNESS_r11 first): window = any r11-born queries
 #: (never-checked names lead every rotation) + ALL 20 recency-2 rows

@@ -1239,19 +1239,33 @@ def orders_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_span_revenue(table(spark, sf_dir, "orders"), ROLLING_SPAN_S)
 
 
+def _epoch_seconds_ntz(ts_col):
+    """Epoch seconds via NTZ-normalized local-datetime arithmetic:
+    ``timestamp_diff`` against an NTZ 1970 literal (Spark 4 disallows
+    NTZ→BIGINT casts; ``unix_timestamp`` is rejected for NTZ inputs) —
+    matches DuckDB's ``epoch()``.  The explicit ``to_timestamp_ntz``
+    on the column makes the LTZ→NTZ coercion symmetric instead of
+    implicit (r10 ADVICE).  UTC-SESSION ASSUMPTION (documented, not
+    removed): a TIMESTAMP (LTZ) column converts to NTZ through the
+    SESSION timezone, so a non-UTC session yields wall-clock-shifted
+    epochs — registry queries are safe (ensure_session_confs pins
+    UTC); external callers of the library forms must pin UTC or pass
+    TIMESTAMP_NTZ columns.  (A uniform shift cancels in RANGE-frame
+    membership and gap differences, but a DST session's shift is not
+    uniform — pin UTC.)"""
+    return F.timestamp_diff(
+        "SECOND",
+        F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")),
+        F.to_timestamp_ntz(ts_col),
+    )
+
+
 def rolling_span_revenue(o: DataFrame, span_s: int) -> DataFrame:
     """Library form of orders_rolling_7d_revenue (planted-fixture
     tests feed synthetic order tables)."""
     from pyspark.sql import Window
 
-    # NTZ-safe epoch seconds: timestamp_diff is pure local-datetime
-    # arithmetic (Spark 4 disallows NTZ→BIGINT casts; unix_timestamp
-    # is session-tz-dependent) — matches DuckDB's epoch() exactly
-    epoch_s = F.timestamp_diff(
-        "SECOND",
-        F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")),
-        F.col("o_orderdate"),
-    )
+    epoch_s = _epoch_seconds_ntz(F.col("o_orderdate"))
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(epoch_s)
@@ -1552,11 +1566,7 @@ def rolling_span_revenue_chunked(
         )
     from pyspark.sql import Window
 
-    epoch_s = F.timestamp_diff(
-        "SECOND",
-        F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")),
-        F.col("o_orderdate"),
-    )
+    epoch_s = _epoch_seconds_ntz(F.col("o_orderdate"))
     base = o.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("orderkey"),

@@ -199,12 +199,15 @@ def _both_forms(spark, rows, span_s, chunk_s):
 
 
 def test_rolling_chunked_ghost_boundary_exact(spark):
-    """chunk_s == span (maximal ghosting): a frame reaching exactly to
-    the previous chunk's first row still matches the plain form —
-    the >= ghost predicate's boundary case."""
+    """chunk_s == span: the MAXIMAL-ghosting regime — every row sits
+    within span of its chunk end, so every row replicates (the ghost
+    predicate is vacuously true) and the test certifies the
+    replicate-and-drop plumbing end-to-end across straddling frames.
+    (January days here are NOT chunk-aligned — 2024 epochs are not
+    week-multiples — which is fine for this regime; the exact
+    `>= next_chunk_start - span` boundary needs chunk_s > span and is
+    pinned by test_rolling_chunked_ghost_predicate_boundary below.)"""
     span = 7 * 86400
-    # day 8 starts chunk 1 (epoch 7*86400·… aligned by luck of 1970);
-    # rows straddle the chunk edge with an exactly-span-wide reach
     rows = [
         (1, 5, 10.0, 1),
         (2, 5, 20.0, 7),
@@ -213,6 +216,55 @@ def test_rolling_chunked_ghost_boundary_exact(spark):
         (5, 5, 50.0, 15),
     ]
     plain, chunked = _both_forms(spark, rows, span, span)
+    assert plain == chunked
+
+
+def test_rolling_chunked_ghost_predicate_boundary(spark):
+    """THE ghost-predicate boundary (r10 ADVICE): with chunk_s =
+    2*span a row at EXACTLY next_chunk_start - span is the oldest row
+    the `>=` predicate still replicates — derive the timestamps from
+    real epoch arithmetic so that row exists, then verify a frame in
+    the next chunk that reaches exactly back to it.  A `>` predicate
+    (off-by-boundary) would drop the ghost and diverge from the plain
+    form."""
+    from datetime import datetime, timezone
+
+    from recsys_spark_spark.plans.windows_extra import (
+        rolling_span_revenue,
+    )
+
+    span = 7 * 86400
+    chunk_s = 2 * span
+    # the chunk grid is epoch // chunk_s: pick the chunk containing
+    # Jan 2024 and place the boundary row at next_start - span
+    some_jan = int(datetime(2024, 1, 10, tzinfo=timezone.utc).timestamp())
+    next_start = (some_jan // chunk_s + 1) * chunk_s
+    boundary = next_start - span  # oldest epoch the >= predicate ghosts
+    rows = [
+        (1, 5, 10.0, boundary),
+        (2, 5, 20.0, boundary + span),  # frame reaches EXACTLY back
+        (3, 5, 30.0, boundary + span + 1),  # frame excludes the ghost
+    ]
+    o = spark.createDataFrame(
+        [
+            (ok, ck, p, datetime.fromtimestamp(e, tz=timezone.utc).replace(tzinfo=None))
+            for ok, ck, p, e in rows
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp_ntz",
+    )
+    plain = {
+        r["orderkey"]: (r["revenue_7d"], r["n_orders_7d"])
+        for r in rolling_span_revenue(o, span).collect()
+    }
+    chunked = {
+        r["orderkey"]: (r["revenue_7d"], r["n_orders_7d"])
+        for r in rolling_span_revenue_chunked(o, span, chunk_s).collect()
+    }
+    # rows 1/2 are in DIFFERENT chunks and exactly span apart
+    assert boundary // chunk_s + 1 == (boundary + span) // chunk_s
+    assert plain[2] == (30.0, 2)  # the ghost is inside row 2's frame
+    assert plain[3] == (50.0, 2)  # row 1 aged out, rows 2+3 remain
     assert plain == chunked
 
 
