@@ -375,3 +375,179 @@ def lineitem_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.sum("l_quantity"), 6).alias("sum_qty"),
         qround(F.sum("l_extendedprice"), 6).alias("sum_price"),
     )
+
+
+# --- KMV / Theta bottom-k distinct rollup (r11) ------------------------------
+from ..operators.dedup import hash60, hash60_sql  # noqa: E402
+from ..operators.sketches import (  # noqa: E402
+    KMV_DOMAIN,
+    KMV_K,
+    kmv_bottom_k,
+    kmv_estimate,
+    kmv_estimate_sql,
+)
+
+_KMV_NUM = float(KMV_K - 1) * KMV_DOMAIN
+_KMV_EST = kmv_estimate_sql(_KMV_NUM, KMV_K)
+_KMV_H = hash60_sql("CAST(user_id AS VARCHAR)")
+
+
+def _kmv_rank_sql(src: str, part_cols: str) -> str:
+    over = f"PARTITION BY {part_cols} ORDER BY _h" if part_cols else "ORDER BY _h"
+    cols = f"{part_cols}, _h" if part_cols else "_h"
+    return (
+        f"SELECT {cols} FROM (SELECT {cols}, "
+        f"row_number() OVER ({over}) AS rk FROM {src}) WHERE rk <= {KMV_K}"
+    )
+
+
+@register_demoted(
+    "events_distinct_sketch_rollup",
+    oracle=f"""
+WITH hashed AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS VARCHAR) AS day_s,
+         event_type, {_KMV_H} AS _h
+  FROM events
+),
+dt_sk AS ({_kmv_rank_sql("hashed", "day_s, event_type")}),
+ty_h AS (SELECT DISTINCT event_type, _h FROM hashed),
+ty_sk AS ({_kmv_rank_sql("ty_h", "event_type")}),
+all_h AS (SELECT DISTINCT _h FROM hashed),
+all_sk AS ({_kmv_rank_sql("all_h", "")}),
+dt_est AS (
+  SELECT day_s, event_type, CAST(count(*) AS BIGINT) AS n_sketch,
+         max(_h) AS _kth
+  FROM dt_sk GROUP BY 1, 2
+),
+ty_est AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_sketch, max(_h) AS _kth
+  FROM ty_sk GROUP BY 1
+),
+all_est AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sketch, max(_h) AS _kth FROM all_sk
+),
+ex_dt AS (
+  SELECT day_s, event_type, CAST(count(*) AS BIGINT) AS n_exact
+  FROM hashed GROUP BY 1, 2
+),
+ex_ty AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM ty_h GROUP BY 1
+),
+ex_all AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM all_h)
+SELECT 'day_type' AS level, e.day_s, e.event_type, e.n_sketch,
+       {_KMV_EST.replace('n_sketch', 'e.n_sketch').replace('_kth', 'e._kth')}
+         AS est_users,
+       x.n_exact
+FROM dt_est e JOIN ex_dt x USING (day_s, event_type)
+UNION ALL
+SELECT 'type', 'ALL', e.event_type, e.n_sketch,
+       {_KMV_EST.replace('n_sketch', 'e.n_sketch').replace('_kth', 'e._kth')},
+       x.n_exact
+FROM ty_est e JOIN ex_ty x USING (event_type)
+UNION ALL
+SELECT 'all', 'ALL', 'ALL', e.n_sketch,
+       {_KMV_EST.replace('n_sketch', 'e.n_sketch').replace('_kth', 'e._kth')},
+       x.n_exact
+FROM all_est e CROSS JOIN ex_all x
+""",
+)
+def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-users rollup through the ORACLED distinct sketch — the
+    KMV / bottom-k (Theta-family) answer to the one aggregate family
+    HLL could not drive into the correctness gate (its registers are
+    engine-specific; the k smallest md5-hash values are not).  Three
+    levels on one relation: (day × type), (type), (all), each carrying
+    the sketch estimate AND the exact distinct-hash count so the error
+    is visible in the row (KMV σ ≈ 1/√(k−2) ≈ 18% at k=32 — sized so
+    the ESTIMATOR branch, not just the exact n<k branch, is exercised
+    at sf0.01).
+
+    MERGE evidence by independent algorithms: Spark derives the
+    coarser levels by MERGING the day-level sketches (bottom-k of the
+    union of stored bottom-k sets — no fact rescan, the rollup
+    contract), while the oracle computes every level DIRECTLY from the
+    hashed facts; the value-hash match proves merge == direct on real
+    data.  100 TB shape: the sketch path's state is bounded
+    (mapInPandas partial keeps ≤ groups × k hashes per partition, the
+    finishing rank sees ≤ partitions × k rows per group — never a
+    group's full distinct set); the exact columns are the audit
+    baseline, the one side that pays a true DISTINCT (drop them in
+    production and only the sketch path remains).  n_exact counts
+    distinct HASHES (== distinct users absent md5-60 collisions) so
+    both engines count the identical quantity."""
+    e = table(spark, sf_dir, "events")
+    hashed = e.select(
+        F.date_trunc("day", "ts").cast("date").cast("string").alias("day_s"),
+        "event_type",
+        hash60(F.col("user_id")).alias("_h"),
+    )
+    dt_sk = kmv_bottom_k(hashed, ["day_s", "event_type"], KMV_K)
+
+    # merged levels FROM the stored day-level sketches (the product);
+    # inputs are bounded (≤ days × k per type), so a plain
+    # dedupe + rank finishes the merge
+    from pyspark.sql import Window
+
+    def _merge(rel: DataFrame, gcols: list[str]) -> DataFrame:
+        dd = rel.distinct()
+        w = (
+            Window.partitionBy(*gcols).orderBy("_h")
+            if gcols
+            else Window.partitionBy(F.lit(1)).orderBy("_h")
+        )
+        return (
+            dd.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= KMV_K)
+            .drop("_rk")
+        )
+
+    ty_sk = _merge(dt_sk.select("event_type", "_h"), ["event_type"])
+    all_sk = _merge(dt_sk.select("_h"), [])
+
+    d = hashed.distinct()
+    ex_dt = d.groupBy("day_s", "event_type").agg(F.count("*").alias("n_exact"))
+    ex_ty = (
+        d.select("event_type", "_h")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    ex_all = d.select("_h").distinct().agg(F.count("*").alias("n_exact"))
+
+    dt = (
+        kmv_estimate(dt_sk, ["day_s", "event_type"], KMV_K)
+        .join(ex_dt, ["day_s", "event_type"])
+        .select(
+            F.lit("day_type").alias("level"),
+            "day_s",
+            "event_type",
+            "n_sketch",
+            "est_users",
+            "n_exact",
+        )
+    )
+    ty = (
+        kmv_estimate(ty_sk, ["event_type"], KMV_K)
+        .join(ex_ty, ["event_type"])
+        .select(
+            F.lit("type").alias("level"),
+            F.lit("ALL").alias("day_s"),
+            "event_type",
+            "n_sketch",
+            "est_users",
+            "n_exact",
+        )
+    )
+    al = (
+        kmv_estimate(all_sk, [], KMV_K)
+        .crossJoin(F.broadcast(ex_all))
+        .select(
+            F.lit("all").alias("level"),
+            F.lit("ALL").alias("day_s"),
+            F.lit("ALL").alias("event_type"),
+            "n_sketch",
+            "est_users",
+            "n_exact",
+        )
+    )
+    return dt.unionByName(ty).unionByName(al)

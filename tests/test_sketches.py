@@ -227,3 +227,75 @@ def test_cms_merge_equals_sketch_of_union(spark):
     m = {(r["r"], r["b"]): r["c"] for r in merged.collect()}
     d = {(r["r"], r["b"]): r["c"] for r in direct.collect()}
     assert m == d and m
+
+
+# --- KMV / bottom-k (Theta-family) oracled distinct sketch (r11) ------------
+
+
+def test_kmv_estimator_formula_exact(spark):
+    """Planted fixture where the kth hash is known: with k=4 and
+    hashes {h1<h2<h3<h4<h5}, the sketch keeps the 4 smallest and the
+    estimate is (k-1)*2^60/h4; below saturation (n<k) the estimate is
+    exactly n."""
+    from recsys_spark_spark.operators.sketches import (
+        KMV_DOMAIN,
+        kmv_bottom_k,
+        kmv_estimate,
+    )
+
+    # realistic-magnitude hashes (qround's long range caps estimates
+    # at ~9.2e12 — documented in kmv_estimate; tiny planted hashes
+    # would fake an astronomically dense domain)
+    h4 = 1 << 58
+    rows = [("g1", h) for h in [1 << 55, 1 << 56, (1 << 56) + 8, h4, 1 << 59]] + [
+        ("g2", h) for h in [1 << 57, 1 << 58]
+    ]
+    rel = spark.createDataFrame(rows, "g string, _h long")
+    sk = kmv_bottom_k(rel, ["g"], k=4)
+    kept = sorted(r["_h"] for r in sk.where(F.col("g") == "g1").collect())
+    assert kept == [1 << 55, 1 << 56, (1 << 56) + 8, h4]
+    est = {
+        r["g"]: (r["n_sketch"], r["est_users"])
+        for r in kmv_estimate(sk, ["g"], k=4).collect()
+    }
+    assert est["g1"] == (4, 3.0 * KMV_DOMAIN / h4)  # == 12.0 exactly
+    assert est["g1"][1] == 12.0
+    assert est["g2"] == (2, 2.0)  # unsaturated -> exact
+
+
+def test_kmv_partition_insensitive(spark):
+    """The sketch is a pure function of the input multiset: any
+    repartitioning (different mapInPandas partials) yields the same
+    bottom-k rows."""
+    import random
+
+    from recsys_spark_spark.operators.sketches import kmv_bottom_k
+
+    rng = random.Random(7)
+    rows = [("g%d" % (i % 3), rng.randrange(1 << 60)) for i in range(500)]
+    rel = spark.createDataFrame(rows, "g string, _h long")
+    a = sorted(map(tuple, kmv_bottom_k(rel, ["g"], k=8).collect()))
+    b = sorted(
+        map(tuple, kmv_bottom_k(rel.repartition(17, "_h"), ["g"], k=8).collect())
+    )
+    c = sorted(map(tuple, kmv_bottom_k(rel.coalesce(1), ["g"], k=8).collect()))
+    assert a == b == c and len(a) == 24
+
+
+def test_kmv_rollup_accuracy_and_merge(spark, sf_dir):
+    """On the real table: every level's estimate is within 5 sigma
+    (sigma = 1/sqrt(k-2)) of its exact count, the saturated estimator
+    branch actually fires somewhere, and the merged levels are
+    consistent (sketch size never exceeds k; 'all' row unique)."""
+    from recsys_spark_spark.operators.sketches import KMV_K
+    from recsys_spark_spark.plans.sketch import events_distinct_sketch_rollup
+
+    rows = events_distinct_sketch_rollup(spark, sf_dir).collect()
+    assert sum(1 for r in rows if r["level"] == "all") == 1
+    sigma = (KMV_K - 2) ** -0.5
+    for r in rows:
+        assert r["n_sketch"] <= KMV_K
+        rel_err = abs(r["est_users"] - r["n_exact"]) / max(r["n_exact"], 1)
+        assert rel_err <= 5 * sigma, (r, rel_err)
+    if any(r["n_sketch"] == KMV_K for r in rows):
+        assert any(r["est_users"] != r["n_exact"] for r in rows)
