@@ -41,12 +41,23 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+def _fresh_session() -> SparkSession:
     # VANILLA on purpose: the driver builds its own session without our
     # configs — sources/readers.py::ensure_session_confs must keep it
     # working (nanos timestamps, UTC)
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    return SparkSession.builder.master("local[8]").getOrCreate()
+
+
+def _session_alive(spark: SparkSession) -> bool:
+    try:
+        return spark.range(1).count() == 1
+    except Exception:  # noqa: BLE001 — liveness probe
+        return False
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = _fresh_session()
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
@@ -57,23 +68,45 @@ def main() -> int:
     for i, name in enumerate(sorted(allq), 1):
         spec = allq[name]
         t0 = time.time()
-        try:
-            sdf = spec.fn(spark, sf).toPandas()
-            if spec.oracle is None:
-                tag = f"rows-only {len(sdf)}"
-            else:
-                odf = con.sql(spec.oracle).df()
-                a, b = canon(sdf), canon(odf)
-                ok = (
-                    list(a.columns) == list(b.columns)
-                    and len(a) == len(b)
-                    and a.equals(b)
-                )
-                tag = f"MATCH {len(a)}" if ok else f"MISMATCH {len(a)}/{len(b)}"
-                if not ok:
-                    fails.append(name)
-        except Exception as e:  # noqa: BLE001 — harness must finish the sweep
-            tag = f"ERR {repr(e)[:120]}"
+        # a dead driver JVM (host OOM-kill under co-tenant pressure —
+        # observed once in r11: every query from #84 on failed in
+        # 0.1 s with opaque Py4J errors) must fail ONE query, not the
+        # rest of the sweep: retry each failure once on a fresh session
+        for attempt in (1, 2):
+            try:
+                sdf = spec.fn(spark, sf).toPandas()
+                if spec.oracle is None:
+                    tag = f"rows-only {len(sdf)}"
+                    ok = True
+                else:
+                    odf = con.sql(spec.oracle).df()
+                    a, b = canon(sdf), canon(odf)
+                    ok = (
+                        list(a.columns) == list(b.columns)
+                        and len(a) == len(b)
+                        and a.equals(b)
+                    )
+                    tag = (
+                        f"MATCH {len(a)}" if ok else f"MISMATCH {len(a)}/{len(b)}"
+                    )
+                break
+            except Exception as e:  # noqa: BLE001 — harness must finish
+                ok = False
+                tag = f"ERR {repr(e)[:120]}"
+                if attempt == 1 and not _session_alive(spark):
+                    print(
+                        f"[{i}/{len(allq)}] {name}: session dead — "
+                        "restarting JVM and retrying once",
+                        flush=True,
+                    )
+                    try:
+                        spark.stop()
+                    except Exception:  # noqa: BLE001
+                        pass
+                    spark = _fresh_session()
+                    continue
+                break
+        if not ok:
             fails.append(name)
         # the r10 lesson as code: flat-memory sweep on any heap
         registry.release_query_state(spark)

@@ -270,3 +270,33 @@ def test_stream_attribution_equals_batch(spark, sf_dir):
         for r in events_stream_attribution(spark, sf_dir).collect()
     }
     assert batch == streamed and len(batch) > 0
+
+
+def test_q17_q22_plan_shapes(spark, sf_dir):
+    """Plan pins for the decorrelated forms: broadcast joins + pushed
+    filters, never a cartesian product; q22's only nested-loop is the
+    broadcast 1-row threshold relation."""
+    from recsys_spark_spark.plans.relational import (
+        q17_small_quantity_revenue,
+        q22_dormant_high_value,
+    )
+
+    p17 = (
+        q17_small_quantity_revenue(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in p17
+    assert "BroadcastHashJoin" in p17
+    assert "p_brand" in p17 and "PushedFilters" in p17
+    p22 = (
+        q22_dormant_high_value(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in p22
+    # the threshold crossJoin must be the broadcast-1-row nested loop,
+    # and exactly one such node
+    assert p22.count("BroadcastNestedLoopJoin") == 1
