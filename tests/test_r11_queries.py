@@ -300,3 +300,28 @@ def test_q17_q22_plan_shapes(spark, sf_dir):
     # the threshold crossJoin must be the broadcast-1-row nested loop,
     # and exactly one such node
     assert p22.count("BroadcastNestedLoopJoin") == 1
+
+
+# --- carry-class-aware twin switch ------------------------------------------
+
+
+def test_twin_switch_thresholds_ordered_by_cost_class():
+    """The measured ordering must hold in the table: RANGE frames
+    cross over before flag/lag carries, which cross before the as-of
+    struct carry (PERF.md r10/r11 measurements)."""
+    from recsys_spark_spark.operators.twin_switch import (
+        CARRY_CLASS_CROSSOVER_ROWS as T,
+        recommend_window_form,
+    )
+
+    assert T["range_frame"] < T["flag_sum"] <= T["asof_struct"]
+    assert T["one_row_lag"] == T["flag_sum"]
+    assert recommend_window_form(T["range_frame"] - 1, "range_frame") == "plain"
+    assert recommend_window_form(T["range_frame"], "range_frame") == "chunked"
+    assert recommend_window_form(10**9, "asof_struct") == "chunked"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        recommend_window_form(10, "unmeasured_class")
+    with _pytest.raises(ValueError):
+        recommend_window_form(-1, "flag_sum")
