@@ -96,8 +96,12 @@ def lsh_signatures(
     n_planes: int = N_PLANES,
     band_width: int = BAND_WIDTH,
     dim: int | None = None,
+    extra_cols: tuple = (),
 ) -> DataFrame:
-    """(id, band, sig) — one row per band per vector.
+    """(id, band, sig[, extra...]) — one row per band per vector.
+    ``extra_cols``: (source_col, alias) pairs carried through the
+    select — free (no join), used by the filter-aware route to ship
+    metadata into the bucket join.
 
     ``sig`` is the band's bit string (plane order ascending), e.g.
     ``"0110"``.  One narrow map + a posexplode; no shuffle.
@@ -136,7 +140,9 @@ def lsh_signatures(
         return pd.Series(out)
 
     return df.select(
-        F.col(id_col), F.posexplode(band_sigs(F.col(vec_col))).alias("band", "sig")
+        F.col(id_col),
+        *[F.col(src).alias(dst) for src, dst in extra_cols],
+        F.posexplode(band_sigs(F.col(vec_col))).alias("band", "sig"),
     )
 
 
@@ -149,6 +155,9 @@ def cosine_knn_lsh(
     n_planes: int = N_PLANES,
     band_width: int = BAND_WIDTH,
     max_bucket: int | None = None,
+    query_meta_cols: tuple = (),
+    match_meta_cols: tuple = (),
+    match_predicate=None,
 ) -> DataFrame:
     """Approximate cosine top-k of each query against ``base``.
 
@@ -161,6 +170,15 @@ def cosine_knn_lsh(
     this before the candidate join — the skew guard for degenerate
     signatures (e.g. all-zero vectors); a bucket that large carries no
     discriminative signal anyway.
+
+    FILTERED ANN (r11, the cosine_knn_ivf pattern on the no-training
+    route): ``match_predicate`` is a Column over ``q_<name>`` /
+    ``m_<name>`` (from ``query_meta_cols`` / ``match_meta_cols``,
+    carried through the signature relations at zero join cost)
+    applied INSIDE the bucket join — disqualified pairs are pruned
+    BEFORE the candidate distinct and the exact rerank.  With meta
+    cols requested the output carries them; the default path is
+    unchanged.
     """
     # base is consumed by the dim probe, the signature pass, and the
     # exact-rerank vector join — cache once so the parquet arrays are
@@ -168,10 +186,22 @@ def cosine_knn_lsh(
     base = track(base.cache())  # released via cache_tracking (ownership: caller)
     dim = base.select(F.size(vec_col).alias("d")).first()["d"]
     base_sigs = lsh_signatures(
-        base, id_col, vec_col, n_planes, band_width, dim
+        base,
+        id_col,
+        vec_col,
+        n_planes,
+        band_width,
+        dim,
+        extra_cols=tuple((c, f"m_{c}") for c in match_meta_cols),
     )
     query_sigs = lsh_signatures(
-        queries, id_col, vec_col, n_planes, band_width, dim
+        queries,
+        id_col,
+        vec_col,
+        n_planes,
+        band_width,
+        dim,
+        extra_cols=tuple((c, f"q_{c}") for c in query_meta_cols),
     ).withColumnRenamed(id_col, "query_id")
 
     if max_bucket is not None:
@@ -184,13 +214,21 @@ def cosine_knn_lsh(
             .drop("_bn")
         )
 
+    meta_cols = [f"q_{c}" for c in query_meta_cols] + [
+        f"m_{c}" for c in match_meta_cols
+    ]
     cand = (
         F.broadcast(query_sigs)
         .join(base_sigs, ["band", "sig"])
         .where(F.col(id_col) != F.col("query_id"))
-        .select("query_id", F.col(id_col).alias("match_id"))
-        .distinct()
     )
+    if match_predicate is not None:
+        # the filter-aware step: folded into the bucket join, so
+        # wrong-meta pairs never reach the distinct or the rerank
+        cand = cand.where(match_predicate)
+    cand = cand.select(
+        "query_id", F.col(id_col).alias("match_id"), *meta_cols
+    ).distinct()
 
     b_vec = base.select(
         F.col(id_col).alias("match_id"),
@@ -208,6 +246,7 @@ def cosine_knn_lsh(
         .select(
             "query_id",
             "match_id",
+            *meta_cols,
             # a zero vector has no direction: define its cosine as 0.0
             # (ANSI Spark would error on the 0 denominator, DuckDB
             # would yield NULL — both engines pin 0.0 instead, same
@@ -225,7 +264,13 @@ def cosine_knn_lsh(
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "match_id", qround("sim", 6).alias("sim"), "rank")
+        .select(
+            "query_id",
+            "match_id",
+            *meta_cols,
+            qround("sim", 6).alias("sim"),
+            "rank",
+        )
     )
 
 
@@ -235,10 +280,27 @@ def knn_lsh_oracle_sql(
     dim: int,
     n_planes: int = N_PLANES,
     band_width: int = BAND_WIDTH,
+    exclude_same: str | None = None,
 ) -> str:
     """DuckDB twin of ``cosine_knn_lsh`` over the ``embeddings`` view:
     regenerates the md5-derived hyperplanes with generate_series and
-    replays signature → banding → candidates → exact rerank."""
+    replays signature → banding → candidates → exact rerank.
+
+    ``exclude_same`` (r11, mirrors knn_ivf_oracle_sql): when set to a
+    meta column name, the candidate CTE joins ``embeddings`` on both
+    sides, drops same-value pairs BEFORE the rerank, and the output
+    gains ``query_<col>`` / ``match_<col>``."""
+    if exclude_same:
+        c = exclude_same
+        meta_sel = f", qm.{c} AS query_{c}, bm.{c} AS match_{c}"
+        meta_joins = (
+            f"\n  JOIN embeddings qm ON qm.vec_id = q.vec_id"
+            f"\n  JOIN embeddings bm ON bm.vec_id = b.vec_id"
+        )
+        meta_pred = f" AND bm.{c} <> qm.{c}"
+        meta_group = f", query_{c}, match_{c}"
+    else:
+        meta_sel = meta_joins = meta_pred = meta_group = ""
     return f"""
 WITH planes AS (
   SELECT pp.p AS p, jj.j AS j,
@@ -264,20 +326,20 @@ sigs AS (
   FROM dots GROUP BY 1, 2
 ),
 cand AS (
-  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS match_id
-  FROM sigs q JOIN sigs b ON q.band = b.band AND q.sig = b.sig
-  WHERE q.vec_id < {n_queries} AND b.vec_id <> q.vec_id
+  SELECT DISTINCT q.vec_id AS query_id{meta_sel}, b.vec_id AS match_id
+  FROM sigs q JOIN sigs b ON q.band = b.band AND q.sig = b.sig{meta_joins}
+  WHERE q.vec_id < {n_queries} AND b.vec_id <> q.vec_id{meta_pred}
 ),
 norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY 1),
 pdots AS (
-  SELECT c.query_id, c.match_id, sum(q.v * b.v) AS dot
+  SELECT c.query_id, c.match_id{meta_group}, sum(q.v * b.v) AS dot
   FROM cand c
   JOIN flat q ON q.vec_id = c.query_id
   JOIN flat b ON b.vec_id = c.match_id AND b.j = q.j
-  GROUP BY 1, 2
+  GROUP BY ALL
 ),
 sims AS (
-  SELECT p.query_id, p.match_id,
+  SELECT p.query_id, p.match_id{meta_group},
          floor((CASE WHEN nq.nrm * nb.nrm = 0.0 THEN 0.0
                      ELSE p.dot / (nq.nrm * nb.nrm) END)
                * 10000000.0 + 0.5) / 10000000.0 AS sim
@@ -285,11 +347,11 @@ sims AS (
   JOIN norms nq ON nq.vec_id = p.query_id
   JOIN norms nb ON nb.vec_id = p.match_id
 )
-SELECT query_id, match_id,
+SELECT query_id, match_id{meta_group},
        floor(sim * 1000000.0 + 0.5) / 1000000.0 AS sim,
        CAST(rk AS INTEGER) AS rank
 FROM (
-  SELECT query_id, match_id, sim,
+  SELECT query_id, match_id{meta_group}, sim,
          row_number() OVER (
            PARTITION BY query_id ORDER BY sim DESC, match_id ASC) AS rk
   FROM sims

@@ -959,6 +959,44 @@ def embedding_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_demoted(
+    "embedding_hard_negatives_lsh",
+    oracle=knn_lsh_oracle_sql(
+        KNN_QUERIES, HARD_NEG_K, EMB_DIM, exclude_same="label"
+    ),
+)
+def embedding_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining through the NO-TRAINING indexed route:
+    the different-label predicate inside ``cosine_knn_lsh``'s bucket
+    join (signature relations carry their label at zero join cost —
+    lsh_signatures' ``extra_cols``), completing the filter-aware
+    story across both index families (IVF needs training, LSH does
+    not; a production store picks per corpus).  Disqualified pairs
+    are pruned BEFORE the candidate distinct and the exact rerank.
+    Same grain as the exact miner, which the 'hard_neg_lsh' variant
+    of embedding_knn_recall_audit recalls this route against.
+    Scale shape: identical to embedding_knn_lsh plus one scalar
+    column per side of the bucket join."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < KNN_QUERIES)
+    out = cosine_knn_lsh(
+        e,
+        q,
+        HARD_NEG_K,
+        query_meta_cols=("label",),
+        match_meta_cols=("label",),
+        match_predicate=F.col("m_label") != F.col("q_label"),
+    )
+    return out.select(
+        "query_id",
+        F.col("q_label").alias("query_label"),
+        "match_id",
+        F.col("m_label").alias("match_label"),
+        "sim",
+        "rank",
+    )
+
+
 # --- recall audit (variant-tagged since r11) --------------------------------
 def _recall_variant_sql(tag: str, exact_cte: str, approx_cte: str) -> str:
     """One variant slice of the recall-audit oracle: recall@k of
@@ -1003,6 +1041,9 @@ def _recall_audit_of(exact: DataFrame, approx: DataFrame, tag: str) -> DataFrame
 _HARD_NEG_IVF_SQL = knn_ivf_oracle_sql(
     KNN_QUERIES, HARD_NEG_K, EMB_DIM, exclude_same="label"
 )
+_HARD_NEG_LSH_SQL = knn_lsh_oracle_sql(
+    KNN_QUERIES, HARD_NEG_K, EMB_DIM, exclude_same="label"
+)
 
 
 @register(
@@ -1011,10 +1052,13 @@ _HARD_NEG_IVF_SQL = knn_ivf_oracle_sql(
 WITH bf AS (SELECT * FROM ({KNN_BF_SQL}) _bf),
 ivf AS (SELECT * FROM ({_KNN_IVF_SQL}) _ivf),
 hn AS (SELECT * FROM ({HARD_NEG_SQL.format(n_queries=KNN_QUERIES, k=HARD_NEG_K)}) _hn),
-hnivf AS (SELECT * FROM ({_HARD_NEG_IVF_SQL}) _hnivf)
+hnivf AS (SELECT * FROM ({_HARD_NEG_IVF_SQL}) _hnivf),
+hnlsh AS (SELECT * FROM ({_HARD_NEG_LSH_SQL}) _hnlsh)
 {_recall_variant_sql("ivf", "bf", "ivf")}
 UNION ALL
 {_recall_variant_sql("hard_neg_ivf", "hn", "hnivf")}
+UNION ALL
+{_recall_variant_sql("hard_neg_lsh", "hn", "hnlsh")}
 """,
 )
 def embedding_knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1023,11 +1067,12 @@ def embedding_knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a production vector store alerts on (Jégou et al. evaluation
     protocol).  Variant-tagged since r11 (the baseline_topk merge
     pattern): 'ivf' = the unfiltered IVF route vs the brute-force
-    scan (the historical row), 'hard_neg_ivf' = the NEW filter-aware
-    IVF route (label predicate inside the candidate join) vs the
-    exact hard-negative miner — landing the filtered-ANN
-    certification in the established audit row.  Runs all four
-    registered pipelines and intersects (query, match) sets; the
+    scan (the historical row), 'hard_neg_ivf' / 'hard_neg_lsh' = the
+    NEW filter-aware routes (label predicate inside the IVF candidate
+    join / the LSH bucket join) vs the exact hard-negative miner —
+    landing the filtered-ANN certification for BOTH index families in
+    the established audit row.  Runs all five pipelines and
+    intersects (query, match) sets; the
     oracle splices each query's oracle SQL verbatim into one WITH
     chain, so the audit can never drift from the queries it audits.
 
@@ -1042,6 +1087,11 @@ def embedding_knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hniv = embedding_hard_negatives_ivf(spark, sf_dir).select(
         "query_id", "match_id"
     )
-    return _recall_audit_of(bf, iv, "ivf").unionByName(
-        _recall_audit_of(hn, hniv, "hard_neg_ivf")
+    hnlsh = embedding_hard_negatives_lsh(spark, sf_dir).select(
+        "query_id", "match_id"
+    )
+    return (
+        _recall_audit_of(bf, iv, "ivf")
+        .unionByName(_recall_audit_of(hn, hniv, "hard_neg_ivf"))
+        .unionByName(_recall_audit_of(hn, hnlsh, "hard_neg_lsh"))
     )

@@ -377,12 +377,14 @@ DEMOTED: dict[str, QuerySpec] = {}
 #:          exactly-once sink certified against the independent
 #:          quadratic-argmax oracle), and the two correlated-subquery
 #:          shapes q17_small_quantity_revenue / q22_dormant_high_value
-#:          (correlated oracles vs decorrelated Spark plans), and
+#:          (correlated oracles vs decorrelated Spark plans),
 #:          events_distinct_sketch_rollup (the oracled KMV/Theta
 #:          bottom-k distinct sketch; merge-vs-direct independent
-#:          algorithms).
-#: Steady state: 122 oracled (116 + the 6 r11-born) / 50-row window =
-#: 2.44-round cycle — marginally over the 2.4 ceiling until the
+#:          algorithms), and embedding_hard_negatives_lsh (the
+#:          filter-aware LSH route; its plan driver-certified via the
+#:          windowed recall audit's 'hard_neg_lsh' variant).
+#: Steady state: 123 oracled (116 + the 7 r11-born) / 50-row window =
+#: 2.46-round cycle — over the 2.4 ceiling until the
 #: staged merges below execute (the r12 rolling merge brings 120, the
 #: r13 attribution merge 119; the attribution FAMILY is the next
 #: merge frontier: plain/chunked/streaming share one oracle and could

@@ -154,10 +154,11 @@ def test_recall_audit_variants(spark, sf_dir):
 
     p = embedding_knn_recall_audit(spark, sf_dir).toPandas()
     variants = set(p["variant"])
-    assert variants == {"ivf", "hard_neg_ivf"}
-    hn = p[p["variant"] == "hard_neg_ivf"]
-    assert (hn["recall"] >= 0.0).all() and (hn["recall"] <= 1.0).all()
-    assert hn["recall"].mean() >= 0.5
+    assert variants == {"ivf", "hard_neg_ivf", "hard_neg_lsh"}
+    for v in ("hard_neg_ivf", "hard_neg_lsh"):
+        hn = p[p["variant"] == v]
+        assert (hn["recall"] >= 0.0).all() and (hn["recall"] <= 1.0).all()
+        assert hn["recall"].mean() >= 0.5, (v, hn["recall"].mean())
 
 
 # --- correlated-subquery shapes (q17/q22 class) -----------------------------
