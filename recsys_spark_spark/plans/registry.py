@@ -395,15 +395,32 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: (+ events_stream_attribution if its r12 row is green) -> one
 #: variant-tagged row keeping the plain name.
 #: ROTATION PLAN for round 12 (pre-staged; verify against
-#: CORRECTNESS_r11 first): window = any r11-born queries
-#: (never-checked names lead every rotation) + ALL 20 recency-2 rows
-#: above (mandatory) + the STAGED rolling-pair merge EXECUTED in the
-#: same commit (precondition: both rolling rows land green in r11):
-#: orders_rolling_7d_revenue(+_chunked) -> one variant-tagged row
-#: keeping the plain name (oracled 116 -> 115), which then deserves
-#: an immediate driver row on its variant columns + the remaining
-#: slots from the 47 recency-1 rows, preferring whichever tier r11
-#: skipped (the heavy analytics/streaming + neardup + CF eval tier).
+#: CORRECTNESS_r11 first): window = the 7 r11-born queries
+#: (embedding_hard_negatives_ivf, embedding_hard_negatives_lsh,
+#: events_attribution_last_touch_chunked, events_stream_attribution,
+#: q17_small_quantity_revenue, q22_dormant_high_value,
+#: events_distinct_sketch_rollup — never-checked names lead every
+#: rotation) + ALL 21 recency-2 rows above (mandatory) + the STAGED
+#: rolling-pair merge EXECUTED in the same commit (precondition: both
+#: rolling rows land green in r11): orders_rolling_7d_revenue
+#: (+_chunked) -> one variant-tagged row keeping the plain name
+#: (oracled 123 -> 122), which then deserves an immediate driver row
+#: on its variant columns + ~21 of the 46 recency-1 rows, preferring
+#: whichever tier r11 skipped (the heavy analytics/streaming +
+#: neardup + CF eval tier).
+#: MERGE PIPELINE to pull the cycle back under 2.4 (123 oracled is
+#: 2.46 — over the ceiling until these land; each merge keeps the
+#: first-listed name and variant-tags the rest, shared oracles
+#: replayed once per tag):
+#:   r12: orders_rolling_7d_revenue(+_chunked)          123 -> 122
+#:   r13: events_attribution_last_touch(+_chunked)
+#:        (+ events_stream_attribution if its r12 row is green —
+#:        all three share ATTRIBUTION_SQL verbatim)      122 -> 120
+#:   r13: embedding_hard_negatives(+_ivf)(+_lsh) — identical
+#:        (query_id, query_label, match_id, match_label, sim, rank)
+#:        grain; precondition: exact form green r11, ivf/lsh green
+#:        r12                                            120 -> 118
+#: After the pipeline: 118 oracled = 2.36 cycle.
 
 #: THE driver-facing correctness window for this round — exactly the
 #: names whose QuerySpec lands in QUERIES; every other registration
