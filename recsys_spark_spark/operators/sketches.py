@@ -361,8 +361,12 @@ def kmv_partial_bottom_k(
     map-side-combine half of the sketch, in bounded state: the
     mapInPandas closure holds ≤ groups-per-partition × k hashes and
     emits ≤ that many rows, so no task ever materializes a group's
-    full distinct set (the straggler an exact DISTINCT pays on a hot
-    group).  Input: ``group_cols + ['_h']`` (raw, duplicates fine).
+    full distinct set.  Measured honestly (PERF.md r11): this buys a
+    MEMORY bound, not wall time — a naive distinct+rank window stays
+    wall-even through a 150M-row hot group (sorting cheap longs
+    scales as well as the partial's Arrow pass), but its one hot task
+    OOMs once the group's distinct set outgrows task memory, which
+    the partial never materializes.  Input: ``group_cols + ['_h']`` (raw, duplicates fine).
     A global per-group rank over the ≤ partitions × k survivors
     finishes the sketch (`kmv_bottom_k`).
 
