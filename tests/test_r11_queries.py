@@ -326,3 +326,18 @@ def test_twin_switch_thresholds_ordered_by_cost_class():
         recommend_window_form(10, "unmeasured_class")
     with _pytest.raises(ValueError):
         recommend_window_form(-1, "flag_sum")
+
+
+def test_release_query_state_clears_session_caches(spark):
+    """The sweep helper must actually drop SQL-cache entries and the
+    tracked pool (the accumulated-cache OOM class it exists for)."""
+    from recsys_spark_spark.operators import cache_tracking
+    from recsys_spark_spark.plans.registry import release_query_state
+
+    df = spark.range(100).cache()
+    df.count()
+    cache_tracking.track(spark.range(50).cache())
+    assert df.storageLevel.useMemory
+    release_query_state(spark)
+    assert not df.storageLevel.useMemory  # clearCache dropped it
+    assert cache_tracking._tracked == []
