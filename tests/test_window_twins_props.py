@@ -179,3 +179,112 @@ def test_prev_gap_chunked_equals_python_reference(spark, tl, chunk_s):
             for r in events_prev_gap_chunked(spark, d, chunk_s=chunk_s).collect()
         }
     assert got == want
+
+
+# --- as-of twin (r11, fifth carry class) ------------------------------------
+
+
+def _asof_python(left_rows, right_rows):
+    """Sequential reference: for each left (k, ts, id), the value of
+    the right row with max (ts, id) among right.ts <= left.ts."""
+    out = {}
+    by_k = {}
+    for k, ts, rid, v in right_rows:
+        by_k.setdefault(k, []).append((ts, rid, v))
+    for k in by_k:
+        by_k[k].sort()
+    for k, ts, lid in left_rows:
+        best = None
+        for rts, rid, v in by_k.get(k, []):
+            if rts <= ts:
+                best = v
+            else:
+                break
+        out[(k, ts, lid)] = best
+    return out
+
+
+asof_lists = st.lists(
+    st.tuples(
+        st.integers(1, 3),  # key
+        st.integers(0, 35),  # slot
+        st.integers(-1, 1),  # jitter around chunk edges
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(ls=asof_lists, rs=asof_lists, chunk_s=st.sampled_from([7, 13, 50]))
+@SETTINGS
+def test_asof_chunked_equals_python_reference(spark, ls, rs, chunk_s):
+    """asof_join_chunked == a sequential pure-python as-of on random
+    left/right timelines at random chunk widths — boundary ties,
+    right-only and left-only chunks, hole chunks all arise here.
+    Unique per-side ids make the per-key order (and therefore the
+    carried struct) deterministic."""
+    import datetime as dt
+
+    from recsys_spark_spark.operators.asof import asof_join_chunked
+
+    t0 = dt.datetime(2024, 1, 1)
+    lrows = [
+        (k, t0 + dt.timedelta(seconds=s * chunk_s + j), i)
+        for i, (k, s, j) in enumerate(ls)
+    ]
+    rrows = [
+        (k, t0 + dt.timedelta(seconds=s * chunk_s + j), 1000 + i, float(i))
+        for i, (k, s, j) in enumerate(rs)
+    ]
+    left = spark.createDataFrame(lrows, "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(
+        rrows, "k long, ts timestamp, rid long, v double"
+    )
+    got = {
+        (r["k"], r["ts"], r["lid"]): r["asof_v"]
+        for r in asof_join_chunked(
+            left, right, by="k", value_col="v", chunk_s=chunk_s
+        ).collect()
+    }
+    want = _asof_python(
+        [(k, ts, i) for k, ts, i in lrows],
+        [(k, ts, rid, v) for k, ts, rid, v in rrows],
+    )
+    want = {
+        (k, ts, i): v for (k, ts, i), v in want.items()
+    }
+    assert got == want
+
+
+# --- KMV bottom-k (r11) -----------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1 << 60)),
+        min_size=1,
+        max_size=80,
+    ),
+    k=st.sampled_from([1, 3, 8]),
+    parts=st.sampled_from([1, 5]),
+)
+@SETTINGS
+def test_kmv_bottom_k_equals_python_reference(spark, rows, k, parts):
+    """kmv_bottom_k == sorted(set(hashes))[:k] per group on random
+    inputs at random partitionings (the partial's per-partition state
+    merge is where duplicates across partitions could double-count)."""
+    from recsys_spark_spark.operators.sketches import kmv_bottom_k
+
+    rel = spark.createDataFrame(
+        [(f"g{g}", h) for g, h in rows], "g string, _h long"
+    ).repartition(parts)
+    got = {}
+    for r in kmv_bottom_k(rel, ["g"], k).collect():
+        got.setdefault(r["g"], []).append(r["_h"])
+    for g in got:
+        got[g].sort()
+    want = {}
+    for g, h in rows:
+        want.setdefault(f"g{g}", set()).add(h)
+    want = {g: sorted(v)[:k] for g, v in want.items()}
+    assert got == want
