@@ -341,3 +341,23 @@ def test_release_query_state_clears_session_caches(spark):
     release_query_state(spark)
     assert not df.storageLevel.useMemory  # clearCache dropped it
     assert cache_tracking._tracked == []
+
+
+def test_drive_all_yields_and_releases(spark):
+    """registry.drive_all: yields (name, rows, secs) per query and
+    leaves no tracked caches behind (the flat-memory sweep contract
+    the cert harness depends on)."""
+    from recsys_spark_spark.operators import cache_tracking
+    from recsys_spark_spark.plans.registry import drive_all
+
+    out = list(
+        drive_all(
+            spark,
+            "/root/testdata/sf0.001",
+            names=["events_daily", "embedding_knn_lsh"],
+        )
+    )
+    assert [n for n, _, _ in out] == ["events_daily", "embedding_knn_lsh"]
+    assert all(rows > 0 and secs > 0 for _, rows, secs in out)
+    # the LSH query tracks an internal cache; drive_all must drain it
+    assert cache_tracking._tracked == []
