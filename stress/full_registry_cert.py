@@ -10,10 +10,18 @@ JVM heap (a 1g vanilla session OOMed after ~80 queries of accumulated
 model caches before this existed; PERF.md r10 wrap).
 
 Usage:  python stress/full_registry_cert.py [sf_dir]
+                [--driver-memory 8g] [--start-after NAME] [--fails a,b]
 Exit code 0 iff every oracled query hash-matches and every no-oracle
-query executes.
+query executes.  --driver-memory sizes the otherwise-vanilla session
+(needed for sf0.1 sweeps — a 1g default JVM dies on the heavy CF
+queries at 10x the gate scale); --start-after/--fails are the
+self-resume protocol: a dead JVM cannot be resurrected through its
+Py4J gateway in-process, so the harness records the victim as a fail
+and RE-EXECS itself to finish the sweep (observed: host-OOM kills
+under co-tenant pressure, and genuine heap kills at sf0.1 on 1g).
 """
 
+import os
 import sys
 import time
 
@@ -41,11 +49,23 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def _arg(flag: str) -> str | None:
+    return (
+        sys.argv[sys.argv.index(flag) + 1] if flag in sys.argv else None
+    )
+
+
 def _fresh_session() -> SparkSession:
-    # VANILLA on purpose: the driver builds its own session without our
-    # configs — sources/readers.py::ensure_session_confs must keep it
-    # working (nanos timestamps, UTC)
-    return SparkSession.builder.master("local[8]").getOrCreate()
+    # VANILLA on purpose (sf0.01, the driver-gate shape): the driver
+    # builds its own session without our configs —
+    # sources/readers.py::ensure_session_confs must keep it working
+    # (nanos timestamps, UTC).  --driver-memory is the one concession,
+    # for 10x-scale sweeps.
+    b = SparkSession.builder.master("local[8]")
+    mem = _arg("--driver-memory")
+    if mem:
+        b = b.config("spark.driver.memory", mem)
+    return b.getOrCreate()
 
 
 def _session_alive(spark: SparkSession) -> bool:
@@ -56,7 +76,14 @@ def _session_alive(spark: SparkSession) -> bool:
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sf = (
+        sys.argv[1]
+        if len(sys.argv) > 1 and not sys.argv[1].startswith("--")
+        else "/root/testdata/sf0.01"
+    )
+    start_after = _arg("--start-after")
+    prior_fails = (_arg("--fails") or "").split(",")
+    prior_fails = [f for f in prior_fails if f]
     spark = _fresh_session()
     con = duckdb.connect()
     for t in TABLES:
@@ -64,48 +91,50 @@ def main() -> int:
 
     registry._load_all()
     allq = {**registry.QUERIES, **registry.DEMOTED}
-    fails, t_start = [], time.time()
-    for i, name in enumerate(sorted(allq), 1):
+    fails, t_start = list(prior_fails), time.time()
+    names = sorted(allq)
+    if start_after is not None:
+        names = names[names.index(start_after) + 1 :]
+    for i, name in enumerate(names, len(allq) - len(names) + 1):
         spec = allq[name]
         t0 = time.time()
-        # a dead driver JVM (host OOM-kill under co-tenant pressure —
-        # observed once in r11: every query from #84 on failed in
-        # 0.1 s with opaque Py4J errors) must fail ONE query, not the
-        # rest of the sweep: retry each failure once on a fresh session
-        for attempt in (1, 2):
-            try:
-                sdf = spec.fn(spark, sf).toPandas()
-                if spec.oracle is None:
-                    tag = f"rows-only {len(sdf)}"
-                    ok = True
-                else:
-                    odf = con.sql(spec.oracle).df()
-                    a, b = canon(sdf), canon(odf)
-                    ok = (
-                        list(a.columns) == list(b.columns)
-                        and len(a) == len(b)
-                        and a.equals(b)
-                    )
-                    tag = (
-                        f"MATCH {len(a)}" if ok else f"MISMATCH {len(a)}/{len(b)}"
-                    )
-                break
-            except Exception as e:  # noqa: BLE001 — harness must finish
-                ok = False
-                tag = f"ERR {repr(e)[:120]}"
-                if attempt == 1 and not _session_alive(spark):
-                    print(
-                        f"[{i}/{len(allq)}] {name}: session dead — "
-                        "restarting JVM and retrying once",
-                        flush=True,
-                    )
-                    try:
-                        spark.stop()
-                    except Exception:  # noqa: BLE001
-                        pass
-                    spark = _fresh_session()
-                    continue
-                break
+        try:
+            sdf = spec.fn(spark, sf).toPandas()
+            if spec.oracle is None:
+                tag = f"rows-only {len(sdf)}"
+                ok = True
+            else:
+                odf = con.sql(spec.oracle).df()
+                a, b = canon(sdf), canon(odf)
+                ok = (
+                    list(a.columns) == list(b.columns)
+                    and len(a) == len(b)
+                    and a.equals(b)
+                )
+                tag = (
+                    f"MATCH {len(a)}" if ok else f"MISMATCH {len(a)}/{len(b)}"
+                )
+        except Exception as e:  # noqa: BLE001 — harness must finish
+            ok = False
+            tag = f"ERR {repr(e)[:120]}"
+            if not _session_alive(spark):
+                # a dead driver JVM fails ONE query, not the rest of
+                # the sweep — and a dead Py4J gateway cannot be
+                # resurrected in-process, so RE-EXEC to continue
+                print(
+                    f"[{i}/{len(allq)}] {name}: {tag} — session dead, "
+                    "re-execing to resume",
+                    flush=True,
+                )
+                argv = [sys.executable, os.path.abspath(__file__), sf]
+                mem = _arg("--driver-memory")
+                if mem:
+                    argv += ["--driver-memory", mem]
+                argv += [
+                    "--start-after", name,
+                    "--fails", ",".join(fails + [name]),
+                ]
+                os.execv(sys.executable, argv)
         if not ok:
             fails.append(name)
         # the r10 lesson as code: flat-memory sweep on any heap
