@@ -274,3 +274,107 @@ def top_k_neighbors(
         ),
     )
     return ranked.where(F.col("rn") <= k).drop("rn", "_s")
+
+
+def pairwise_similarity_for_pairs(
+    ratings: DataFrame,
+    cand_pairs: DataFrame,
+    kernel: str = "cosine",
+    axis: str = "user",
+    n_cols: int | None = None,
+    max_raters_per_item: int | None = None,
+    euclidean_fallback: bool = False,
+) -> DataFrame:
+    """Exact kernel similarity for ONLY the requested entity pairs —
+    the bounded form of :func:`pairwise_similarity` for callers that
+    know their pair set up front (r11; born from a measured blow-up:
+    the content predictor materialized ALL-item sims, which is
+    |catalog|² through dense features — >560 s at sf0.1 — when the
+    predictions only ever read |test pairs| × items-per-user sims).
+
+    ``cand_pairs``: DIRECTED ``(ent_a, ent_b)`` rows (column names =
+    ``{user_a,user_b}`` or ``{item_a,item_b}`` by ``axis``); output
+    rows appear exactly for requested pairs that share ≥1 co-rated
+    key (the exact path's co-rated-only contract) and carry the SAME
+    similarity values — the stats relation and kernel expression are
+    the same code (``with_kernel_column``), only the pair GENERATOR
+    differs: ``cand ⋈ ratings(ent_a) ⋈ ratings(ent_b, key)`` is
+    |cand| × keys-per-entity, never a self-join.
+
+    Self-pairs are dropped (the exact path's ``a < b`` never emits
+    them)."""
+    if axis == "user":
+        ent, key = "user_id", "item_id"
+    elif axis == "item":
+        ent, key = "item_id", "user_id"
+    else:
+        raise ValueError(f"axis must be 'user' or 'item', got {axis!r}")
+    ca, cb = f"{axis}_a", f"{axis}_b"
+
+    r = ratings.select(
+        F.col(ent).alias("ent"), F.col(key).alias("key"), F.col("rating").alias("r")
+    )
+    if max_raters_per_item is not None:
+        hot = (
+            r.groupBy("key")
+            .agg(F.count("*").alias("_kn"))
+            .where(F.col("_kn") > max_raters_per_item)
+            .select("key")
+        )
+        r = r.join(F.broadcast(hot), "key", "left_anti")
+
+    stats = r.groupBy("ent").agg(
+        F.sum("r").alias("sum_r"),
+        F.sum(F.col("r") * F.col("r")).alias("sumsq_r"),
+        F.count("*").alias("n_r"),
+    )
+
+    cand = (
+        cand_pairs.select(F.col(ca).alias("ea"), F.col(cb).alias("eb"))
+        .where(F.col("ea") != F.col("eb"))
+        .distinct()
+    )
+    a = r.select(F.col("ent").alias("ea"), "key", F.col("r").alias("ra"))
+    b = r.select(F.col("ent").alias("eb"), "key", F.col("r").alias("rb"))
+    pairs = (
+        cand.join(a, "ea")
+        .join(b, ["eb", "key"])
+        .groupBy("ea", "eb")
+        .agg(
+            F.sum(F.col("ra") * F.col("rb")).alias("dot"),
+            F.count("*").alias("co"),
+        )
+    )
+    sa = stats.select(
+        F.col("ent").alias("ea"),
+        F.col("sum_r").alias("sum_a"),
+        F.col("sumsq_r").alias("sumsq_a"),
+        F.col("n_r").alias("n_a"),
+    )
+    sb = stats.select(
+        F.col("ent").alias("eb"),
+        F.col("sum_r").alias("sum_b"),
+        F.col("sumsq_r").alias("sumsq_b"),
+        F.col("n_r").alias("n_b"),
+    )
+    enriched = pairs.join(sa, "ea").join(sb, "eb")
+
+    if n_cols is not None:
+        n_expr = F.lit(float(n_cols))
+    elif kernel == "pearson":
+        n_df = ratings.select(
+            F.countDistinct(key).cast("double").alias("_n_cols")
+        )
+        enriched = enriched.crossJoin(F.broadcast(n_df))
+        n_expr = F.col("_n_cols")
+    else:
+        n_expr = F.lit(1.0)
+
+    sims = with_kernel_column(enriched, kernel, n_expr)
+    if euclidean_fallback and kernel != "euclidean":
+        sq_dist = F.col("sumsq_a") + F.col("sumsq_b") - 2 * F.col("dot")
+        euclid = 1.0 / (F.sqrt(F.greatest(sq_dist, F.lit(0.0))) + 1.0)
+        sims = sims.withColumn(
+            "sim", F.when(F.col("sim") == 0.0, euclid).otherwise(F.col("sim"))
+        )
+    return sims.select(F.col("ea").alias(ca), F.col("eb").alias(cb), "sim")

@@ -144,6 +144,46 @@ def predict_content_based(
     kernel: str = "cosine",
 ) -> DataFrame:
     """M7: predicted rating for explicit pairs via feature k-NN
-    (ContentBasedRatingRecommender.scala:44-87)."""
-    sims = content_similarities(features_long, kernel)
+    (ContentBasedRatingRecommender.scala:44-87).
+
+    PAIR-CONSTRAINED sims (r11, measured fix): the prediction only
+    ever reads sims between a pair's TARGET item and the user's RATED
+    items, so the needed pair set is |pairs| × items-per-user — while
+    the old ``content_similarities(features)`` materialized ALL-item
+    sims, which is |catalog|² through dense features (the
+    part_features size/price columns every item carries; the hazard
+    content_similarities' own docstring documents).  Measured: the
+    all-pairs form took cf_predictions from 28 s (sf0.01) to >560 s
+    (sf0.1) on local[32]; the constrained form restores linear
+    scaling.  Values are identical — same stats, same
+    with_kernel_column expression, same K5 fallback
+    (functions/similarity.py::pairwise_similarity_for_pairs)."""
+    from ..functions.similarity import pairwise_similarity_for_pairs
+
+    needed = (
+        pairs.join(
+            ratings.select("user_id", F.col("item_id").alias("neighbor_item")),
+            "user_id",
+        )
+        .select(
+            F.col("item_id").alias("user_a"),
+            F.col("neighbor_item").alias("user_b"),
+        )
+        .distinct()
+    )
+    sims = pairwise_similarity_for_pairs(
+        features_long.select(
+            F.col("item_id").alias("user_id"),
+            F.col("idx").alias("item_id"),
+            F.col("val").alias("rating"),
+        ),
+        needed,
+        kernel=kernel,
+        axis="user",  # entities are items, join key is the feature idx
+        euclidean_fallback=True,
+    ).select(
+        F.col("user_a").alias("item_id"),
+        F.col("user_b").alias("neighbor_item"),
+        qround("sim", SIM_ROUND).alias("sim"),
+    )
     return predict_from_item_sims(sims, ratings, pairs, k_neighbors)

@@ -483,7 +483,17 @@ def predict_user_based(
     neigh_r = ratings.select(
         F.col("user_id").alias("neighbor"), "item_id", F.col("rating").alias("r_n")
     )
-    cand = pairs.join(sims, "user_id").join(neigh_r, ["neighbor", "item_id"])
+    # JOIN ORDER MATTERS (r11, measured): pairs ⋈ sims first builds
+    # |pairs| × sims-per-user candidates — sims-per-user grows with
+    # corpus density (the quadratic co-rating regime), and the shape
+    # measured >20x superlinear from sf0.01 to sf0.1 (28 s → >560 s).
+    # Joining the RATERS OF THE ITEM first bounds candidates at
+    # |pairs| × raters-per-item (a data-model constant under the
+    # max_raters_per_item cap); the sims join then lands on BOTH keys
+    # (user, neighbor) — selective, never expanding.  Inner joins
+    # commute, so the candidate SET (neighbors who rated the item,
+    # with a sim to the user) is identical.
+    cand = pairs.join(neigh_r, "item_id").join(sims, ["user_id", "neighbor"])
     w = Window.partitionBy("user_id", "item_id").orderBy(
         F.desc("sim"), F.asc("neighbor")
     )
@@ -560,7 +570,12 @@ def predict_from_item_sims(
         F.col("item_id").alias("neighbor_item"),
         F.col("rating").alias("r_u"),
     )
-    cand = pairs.join(sims, "item_id").join(user_r, ["user_id", "neighbor_item"])
+    # same join-order lesson as predict_user_based (r11): the USER'S
+    # RATED ITEMS first (|pairs| × items-per-user, a data-model
+    # bound), then sims on BOTH keys — never |pairs| × sims-per-item
+    cand = pairs.join(user_r, "user_id").join(
+        sims, ["item_id", "neighbor_item"]
+    )
     w = Window.partitionBy("user_id", "item_id").orderBy(
         F.desc("sim"), F.asc("neighbor_item")
     )
