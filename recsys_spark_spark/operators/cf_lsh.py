@@ -189,6 +189,7 @@ def lsh_pairwise_similarity(
     n_planes: int = N_PLANES,
     band_width: int = BAND_WIDTH,
     max_bucket: int | None = 10_000,
+    euclidean_fallback: bool = False,
 ) -> DataFrame:
     """Drop-in replacement for
     functions/similarity.py::pairwise_similarity with LSH candidate
@@ -300,7 +301,20 @@ def lsh_pairwise_similarity(
     else:
         n_expr = F.lit(1.0)
 
-    sims = with_kernel_column(pairs, kernel, n_expr).select("ea", "eb", "sim")
+    sims = with_kernel_column(pairs, kernel, n_expr)
+    if euclidean_fallback and kernel != "euclidean":
+        # K5 (mirrors pairwise_similarity): primary sim of exactly 0.0
+        # falls back to inverted Euclidean.  Regime note: under LSH
+        # candidates a zero-cosine pair rarely COLLIDES in the first
+        # place, so the fallback's reachable set is recall-limited like
+        # every other pair — callers whose corpora actually exercise
+        # K5 (all-positive feature spaces never do) should stay exact.
+        sq_dist = F.col("sumsq_a") + F.col("sumsq_b") - 2 * F.col("dot")
+        euclid = 1.0 / (F.sqrt(F.greatest(sq_dist, F.lit(0.0))) + 1.0)
+        sims = sims.withColumn(
+            "sim", F.when(F.col("sim") == 0.0, euclid).otherwise(F.col("sim"))
+        )
+    sims = sims.select("ea", "eb", "sim")
 
     if directed:
         # one generator, not Union(X, mirror(X)) — same rationale as

@@ -85,6 +85,7 @@ def content_similarities(
     kernel: str = "cosine",
     n_cols: int | None = None,
     max_items_per_feature: int | None = None,
+    use_lsh_candidates: bool = False,
 ) -> DataFrame:
     """Directed item-item similarity in feature space with the K5
     Euclidean fallback, ready for the shared scoring cores.
@@ -96,22 +97,46 @@ def content_similarities(
     one every item carries, e.g. the scaled ``size``/``price`` columns
     of part_features — is hot by construction, and dropping it changes
     the kernel.  For catalogs where dense numeric features dominate the
-    pair blowup, the scale path is sign-LSH over the assembled vectors
-    (operators/knn.py), not this cutoff; the cutoff is for the sparse
-    one-hot tail (a 'brand' shared by half the catalog)."""
-    sims = pairwise_similarity(
-        features_long.select(
-            F.col("item_id").alias("user_id"),
-            F.col("idx").alias("item_id"),
-            F.col("val").alias("rating"),
-        ),
-        kernel=kernel,
-        axis="user",  # entities are items, join key is the feature idx
-        n_cols=n_cols,
-        directed=True,
-        euclidean_fallback=True,
-        max_raters_per_item=max_items_per_feature,
+    pair blowup, the scale path is sign-LSH over the assembled vectors,
+    not this cutoff; the cutoff is for the sparse
+    one-hot tail (a 'brand' shared by half the catalog).
+
+    ``use_lsh_candidates`` IS that scale path, shipped (r11): the
+    operators/cf_lsh.py drop-in generates candidate pairs from
+    sign-LSH band buckets over the feature vectors and scores ONLY
+    candidates with the identical exact kernel — the |catalog|²
+    dense-feature self-join never runs (measured 17.8x superlinear at
+    sf0.1 on the exact path).  Recall is probabilistic (high-cosine
+    pairs collide with prob → 1); emitted values are EXACT; the K5
+    fallback's reachable set is recall-limited (moot on all-positive
+    feature spaces, where cosine 0.0 never occurs)."""
+    feats_as_ratings = features_long.select(
+        F.col("item_id").alias("user_id"),
+        F.col("idx").alias("item_id"),
+        F.col("val").alias("rating"),
     )
+    if use_lsh_candidates:
+        from ..operators.cf_lsh import lsh_pairwise_similarity
+
+        sims = lsh_pairwise_similarity(
+            feats_as_ratings,
+            kernel=kernel,
+            axis="user",
+            n_cols=n_cols,
+            directed=True,
+            max_raters_per_item=max_items_per_feature,
+            euclidean_fallback=True,
+        )
+    else:
+        sims = pairwise_similarity(
+            feats_as_ratings,
+            kernel=kernel,
+            axis="user",  # entities are items, join key is the feature idx
+            n_cols=n_cols,
+            directed=True,
+            euclidean_fallback=True,
+            max_raters_per_item=max_items_per_feature,
+        )
     return sims.select(
         F.col("user_a").alias("item_id"),
         F.col("user_b").alias("neighbor_item"),
@@ -129,7 +154,19 @@ def content_based_topk(
 ) -> DataFrame:
     """M8: top-K per user where neighbors are the feature-space nearest
     among the user's rated items
-    (ContentBasedTopKRecommender.scala:52-98)."""
+    (ContentBasedTopKRecommender.scala:52-98).
+
+    DELIBERATELY NO ``use_lsh_candidates`` here (r11, measured): M8's
+    final ranking is by the weighted-AVERAGE score Σ sim·r / Σ|sim|,
+    which is not sim-monotone — a candidate similar mostly to one
+    highly-rated item can outrank an everywhere-similar one, so the
+    ranking READS low-sim pairs that LSH candidates legitimately drop
+    (measured 0.075 row agreement on a planted high-cosine catalog
+    where pair-level recall of true top-5 sims was >= 0.95).  The LSH
+    switch is sound only for SIM-RANKED consumers (the predictors'
+    k-most-similar neighbor selection); score-ranked top-k at catalog
+    scale needs the exact relation or a changed (sim-monotone)
+    scoring rule."""
     sims = content_similarities(features_long, kernel)
     return topk_from_item_sims(
         sims, ratings, k_neighbors, k_items, prefilter_neighbors

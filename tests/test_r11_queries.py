@@ -361,3 +361,119 @@ def test_drive_all_yields_and_releases(spark):
     assert all(rows > 0 and secs > 0 for _, rows, secs in out)
     # the LSH query tracks an internal cache; drive_all must drain it
     assert cache_tracking._tracked == []
+
+
+# --- content LSH-candidate switch (the catalog-scale path) -------------------
+
+
+def _grouped_catalog(spark, n_groups=40, per_group=12):
+    """Planted high-cosine catalog — the switch's DESIGN REGIME: items
+    within a group share brand/type one-hots and near-identical
+    size/price, so true top neighbors are in-group with cosine >= 0.9
+    (a real embedding/one-hot-dominated catalog shape); cross-group
+    cosine is low."""
+    rows = []
+    for g in range(n_groups):
+        for j in range(per_group):
+            item = g * 100 + j
+            rows += [
+                (item, f"brand:{g}", 1.0),
+                (item, f"type:{g % 7}", 1.0),
+                (item, "size", 0.4 + 0.001 * j + 0.01 * (g % 3)),
+                (item, "price", 0.5 + 0.001 * j),
+            ]
+    return spark.createDataFrame(rows, "item_id long, idx string, val double")
+
+
+def test_content_lsh_switch_exact_values_and_recall(spark):
+    """The switch's contract (the CF LSH-switch contract, applied to
+    the content family), in its design regime (high-cosine catalog):
+    every emitted (pair, sim) is EXACTLY the exact path's value;
+    recall over each item's true top-5 is near-total; and the
+    candidate set genuinely prunes (a small fraction of all pairs).
+
+    REGIME NOTE, measured: the shipped part_features demo corpus has
+    median top-5 cosine 0.63 — there 8-bit bands recall only ~0.67,
+    and narrower bands stop pruning (the cosine_neardup_pairs math) —
+    which is why the registered content queries keep the exact path
+    at gate scale and the switch is for catalogs whose near
+    neighbors are high-cosine."""
+    from pyspark.sql import Window
+
+    from recsys_spark_spark.recommenders.content import content_similarities
+
+    feats = _grouped_catalog(spark)
+    exact = content_similarities(feats).toPandas()
+    lsh = content_similarities(feats, use_lsh_candidates=True).toPandas()
+    ex = {(r.item_id, r.neighbor_item): r.sim for r in exact.itertuples()}
+    for r in lsh.itertuples():
+        assert ex[(r.item_id, r.neighbor_item)] == r.sim  # exact values
+    # candidates must PRUNE: far fewer pairs than the exact relation
+    assert len(lsh) < 0.35 * len(exact), (len(lsh), len(exact))
+    # recall on each item's exact top-5 (what topk consumers read)
+    e = spark.createDataFrame(exact)
+    w = Window.partitionBy("item_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_item")
+    )
+    top = (
+        e.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("item_id", "neighbor_item")
+        .toPandas()
+    )
+    lsh_pairs = {(r.item_id, r.neighbor_item) for r in lsh.itertuples()}
+    hits = sum(
+        (r.item_id, r.neighbor_item) in lsh_pairs for r in top.itertuples()
+    )
+    recall = hits / len(top)
+    assert recall >= 0.95, recall
+    assert (exact["sim"] > 0).all()  # K5 never fires on all-positive feats
+
+
+def test_content_topk_lsh_candidates_are_unsound(spark):
+    """Pin the r11 finding that keeps the LSH switch OFF the M8 top-k:
+    the weighted-average score ranking is not sim-monotone, so
+    restricting sims to LSH candidates (which drop low-sim pairs)
+    changes the ranking drastically even when pair-level recall of
+    the true top sims is near-total — measured 0.075 row agreement on
+    this planted catalog.  If this assert ever starts failing (high
+    agreement), the scoring rule changed and the switch can be
+    reconsidered."""
+    from recsys_spark_spark.recommenders.content import (
+        content_similarities,
+        topk_from_item_sims,
+    )
+
+    feats = _grouped_catalog(spark)
+    ratings = spark.createDataFrame(
+        [
+            (u, (u % 40) * 100 + j, 3.0 + (j % 3))
+            for u in range(120)
+            for j in range(4)
+        ],
+        "user_id long, item_id long, rating double",
+    )
+    exact = {
+        (r.user_id, r.item_id)
+        for r in topk_from_item_sims(
+            content_similarities(feats), ratings, 25, 5
+        )
+        .toPandas()
+        .itertuples()
+    }
+    lsh = {
+        (r.user_id, r.item_id)
+        for r in topk_from_item_sims(
+            content_similarities(feats, use_lsh_candidates=True),
+            ratings,
+            25,
+            5,
+        )
+        .toPandas()
+        .itertuples()
+    }
+    overlap = len(exact & lsh) / len(exact)
+    assert overlap < 0.5, (
+        f"agreement {overlap} — the scoring rule may have become "
+        "sim-monotone; reconsider the switch"
+    )
