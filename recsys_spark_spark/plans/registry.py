@@ -558,6 +558,22 @@ def release_query_state(spark: SparkSession, clear_sql_cache: bool = True) -> No
     cf_lsh.release_last_state()
     if clear_sql_cache:
         spark.catalog.clearCache()
+        # clearCache() only drops SQL-cache entries; localCheckpoint
+        # blocks (the pointer-jumping components' plan-truncation
+        # mechanism, operators/components.py) live as PERSISTENT RDDs
+        # in the block manager and accumulated exactly like the model
+        # caches did — measured: the graph-family queries left enough
+        # checkpoint blocks to kill a default-1g JVM two queries later
+        # (item_pagerank, r11 cert sweeps).  NOTE a still-lazy plan
+        # over a dropped localCheckpoint cannot recompute (the
+        # lineage is cut by design) — callers materialize results
+        # before releasing, same contract as the rest of this helper.
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in list(jmap.values()):
+                jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001 — best-effort on exotic backends
+            pass
 
 
 def drive_all(

@@ -337,10 +337,17 @@ def test_release_query_state_clears_session_caches(spark):
     df = spark.range(100).cache()
     df.count()
     cache_tracking.track(spark.range(50).cache())
+    ck = spark.range(30).localCheckpoint()  # the graph-family leak class
+    ck.count()
     assert df.storageLevel.useMemory
+    assert len(list(spark.sparkContext._jsc.getPersistentRDDs().keys())) > 0
     release_query_state(spark)
     assert not df.storageLevel.useMemory  # clearCache dropped it
     assert cache_tracking._tracked == []
+    # localCheckpoint blocks are persistent RDDs, invisible to
+    # clearCache — the drain must drop them too (a 1g JVM died on the
+    # accumulation two queries after item_graph_triangles, r11)
+    assert list(spark.sparkContext._jsc.getPersistentRDDs().keys()) == []
 
 
 def test_drive_all_yields_and_releases(spark):
