@@ -73,6 +73,31 @@ def _quiet_probe(seconds: float) -> dict:
 #: in PERF.md (r11).
 REFERENCE_GFLOPS = 240.0
 
+#: Validity domain for the linear GEMM normalization (r12, VERDICT r11
+#: #1): the ``grand × gemm_gflops / 240`` model is first-order and only
+#: trustworthy NEAR the calibration band — the r11 driver host probed
+#: 18 GFLOPS (13× below band) while its raw grand rose only 1.56×, so
+#: the unconditional formula minted an absurd 14.87 "normalized
+#: seconds".  Outside [half, double] of the observed cross-round band
+#: (~120-480 GFLOPS around the 240 pin) the normalized field is NULLED
+#: and ``normalized_valid: false`` rides in both JSON lines — the same
+#: never-guess discipline as the smoke-scale probe skip.
+NORMALIZED_VALID_GFLOPS = (120.0, 480.0)
+
+
+def normalized_grand(total: float, gemm_gflops: float | None):
+    """(normalized_seconds | None, valid: bool | None) for the bench
+    JSON contract — pure so the contract is pytest-able without running
+    the bench.  ``valid`` is None when no probe ran (smoke scales:
+    nothing to validate), False when the probe is off-band (normalized
+    nulled), True in-band."""
+    if not gemm_gflops:
+        return None, None
+    lo, hi = NORMALIZED_VALID_GFLOPS
+    if not (lo <= gemm_gflops <= hi):
+        return None, False
+    return round(total * gemm_gflops / REFERENCE_GFLOPS, 3), True
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -205,11 +230,10 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # host-normalized grand (see REFERENCE_GFLOPS): None when the quiet
-    # probe was skipped (smoke scales) — never guess the host speed
-    grand_normalized = (
-        round(total * ambient["gemm_gflops"] / REFERENCE_GFLOPS, 3)
-        if ambient.get("gemm_gflops")
-        else None
+    # probe was skipped (smoke scales) OR the probe read off-band
+    # (NORMALIZED_VALID_GFLOPS) — never guess the host speed
+    grand_normalized, normalized_valid = normalized_grand(
+        total, ambient.get("gemm_gflops")
     )
 
     # scale-curve evidence: replay the bench set at sf0.01 AFTER the
@@ -246,7 +270,9 @@ def main() -> None:
                 "scaling": scaling,
                 "ambient": ambient,
                 "grand_gflops_normalized": grand_normalized,
+                "normalized_valid": normalized_valid,
                 "reference_gflops": REFERENCE_GFLOPS,
+                "bench_first": first or None,
                 "sf": sf,
             }
         )
@@ -276,7 +302,9 @@ def main() -> None:
                 "unit": "sec",
                 "grand": total,
                 "grand_gflops_normalized": grand_normalized,
+                "normalized_valid": normalized_valid,
                 "reference_gflops": REFERENCE_GFLOPS,
+                "bench_first": first or None,
                 "like_for_like_r4_set": like_for_like,
                 "queries": timings,
                 "als_stages": stages.get("als_topk", {}),

@@ -121,7 +121,19 @@ def asof_join_chunked(
     matching the plain form's no-prior-right NULL.  Struct-wrapped
     carry preserves the genuine-NULL-value semantics (docstring of
     :func:`asof_join`).  Switch signal: the skew audit's skew_ratio,
-    as for every twin."""
+    as for every twin.
+
+    DUPLICATE-(ts, tiebreak) CAVEAT (r11 ADVICE): twin equivalence
+    requires the caller's tiebreak to be UNIQUE per (key, right_ts) —
+    the deterministic-tiebreak contract both forms already assume.
+    If duplicate (ts, tiebreak) right rows carry DIFFERENT values,
+    the window order among them is ambiguous: the plain form's
+    ``last()`` serves whichever the engine happens to sort last,
+    while this twin's per-chunk ``max(struct(_ts, _tb, _v))`` carry
+    compares through the VALUE field and deterministically serves the
+    largest value — the two forms can then disagree (and the plain
+    form can disagree with itself across shuffles).  The registered
+    attribution query is immune (its value_col IS the right ts)."""
     out_col = out_col or f"asof_{value_col}"
     tb_l = tiebreak or left_ts
     tb_r = tiebreak or right_ts

@@ -394,25 +394,60 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: form's row lands r11): events_attribution_last_touch(+_chunked)
 #: (+ events_stream_attribution if its r12 row is green) -> one
 #: variant-tagged row keeping the plain name.
-#: ROTATION PLAN for round 12 (pre-staged; verify against
-#: CORRECTNESS_r11 first): window = the 7 r11-born queries
-#: (embedding_hard_negatives_ivf, embedding_hard_negatives_lsh,
-#: events_attribution_last_touch_chunked, events_stream_attribution,
-#: q17_small_quantity_revenue, q22_dormant_high_value,
-#: events_distinct_sketch_rollup — never-checked names lead every
-#: rotation) + ALL 21 recency-2 rows above (mandatory) + the STAGED
-#: rolling-pair merge EXECUTED in the same commit (precondition: both
-#: rolling rows land green in r11): orders_rolling_7d_revenue
-#: (+_chunked) -> one variant-tagged row keeping the plain name
-#: (oracled 123 -> 122), which then deserves an immediate driver row
-#: on its variant columns + ~21 of the 46 recency-1 rows, preferring
-#: whichever tier r11 skipped (the heavy analytics/streaming +
-#: neardup + CF eval tier).
-#: MERGE PIPELINE to pull the cycle back under 2.4 (123 oracled is
-#: 2.46 — over the ceiling until these land; each merge keeps the
+#: Round 12 (EXECUTED this round): verified CORRECTNESS_r11 50/50
+#: green first (zero err), then the pre-staged plan ran verbatim:
+#: window = the 7 r11-born queries (embedding_hard_negatives_ivf,
+#: embedding_hard_negatives_lsh, events_attribution_last_touch_chunked,
+#: events_stream_attribution, q17_small_quantity_revenue,
+#: q22_dormant_high_value, events_distinct_sketch_rollup) + ALL 21
+#: mandatory recency-2 rows + the STAGED rolling-pair merge EXECUTED
+#: in this commit (precondition held — both rows driver-green r11):
+#: orders_rolling_7d_revenue(+_chunked) -> ONE variant-tagged row
+#: keeping the plain name ((variant, custkey, orderkey, order_date,
+#: revenue_7d, n_orders_7d) grain, shared ROLLING_7D_REVENUE_SQL
+#: oracle replayed once per tag — the customer_running_revenue
+#: precedent; oracled 123 -> 122); the merged row takes a window slot
+#: for an immediate driver row on its variant columns + 21 of the 45
+#: recency-1 rows, preferring the tiers r11 skipped (heavy
+#: analytics/streaming: hybrid + corpus pipeline, the neardup family,
+#: the CF eval family, stream quantile sketch, skew/DQ/cap audits,
+#: the CF top-k pair + baseline).
+#:
+#: Post-r12 audit (recency = rounds since last driver-green row,
+#: assuming the r12 window runs green):
+#:   recency 0: 50 (the window below)
+#:   recency 1: 48 (the r11 window minus the merged-away
+#:                  orders_rolling_7d_revenue_chunked minus the
+#:                  re-promoted merged plain name — set arithmetic
+#:                  verified against CORRECTNESS_r11 keys)
+#:   recency 2: 24 (green r10, not re-promoted this round — mandatory
+#:                  in r13: corpus_pack, corpus_samples,
+#:                  customer_k_anonymity, customer_semi_anti_joins,
+#:                  doc_chunks, doc_stats_by_lang, doc_url_domains,
+#:                  embedding_knn_lsh, embedding_semdedup,
+#:                  events_anomaly_daily, events_daily, events_funnel,
+#:                  events_transition_matrix, item_cooccurrence_lift,
+#:                  item_graph_triangles, multimodal_features_frames,
+#:                  order_customer_set_ops, order_priority_pivot,
+#:                  part_price_median_by_brand, sales_cube,
+#:                  top_orders_per_customer, top_tokens,
+#:                  user_retention_cohorts, user_sims)
+#:   never: 2 no-oracle BY DESIGN (sequential_topk + als_topk) + the
+#:          oracle-less bench carriers + queries born this round
+#:          (staged at the r13 window head).
+#: ROTATION PLAN for round 13 (pre-staged; verify against
+#: CORRECTNESS_r12 first): window = every r12-born query
+#: (never-checked names lead every rotation) + ALL 24 recency-2 rows
+#: above (mandatory) + the TWO staged merges EXECUTED in the same
+#: commit, each merged row taking a slot for an immediate driver row
+#: on its variant columns + the remainder from the 48 recency-1 rows,
+#: preferring whichever tier r12 skipped (ANN/embedding, seq trio,
+#: TPC-H q1/q3/q5, multimodal decode, as-of family, sliding/stream
+#: windows).
+#: MERGE PIPELINE to pull the cycle back under 2.4 (122 oracled is
+#: 2.44 — over the ceiling until these land; each merge keeps the
 #: first-listed name and variant-tags the rest, shared oracles
 #: replayed once per tag):
-#:   r12: orders_rolling_7d_revenue(+_chunked)          123 -> 122
 #:   r13: events_attribution_last_touch(+_chunked)
 #:        (+ events_stream_attribution if its r12 row is green —
 #:        all three share ATTRIBUTION_SQL verbatim)      122 -> 120
@@ -427,68 +462,65 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: lands in DEMOTED regardless of which decorator the def site uses.
 #: Rotations edit THIS tuple (and the audit comment above) only.
 REGISTERED_WINDOW: frozenset[str] = frozenset({
-    # r10-born, never had a driver row (4) — the rolling pair's two
-    # rows certify plain AND chunked before their r12 variant merge
-    "embedding_hard_negatives",
+    # r11-born, never had a driver row (7) — never-checked names lead
+    "embedding_hard_negatives_ivf",
+    "embedding_hard_negatives_lsh",
+    "events_attribution_last_touch_chunked",
+    "events_stream_attribution",
+    "q17_small_quantity_revenue",
+    "q22_dormant_high_value",
+    "events_distinct_sketch_rollup",
+    # merged this round — the variant-tagged rolling-twin row deserves
+    # an immediate driver row on its new variant columns (1)
     "orders_rolling_7d_revenue",
-    "orders_rolling_7d_revenue_chunked",
-    "events_attribution_last_touch",
-    # recency 2 — green r8, skipped in r9/r10 (17, mandatory)
-    "brand_region_market_share",
-    "cf_negative_samples",
-    "corpus_line_dedup",
-    "corpus_mixture_sample",
-    "corpus_pps_sample",
-    "corpus_splits",
-    "corpus_vocab",
-    "customer_name_fuzzy_pairs",
-    "customer_rfm_segments",
-    "doc_dedup_cut",
-    "doc_duplicate_spans",
-    "doc_quality_scores",
-    "events_daily_dense",
-    "multimodal_image_dhash_dedup",
-    "multimodal_wav_features",
-    "top_tokens_cms",
-    "user_value_scd2",
-    # merged this round — the variant-tagged twin rows deserve
-    # immediate driver rows on their new variant columns (3)
-    "events_sessions",
-    "customer_running_revenue",
-    "events_prev_gap",
-    # recency 1 — green r9, demoted r10 (26 of 46; tiers r10 skipped:
-    # r9-merged trio + r8-born four second rows, ANN/embedding, seq,
-    # TPC-H, multimodal, streaming CMS, as-of family)
-    "content_topk_cosine",
-    "embedding_centroids_by_label",
-    "embedding_knn_exact",
-    "embedding_knn_indexed",
-    "embedding_neardup_pairs",
-    "embedding_semdedup_scale",
-    "events_asof_last_purchase",
-    "events_join_explosion_audit",
-    "events_purchase_view_join",
-    "events_sliding_1h",
-    "events_stream_user_cms",
-    "events_user_temporal_split",
-    "events_value_features",
-    "events_value_quantile_sketch",
-    "image_dhash_near_pairs",
-    # r11-changed grain (variant-tagged since r11: 'ivf' +
-    # 'hard_neg_ivf' filtered-ANN certification) — changed rows
-    # deserve immediate driver rows; displaces item_pagerank to the
-    # r12 mandatory set
-    "embedding_knn_recall_audit",
-    "item_sims",
-    "lineitem_bloom_semijoin",
-    "multimodal_ppm_resize",
-    "multimodal_video_frames",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "seq_baskets_periods",
-    "seq_rule_support",
-    "seq_sequences",
+    # recency 2 — green r9, skipped in r10/r11 (21, mandatory;
+    # item_pagerank displaced from the r11 window by the re-promoted
+    # recall audit)
+    "item_pagerank",
+    "cf_predictions",
+    "corpus_bpe_pair_counts",
+    "corpus_lang_temperature_weights",
+    "decontaminate_docs",
+    "dedup_docs",
+    "doc_bm25_search",
+    "doc_pii_scrub",
+    "doc_repetition_scores",
+    "doc_simhash",
+    "doc_unigram_logprob",
+    "doc_winnow_fingerprints",
+    "doc_zipf_fit",
+    "event_ratings_projection",
+    "events_dau_wau_stickiness",
+    "events_in_anomaly_windows",
+    "events_json_props",
+    "events_value_robust_scaled",
+    "neardup_dedup_docs",
+    "order_ship_latency",
+    "sales_rollup",
+    # recency 1 — green r10, demoted r11 (21 of 45; tiers r11 skipped:
+    # heavy analytics/streaming, neardup family, CF eval family,
+    # stream quantile sketch, skew/DQ/cap audits, CF top-k + baseline)
+    "hybrid_topk",
+    "corpus_clean",
+    "corpus_train_ready",
+    "neardup_components",
+    "neardup_group_keepers",
+    "neardup_minhash_lsh",
+    "neardup_ngram_jaccard",
+    "neardup_simhash",
+    "user_cf_rmse_mae",
+    "user_cf_cv5_rmse",
+    "user_cf_ranking_eval",
+    "user_cf_coverage_novelty",
+    "itemmean_rmse_mae",
+    "rating_stats_per_user",
+    "events_stream_quantile_sketch",
+    "events_key_skew_audit",
+    "events_dq_audit",
+    "dedup_cap_audit",
+    "user_topk_cosine",
+    "item_topk_cosine",
+    "baseline_topk",
 })
 
 
@@ -533,21 +565,41 @@ def oracle_of(name: str) -> str:
     return spec.oracle
 
 
-def release_query_state(spark: SparkSession, clear_sql_cache: bool = True) -> None:
+def release_query_state(
+    spark: SparkSession,
+    clear_sql_cache: bool = True,
+    unpersist_checkpoints: bool = True,
+) -> None:
     """Drop every piece of session state a query run can accumulate:
     the cache-tracking pool (ANN/PageRank internals), the ALS and
-    CF-LSH model caches, and (by default) the ENTIRE SQL cache.
+    CF-LSH model caches, and (by default) the ENTIRE SQL cache plus
+    every persistent RDD in the SparkContext (localCheckpoint blocks).
 
-    Exists because accumulated model caches are a measured failure
-    mode, not a hypothetical: the r10 full-registry certification
-    found a default-1g vanilla JVM OOMs after ~80 queries of
-    accumulated caches (PERF.md r10 wrap — the 81st query was merely
-    the victim, not the culprit), and the r4 bench measured leaked ALS
-    state drifting later queries 2-4x.  Any harness that loops over
-    many registry entries in one session (the full-registry
-    certification, model sweeps, notebooks) should call this between
-    queries; correctness is unaffected — released relations recompute
-    if re-executed."""
+    MATERIALIZE-BEFORE-RELEASE CONTRACT (r11 ADVICE — the caveat that
+    previously lived only in an inline comment): with
+    ``unpersist_checkpoints=True`` (the default, and what ``drive_all``
+    uses) this sweeps EVERY persistent RDD in the context, including
+    caller-owned ``localCheckpoint`` frames whose lineage is cut BY
+    DESIGN — a still-lazy plan over one fails permanently rather than
+    recomputing.  Collect/write every result you still need BEFORE
+    calling this; a notebook session holding its own checkpointed
+    frames between queries should pass ``unpersist_checkpoints=False``
+    to keep the SQL-cache sweep without the persistent-RDD sweep
+    (package-internal checkpoints are safe either way: every registry
+    query materializes its components iteration before returning).
+
+    Exists because accumulated state is a measured failure mode, not a
+    hypothetical: the r10 full-registry certification found a
+    default-1g vanilla JVM OOMs after ~80 queries of accumulated model
+    caches (PERF.md r10 wrap — the 81st query was merely the victim,
+    not the culprit), the r4 bench measured leaked ALS state drifting
+    later queries 2-4x, and the r11 cert sweep found leaked
+    localCheckpoint blocks killing the JVM two queries after the
+    graph family (PERF.md r11).  Any harness that loops over many
+    registry entries in one session (the full-registry certification,
+    model sweeps, notebooks) should call this between queries;
+    correctness of registry queries is unaffected — released relations
+    recompute if re-executed."""
     from ..operators.cache_tracking import release_tracked
 
     release_tracked()
@@ -558,16 +610,15 @@ def release_query_state(spark: SparkSession, clear_sql_cache: bool = True) -> No
     cf_lsh.release_last_state()
     if clear_sql_cache:
         spark.catalog.clearCache()
+    if unpersist_checkpoints:
         # clearCache() only drops SQL-cache entries; localCheckpoint
         # blocks (the pointer-jumping components' plan-truncation
         # mechanism, operators/components.py) live as PERSISTENT RDDs
         # in the block manager and accumulated exactly like the model
         # caches did — measured: the graph-family queries left enough
         # checkpoint blocks to kill a default-1g JVM two queries later
-        # (item_pagerank, r11 cert sweeps).  NOTE a still-lazy plan
-        # over a dropped localCheckpoint cannot recompute (the
-        # lineage is cut by design) — callers materialize results
-        # before releasing, same contract as the rest of this helper.
+        # (item_pagerank, r11 cert sweeps).  Lineage caveat: see the
+        # MATERIALIZE-BEFORE-RELEASE CONTRACT in the docstring.
         try:
             jmap = spark.sparkContext._jsc.getPersistentRDDs()
             for jrdd in list(jmap.values()):

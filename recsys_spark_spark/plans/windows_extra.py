@@ -1219,7 +1219,9 @@ FROM orders
 """.strip()
 
 
-@register_demoted("orders_rolling_7d_revenue", oracle=ROLLING_7D_REVENUE_SQL)
+# r12 rotation: registration merged into the variant-tagged
+# "orders_rolling_7d_revenue" row below (variant "plain") — library
+# API, feeds the merged plain slice and the twin-equality pytests.
 def orders_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day rolling revenue + order count per customer — the
     time-RANGE window frame (``rangeBetween`` over epoch seconds), the
@@ -1521,9 +1523,9 @@ def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLING_CHUNK_S = 4 * ROLLING_SPAN_S
 
 
-@register_demoted(
-    "orders_rolling_7d_revenue_chunked", oracle=ROLLING_7D_REVENUE_SQL
-)
+# r12 rotation: registration merged into the variant-tagged
+# "orders_rolling_7d_revenue" row below (variant "chunked") — library
+# API, feeds the merged chunked slice and the ghost-boundary pytests.
 def orders_rolling_7d_revenue_chunked(
     spark: SparkSession, sf_dir: str, chunk_s: int = ROLLING_CHUNK_S
 ) -> DataFrame:
@@ -1619,3 +1621,40 @@ def rolling_span_revenue_chunked(
             F.col("_n").alias("n_orders_7d"),
         )
     )
+
+
+@register(
+    "orders_rolling_7d_revenue",
+    oracle=f"""
+SELECT 'plain' AS variant, * FROM ({ROLLING_7D_REVENUE_SQL}) _v_plain
+UNION ALL
+SELECT 'chunked' AS variant, * FROM ({ROLLING_7D_REVENUE_SQL}) _v_chunked
+""",
+)
+def orders_rolling_7d_revenue_merged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Merged window-twin row (r12 rotation): the time-RANGE rolling
+    frame and its ghost-replica bounded-task twin as tagged variants on
+    one (variant, custkey, orderkey, order_date, revenue_7d,
+    n_orders_7d) relation — both members driver-green r11, so one
+    variant-tagged slot certifies both plans (the
+    customer_running_revenue precedent; the shared
+    ROLLING_7D_REVENUE_SQL oracle replays once per tag).  DECIMAL money
+    addition makes the two frame compositions bit-equal regardless of
+    evaluation order, so any divergence flips the value hash with no
+    rounding caveat.
+
+    Scale shape: per member unchanged — the chunked twin replicates
+    each chunk's span-tail as ghost rows into the next chunk and runs
+    the RANGE frame within (custkey, chunk), task size bounded by one
+    customer-chunk, never a customer's whole history (crossover
+    measured in stress/rolling_twin_stress.py)."""
+    cols = ["custkey", "orderkey", "order_date", "revenue_7d", "n_orders_7d"]
+    plain = orders_rolling_7d_revenue(spark, sf_dir).select(
+        F.lit("plain").alias("variant"), *cols
+    )
+    chunked = orders_rolling_7d_revenue_chunked(spark, sf_dir).select(
+        F.lit("chunked").alias("variant"), *cols
+    )
+    return plain.unionByName(chunked)

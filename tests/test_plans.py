@@ -237,6 +237,32 @@ def test_bench_set_is_stable():
     ]
 
 
+def test_bench_normalized_grand_validity_domain():
+    """The GEMM-normalized grand is a FIRST-ORDER model, trustworthy
+    only near the calibration band: the r11 driver host probed
+    18 GFLOPS (13× off-band) and the unconditional formula published
+    an 8×-flattering 14.87 "normalized seconds" (VERDICT r11 #1).
+    Off-band probes must null the field and self-identify as invalid
+    so no cross-round reader can mistake a degraded-host artifact for
+    a plan win or loss."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    from bench import NORMALIZED_VALID_GFLOPS, normalized_grand
+
+    lo, hi = NORMALIZED_VALID_GFLOPS
+    # the r11 driver incident verbatim: 18 GFLOPS → nulled + invalid
+    assert normalized_grand(198.3, 18.0) == (None, False)
+    assert normalized_grand(100.0, hi * 2) == (None, False)
+    # no probe (smoke scale): nothing to validate
+    assert normalized_grand(100.0, None) == (None, None)
+    assert normalized_grand(100.0, 0.0) == (None, None)
+    # in-band (incl. both edges): linear model applies
+    assert normalized_grand(100.0, 240.0) == (100.0, True)
+    assert normalized_grand(100.0, lo) == (round(100 * lo / 240.0, 3), True)
+    assert normalized_grand(100.0, hi) == (round(100 * hi / 240.0, 3), True)
+
+
 def test_cooccurrence_lift_distributed_topn(spark, sf_dir, queries):
     """The top-100-by-lift must plan TakeOrderedAndProject (per
     partition top-N + tiny driver merge), not a global sort."""
