@@ -41,6 +41,44 @@ CARRY_CLASS_CROSSOVER_ROWS: dict[str, int] = {
 }
 
 
+def hot_key_rows_of(df, key_col: str) -> int:
+    """Rows on the hottest non-null ``key_col`` key — the plan-time
+    audit feeding :func:`windowed_form`.  One map-side-combinable
+    count-per-key aggregate + a 1-row max; the single collected value
+    is O(model) driver state (a scalar threshold input, same class as
+    the broadcast-budget probes).  At 100 TB this is one shuffle of
+    |keys| counted rows — the same width any shuffle on that key
+    would create, and the price of never hand-guessing the form."""
+    from pyspark.sql import functions as F
+
+    row = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("m"))
+        .first()
+    )
+    return int(row["m"] or 0)
+
+
+def windowed_form(plain, chunked, carry_class: str, hot_key_rows: int):
+    """Self-driving plain/chunked dispatch (r11 VERDICT #3): pick the
+    window form from the measured crossover table and the audited hot
+    key, and return ``(DataFrame, form)`` so callers can surface the
+    decision.  ``plain`` / ``chunked`` are zero-arg thunks building
+    the respective plan — only the CHOSEN plan is constructed.
+
+    Recipe at scale: run the skew audit (or :func:`hot_key_rows_of`
+    on the window's partition key), hand the count here, and the
+    five-class threshold table picks the form that was measured
+    faster at that size — switching at the threshold never loses more
+    than a few percent and a hot key one order past it wins integer
+    factors (module docstring).  Unmeasured carry classes raise, by
+    design."""
+    form = recommend_window_form(hot_key_rows, carry_class)
+    return (plain() if form == "plain" else chunked()), form
+
+
 def recommend_window_form(hot_key_rows: int, carry_class: str) -> str:
     """``'plain'`` or ``'chunked'`` for a window of ``carry_class``
     whose hottest key holds ``hot_key_rows`` rows (take

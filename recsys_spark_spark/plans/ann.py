@@ -24,7 +24,7 @@ from ..operators.pq import (
 )
 from ..functions.rounding import qround
 from ..operators.components import components_sql, connected_components
-from ..operators.ivf import cosine_knn_ivf, knn_ivf_oracle_sql
+from ..operators.ivf import cosine_knn_ivf, knn_ivf_oracle_sql, overfetch_k
 from ..operators.knn import cosine_knn_lsh, knn_lsh_oracle_sql
 from ..sources.readers import table
 from ..operators.quant import (
@@ -994,6 +994,119 @@ def embedding_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_label").alias("match_label"),
         "sim",
         "rank",
+    )
+
+
+# --- filtered ANN, over-fetch fallback (r12) ---------------------------------
+#: near-duplicate guard for hard negatives: candidates with cosine
+#: above this are likely the same content mislabeled (false
+#: negatives), poison for contrastive training — exclude them.  The
+#: cap is measured to BITE at test scale (sf0.01: ~23% of unguarded
+#: top-5 hard negatives exceed it), so the over-fetch path is
+#: exercised, not vacuous.
+HARD_NEG_SIM_CAP = 0.35
+
+#: expected pass fraction of the sim-cap among near neighbors that
+#: already pass the pushed label predicate (measured ~0.77 at sf0.01;
+#: 0.5 buys ~2x headroom) — k' = overfetch_k(5, 0.5) = 10
+HARD_NEG_CAP_SELECTIVITY = 0.5
+
+#: probe expansion for the over-fetch route: a predicate that rejects
+#: NEAR candidates pushes the true answer to ~1/selectivity deeper
+#: unfiltered ranks, and deep neighbors scatter across MORE cells —
+#: over-fetching k' alone cannot recover candidates the probe never
+#: generated.  Measured at sf0.01 (n_probe, k') -> recall vs the
+#: exact miner: (8,10) 0.65, (8,20) 0.65 (k' is NOT the binding
+#: constraint), (16,10) 0.87, (32,10) 1.00 (degenerate full scan at
+#: this corpus size).  Probe expansion by the same 1/selectivity
+#: factor as the fetch depth is the selectivity-aware search rule.
+HARD_NEG_OVERFETCH_PROBES = 16
+
+
+@register_demoted(
+    "embedding_hard_negatives_overfetch",
+    oracle=f"""
+WITH base AS (
+  {knn_ivf_oracle_sql(KNN_QUERIES, overfetch_k(HARD_NEG_K, HARD_NEG_CAP_SELECTIVITY), EMB_DIM, n_probe=HARD_NEG_OVERFETCH_PROBES, exclude_same="label")}
+)
+SELECT query_id, query_label, match_id, match_label, sim,
+       CAST(rk AS INTEGER) AS rank
+FROM (
+  SELECT query_id, query_label, match_id, match_label, sim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, match_id ASC) AS rk
+  FROM base WHERE sim <= {HARD_NEG_SIM_CAP}
+) WHERE rk <= {HARD_NEG_K}
+""",
+)
+def embedding_hard_negatives_overfetch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The over-fetch fallback of filtered ANN, measured end-to-end
+    (r11 VERDICT #5): hard negatives with a NEAR-DUPLICATE GUARD —
+    exclude candidates with cosine above ``HARD_NEG_SIM_CAP`` (likely
+    the same content mislabeled: false negatives that poison
+    contrastive training).  The sim-cap conjunct is the textbook
+    NON-PUSHABLE predicate: the exact cosine exists only AFTER the
+    rerank, so no candidate join can fold it.  Best-practice split,
+    executed: push what is pushable (the label predicate rides inside
+    the IVF candidate join exactly as embedding_hard_negatives_ivf),
+    OVER-FETCH k' = k/selectivity = {HARD_NEG_K}/{HARD_NEG_CAP_SELECTIVITY}
+    for the rest (``operators/ivf.py::overfetch_k``), post-filter,
+    re-rank, truncate to k.  Queries whose local pass rate dips below
+    k/k' return < k rows — the documented over-fetch failure mode,
+    accepted and visible in the output instead of silently padded.
+
+    THE MEASURED LESSON (sweep in HARD_NEG_OVERFETCH_PROBES): deeper
+    fetch alone does NOT buy recall — k'=20 matched k'=10 exactly at
+    0.65, because a near-rejecting predicate moves the answer into
+    unfiltered ranks whose vectors live in UNPROBED cells.  Probe
+    expansion by the same 1/selectivity factor (n_probe 8 -> 16) is
+    what recovers them: recall 0.65 -> 0.87 measured, at 2x candidate
+    -join cost.  That dial (probes ~ 1/selectivity, alongside fetch
+    depth ~ 1/selectivity) is the operator's 100 TB guidance.
+
+    The oracle replays the SAME split: the deterministic IVF pipeline
+    at depth k' and 16 probes with the label predicate in its
+    candidate CTE, then the sim-cap post-filter + re-rank in plain
+    SQL — so the value hash certifies the over-fetch composition, not
+    just the index.  Recall vs the exact miner under the full
+    predicate is pytest-audited like the pushed forms
+    (tests/test_r12_queries.py::test_overfetch_recall_vs_exact;
+    measured 0.87 at sf0.01).  Scale shape: identical to
+    embedding_knn_ivf at (k', 2x probes) — the post-filter and
+    re-rank run on |queries| x k' rows, driver-free.  Same grain as
+    the hard-negative family (staged to merge as its 4th variant once
+    driver-green)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < KNN_QUERIES)
+    k_prime = overfetch_k(HARD_NEG_K, HARD_NEG_CAP_SELECTIVITY)
+    fetched = cosine_knn_ivf(
+        e,
+        q,
+        k_prime,
+        n_probe=HARD_NEG_OVERFETCH_PROBES,
+        query_meta_cols=("label",),
+        match_meta_cols=("label",),
+        match_predicate=F.col("m_label") != F.col("q_label"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("match_id")
+    )
+    return (
+        fetched.where(F.col("sim") <= HARD_NEG_SIM_CAP)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= HARD_NEG_K)
+        .select(
+            "query_id",
+            F.col("q_label").alias("query_label"),
+            "match_id",
+            F.col("m_label").alias("match_label"),
+            "sim",
+            "rank",
+        )
     )
 
 

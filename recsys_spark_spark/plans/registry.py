@@ -433,10 +433,20 @@ DEMOTED: dict[str, QuerySpec] = {}
 #:                  top_orders_per_customer, top_tokens,
 #:                  user_retention_cohorts, user_sims)
 #:   never: 2 no-oracle BY DESIGN (sequential_topk + als_topk) + the
-#:          oracle-less bench carriers + queries born this round
-#:          (staged at the r13 window head).
+#:          oracle-less bench carriers + the 2 r12-born queries
+#:          (staged at the r13 window head, each born with
+#:          sf0.001+sf0.01+sf0.1 oracle parity + an out-of-repo
+#:          vanilla drive):
+#:          orders_rolling_7d_revenue_auto (the SELF-DRIVING twin
+#:          switch — plan-time hot-key audit dispatching through the
+#:          measured crossover table, decision re-derived by the
+#:          oracle; r11 VERDICT #3) and
+#:          embedding_hard_negatives_overfetch (the over-fetch
+#:          fallback of filtered ANN with a genuinely non-pushable
+#:          sim-cap predicate + selectivity-aware probe expansion,
+#:          recall 0.87 audited vs the exact miner; r11 VERDICT #5).
 #: ROTATION PLAN for round 13 (pre-staged; verify against
-#: CORRECTNESS_r12 first): window = every r12-born query
+#: CORRECTNESS_r12 first): window = the 2 r12-born queries above
 #: (never-checked names lead every rotation) + ALL 24 recency-2 rows
 #: above (mandatory) + the TWO staged merges EXECUTED in the same
 #: commit, each merged row taking a slot for an immediate driver row
@@ -444,18 +454,24 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: preferring whichever tier r12 skipped (ANN/embedding, seq trio,
 #: TPC-H q1/q3/q5, multimodal decode, as-of family, sliding/stream
 #: windows).
-#: MERGE PIPELINE to pull the cycle back under 2.4 (122 oracled is
-#: 2.44 — over the ceiling until these land; each merge keeps the
+#: MERGE PIPELINE to pull the cycle back under 2.4 (124 oracled is
+#: 2.48 — over the ceiling until these land; each merge keeps the
 #: first-listed name and variant-tags the rest, shared oracles
 #: replayed once per tag):
 #:   r13: events_attribution_last_touch(+_chunked)
 #:        (+ events_stream_attribution if its r12 row is green —
-#:        all three share ATTRIBUTION_SQL verbatim)      122 -> 120
+#:        all three share ATTRIBUTION_SQL verbatim)      124 -> 122
 #:   r13: embedding_hard_negatives(+_ivf)(+_lsh) — identical
 #:        (query_id, query_label, match_id, match_label, sim, rank)
 #:        grain; precondition: exact form green r11, ivf/lsh green
-#:        r12                                            120 -> 118
-#: After the pipeline: 118 oracled = 2.36 cycle.
+#:        r12                                            122 -> 120
+#:   r14: fold embedding_hard_negatives_overfetch into the merged
+#:        hard-negative row (same grain, variant 'overfetch';
+#:        precondition: its own r13 driver row green)    120 -> 119
+#: After the pipeline: 119 oracled = 2.38 cycle.
+#: (orders_rolling_7d_revenue_auto stays standalone: its (form,
+#: hot_key_rows, ...) grain carries the dispatch decision as data and
+#: does not union with the merged rolling row's variant grain.)
 
 #: THE driver-facing correctness window for this round — exactly the
 #: names whose QuerySpec lands in QUERIES; every other registration

@@ -1658,3 +1658,68 @@ def orders_rolling_7d_revenue_merged(
         F.lit("chunked").alias("variant"), *cols
     )
     return plain.unionByName(chunked)
+
+
+# --- self-driving twin switch (r12) -------------------------------------------
+from ..operators.twin_switch import (  # noqa: E402 — after the twins it dispatches
+    CARRY_CLASS_CROSSOVER_ROWS,
+    hot_key_rows_of,
+    windowed_form,
+)
+
+#: the range_frame crossover, spliced into BOTH engines' decision so
+#: the oracle re-derives the dispatch instead of trusting Spark's
+_RANGE_XOVER = CARRY_CLASS_CROSSOVER_ROWS["range_frame"]
+
+
+@register_demoted(
+    "orders_rolling_7d_revenue_auto",
+    oracle=f"""
+WITH hot AS (
+  SELECT CAST(max(c) AS BIGINT) AS hot_key_rows FROM (
+    SELECT count(*) AS c FROM orders
+    WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+  )
+)
+SELECT CASE WHEN hot.hot_key_rows >= {_RANGE_XOVER}
+            THEN 'chunked' ELSE 'plain' END AS form,
+       hot.hot_key_rows, r.*
+FROM ({ROLLING_7D_REVENUE_SQL}) r CROSS JOIN hot
+""",
+)
+def orders_rolling_7d_revenue_auto(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SELF-DRIVING window-twin dispatch (r11 VERDICT #3): instead of
+    a user hand-reading the skew audit and calling the plain or
+    chunked form, this row audits the window's partition key at plan
+    time (one count-per-key aggregate, :func:`hot_key_rows_of`) and
+    dispatches through the measured five-class crossover table
+    (``operators/twin_switch.py``) — the 100 TB recipe, executed by
+    the plan itself.  Output carries the decision as data: ``form``
+    (which plan ran) and ``hot_key_rows`` (the audit value), and the
+    ORACLE RE-DERIVES BOTH — the crossover constant is spliced into
+    its CASE expression — so the value hash certifies the dispatch
+    decision against an independent computation, not just the window
+    arithmetic.  Either branch emits the identical relation (the twin
+    contract, driver-certified by the merged variant row), so the row
+    stays green whichever side of the threshold the data lands on."""
+    o = table(spark, sf_dir, "orders")
+    hot = hot_key_rows_of(o, "o_custkey")
+    df, form = windowed_form(
+        lambda: rolling_span_revenue(o, ROLLING_SPAN_S),
+        lambda: rolling_span_revenue_chunked(
+            o, ROLLING_SPAN_S, ROLLING_CHUNK_S
+        ),
+        "range_frame",
+        hot,
+    )
+    return df.select(
+        F.lit(form).alias("form"),
+        F.lit(hot).cast("bigint").alias("hot_key_rows"),
+        "custkey",
+        "orderkey",
+        "order_date",
+        "revenue_7d",
+        "n_orders_7d",
+    )
