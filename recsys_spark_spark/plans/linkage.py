@@ -127,3 +127,98 @@ def fuzzy_pairs(
     return p.where(dist <= 1).select(
         "name_a", "name_b", dist.cast("int").alias("dist")
     )
+
+
+# --- multi-pass blocked ER (r12) ----------------------------------------------
+#: edit-distance budget for the blocked ER query (the delete-1 op
+#: above handles d=1 exactly; blocking is how production systems reach
+#: d=2 without the O(len²) delete-2 neighborhood explosion)
+ER_MAX_DIST = 2
+
+#: positional segments over c_name's 9-digit suffix ('Customer#' is 9
+#: chars, digits at 10..18): d+1 = 3 segments of 3 — the pigeonhole
+#: guarantees equal-length substitution-noise pairs share >= 1 segment
+ER_SEGMENTS = [(10, 3), (13, 3), (16, 3)]
+
+_ER_BLOCK_SQL = "\n  UNION ALL ".join(
+    f"SELECT 'seg{i}' AS pass, substr(name, {p}, {w}) AS bk, name FROM n"
+    for i, (p, w) in enumerate(ER_SEGMENTS, 1)
+)
+
+
+@register_demoted(
+    "customer_name_er_matches",
+    oracle=f"""
+WITH n AS (SELECT DISTINCT c_name AS name FROM customer),
+b0 AS (
+  {_ER_BLOCK_SQL}
+),
+keep AS (SELECT pass, bk FROM b0 GROUP BY 1, 2 HAVING count(*) <= {MAX_BUCKET}),
+b AS (SELECT b0.* FROM b0 JOIN keep USING (pass, bk)),
+cand AS (
+  SELECT DISTINCT a.name AS name_a, c.name AS name_b
+  FROM b a JOIN b c ON a.pass = c.pass AND a.bk = c.bk AND a.name < c.name
+),
+pairs AS (
+  SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+  FROM cand WHERE levenshtein(name_a, name_b) <= {ER_MAX_DIST}
+),
+sym AS (
+  SELECT name_a AS name, name_b AS other, dist FROM pairs
+  UNION ALL
+  SELECT name_b AS name, name_a AS other, dist FROM pairs
+),
+best AS (
+  SELECT name, CAST(count(*) AS BIGINT) AS n_matches,
+         max(CASE WHEN rn = 1 THEN other END) AS best_match,
+         CAST(max(CASE WHEN rn = 1 THEN dist END) AS INTEGER) AS best_dist
+  FROM (
+    SELECT name, other, dist, row_number() OVER (
+             PARTITION BY name ORDER BY dist ASC, other ASC) AS rn
+    FROM sym
+  ) GROUP BY 1
+)
+SELECT n.name, CAST(coalesce(b.n_matches, 0) AS BIGINT) AS n_matches,
+       b.best_match, b.best_dist
+FROM n LEFT JOIN best b ON b.name = n.name
+""",
+)
+def customer_name_er_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION via the multi-pass blocked fuzzy join
+    (``operators/blocking.py`` — the r12 frontier operator): per
+    customer name, how many other names sit within edit distance
+    {ER_MAX_DIST} (typo-noise duplicates), and the closest one —
+    blocking on 3 positional digit segments (the d+1-segment
+    pigeonhole), hot blocks capped at MAX_BUCKET and AUDITED
+    (blocked_cap_audit; the all-names '000' head segment IS dropped
+    at every test scale — the drop is visible, the recall cost
+    measured at 0.92 pair-recall vs exact ED<=2,
+    tests/test_blocking.py).  Output is the BOUNDED per-entity
+    summary (|names| rows) a downstream merge consumes, not the dense
+    pair listing.
+
+    Scale shape: candidates <= max_block x n x n_passes — LINEAR in
+    rows at fixed cap.  Measured (stress/blocked_join_stress.py,
+    realistic ER corpus: entity clusters with planted 2-substitution
+    typos): the naive all-pairs join is plainly quadratic and dead at
+    40k names (49 s -> 154 s -> 517 s for 10k/20k/40k) while the
+    blocked join runs 500k/1M/2M names in 12-16 s FLAT with zero
+    planted pairs lost (anti-join-asserted, not sampled).  At this
+    query's sf0.1 the synthetic sequential IDs pile blocks at the cap
+    (7.6M candidates) and the thresholded-levenshtein verify is the
+    measured cost — plan notes in blocked_fuzzy_pairs.  No reference
+    analogue (SURVEY §2 extension — the linkage family's scale
+    path)."""
+    from ..operators.blocking import blocked_fuzzy_pairs, er_match_summary
+
+    names = table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name")
+    ).distinct()
+    passes = [
+        (f"seg{i}", F.substring(F.col("name"), p, w))
+        for i, (p, w) in enumerate(ER_SEGMENTS, 1)
+    ]
+    pairs = blocked_fuzzy_pairs(
+        names, "name", passes, max_dist=ER_MAX_DIST, max_block=MAX_BUCKET
+    )
+    return er_match_summary(names, pairs, "name")
