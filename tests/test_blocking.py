@@ -95,6 +95,28 @@ def test_er_summary_is_bounded_and_keeps_unmatched(spark):
     assert got["ZZZ"] == (0, None, None)
 
 
+def test_blocked_join_plan_is_equi_join_not_cartesian(spark, sf_dir):
+    """The candidate stage must execute as a hash/merge EQUI-join on
+    (pass, bk) — a planner fallback to BroadcastNestedLoopJoin or
+    CartesianProduct would silently reintroduce the all-pairs scan
+    the operator exists to avoid."""
+    from recsys_spark_spark.plans.linkage import ER_SEGMENTS, MAX_BUCKET
+    from recsys_spark_spark.sources.readers import table
+
+    names = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_name").alias("name"))
+        .distinct()
+    )
+    pairs = blocked_fuzzy_pairs(
+        names, "name", _seg_passes(ER_SEGMENTS), 2, MAX_BUCKET
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # the equi-join is actually there
+
+
 def test_er_query_recall_vs_exact_on_real_names(spark, sf_dir, duck):
     """The registered query's blocking recall against EXACT all-pairs
     ED<=2 over the real customer names (1500 at sf0.01, brute force
