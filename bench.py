@@ -131,6 +131,26 @@ def main() -> None:
     # warm the JVM + parquet footers once with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # JVM-side calibration (r12): the BLAS GEMM probe proved unstable
+    # on some hosts (134 -> 59 GFLOPS between idle runs) while JVM raw
+    # grands stayed within 3.5% — GEMM feels co-tenant memory-bandwidth
+    # pressure the cache-resident JVM workload does not (PERF.md r12).
+    # Time a FIXED whole-stage-codegen job (range -> xxhash64 ->
+    # bit_xor, fully deterministic, no I/O) as the calibration load
+    # that tracks what the bench actually measures; best of 2 to shed
+    # JIT warmup.  Recorded alongside gemm_gflops for cross-round
+    # readers — no convention change yet, evidence first.
+    if ambient:
+        jvm_best = float("inf")
+        for _ in range(2):
+            j0 = time.perf_counter()
+            spark.range(8_000_000_000).selectExpr(
+                "bit_xor(xxhash64(id)) AS h"
+            ).collect()
+            jvm_best = min(jvm_best, time.perf_counter() - j0)
+        ambient["jvm_xxhash_sec"] = round(jvm_best, 3)
+        ambient["jvm_ghashes_per_sec"] = round(8.0 / jvm_best, 2)
+
     # SPARK_GRAFT_BENCH_FIRST hoists one query to the head of the
     # (otherwise alphabetical) loop — the r11 probe instrument for
     # order-dependent effects: the in-bench vs isolated hybrid gap

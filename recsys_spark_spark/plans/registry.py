@@ -457,10 +457,20 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: (never-checked names lead every rotation) + ALL 24 recency-2 rows
 #: above (mandatory) + the TWO staged merges EXECUTED in the same
 #: commit, each merged row taking a slot for an immediate driver row
-#: on its variant columns + the remainder from the 48 recency-1 rows,
-#: preferring whichever tier r12 skipped (ANN/embedding, seq trio,
-#: TPC-H q1/q3/q5, multimodal decode, as-of family, sliding/stream
-#: windows).
+#: on its variant columns + 21 of the recency-1 rows, preferring
+#: whichever tier r12 skipped.  Suggested 21 (verify against the
+#: CORRECTNESS set arithmetic first — the merge keepers
+#: events_attribution_last_touch / embedding_hard_negatives enter as
+#: their merged rows, not recency-1 picks): embedding_knn_exact,
+#: embedding_knn_indexed, embedding_knn_recall_audit,
+#: embedding_neardup_pairs, embedding_semdedup_scale,
+#: embedding_centroids_by_label, seq_baskets_periods,
+#: seq_rule_support, seq_sequences, q1_pricing_summary,
+#: q3_top_revenue_orders, q5_region_revenue, multimodal_ppm_resize,
+#: multimodal_video_frames, multimodal_wav_features,
+#: multimodal_image_dhash_dedup, events_asof_last_purchase,
+#: events_sliding_1h, events_stream_user_cms,
+#: events_purchase_view_join, item_sims.
 #: MERGE PIPELINE to pull the cycle back toward 2.4 (125 oracled is
 #: 2.50 — over the ceiling until these land; each merge keeps the
 #: first-listed name and variant-tags the rest, shared oracles
