@@ -828,9 +828,8 @@ def cf_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "user_cf_rmse_mae",
-    oracle=f"""
+#: DuckDB twin of the user-CF slice of the merged rmse/mae row
+_USER_CF_RMSE_SQL = f"""
 WITH pred AS (
 {_user_predict_sql("cosine", K_NEIGHBORS)}
 ),
@@ -842,8 +841,22 @@ SELECT floor((sqrt(avg((p.prediction - a.rating) * (p.prediction - a.rating)))) 
        floor((avg(abs(p.prediction - a.rating))) * 1000000.0 + 0.5) / 1000000.0 AS mae,
        count(*) AS n_pairs
 FROM pred p JOIN actual a USING (user_id, item_id)
-""",
-)
+""".strip()
+
+#: DuckDB twin of the item-mean baseline slice
+_ITEMMEAN_RMSE_SQL = f"""
+WITH {SPLIT_RATINGS_CTE},
+imean AS (SELECT item_id, avg(rating) AS prediction FROM ratings GROUP BY 1)
+SELECT floor((sqrt(avg((m.prediction - t.rating) * (m.prediction - t.rating)))) * 1000000.0 + 0.5) / 1000000.0
+         AS rmse,
+       floor((avg(abs(m.prediction - t.rating))) * 1000000.0 + 0.5) / 1000000.0 AS mae,
+       count(*) AS n_pairs
+FROM test t JOIN imean m ON m.item_id = t.item_id
+""".strip()
+
+
+# r12 rotation: registration merged into the model-tagged
+# "user_cf_rmse_mae" row below (model 'user_cf') — library API.
 def user_cf_rmse_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4/X5 over M2 predictions on the held-out fold — the reference's
     cross-validation step (Main.scala:304-331) as one plan.
@@ -867,18 +880,8 @@ def user_cf_rmse_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver row; the swapped-out relational rows keep pytest parity.)
 
 
-@register_demoted(
-    "itemmean_rmse_mae",
-    oracle=f"""
-WITH {SPLIT_RATINGS_CTE},
-imean AS (SELECT item_id, avg(rating) AS prediction FROM ratings GROUP BY 1)
-SELECT floor((sqrt(avg((m.prediction - t.rating) * (m.prediction - t.rating)))) * 1000000.0 + 0.5) / 1000000.0
-         AS rmse,
-       floor((avg(abs(m.prediction - t.rating))) * 1000000.0 + 0.5) / 1000000.0 AS mae,
-       count(*) AS n_pairs
-FROM test t JOIN imean m ON m.item_id = t.item_id
-""",
-)
+# r12 rotation: registration merged into the model-tagged
+# "user_cf_rmse_mae" row below (model 'item_mean') — library API.
 def itemmean_rmse_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline predictor (item mean) RMSE/MAE — the floor any CF model
     must beat."""
@@ -887,6 +890,34 @@ def itemmean_rmse_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, test = _split(spark, sf_dir)
     imean = train.groupBy("item_id").agg(F.avg("rating").alias("prediction"))
     return prediction_metrics(test.join(imean, "item_id"))
+
+
+@register(
+    "user_cf_rmse_mae",
+    oracle=f"""
+SELECT 'user_cf' AS model, * FROM ({_USER_CF_RMSE_SQL}) _m_cf
+UNION ALL
+SELECT 'item_mean' AS model, * FROM ({_ITEMMEAN_RMSE_SQL}) _m_im
+""",
+)
+def user_cf_rmse_mae_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged rating-predictor metric row (r12 rotation): the user-CF
+    held-out RMSE/MAE and the item-mean baseline floor as tagged
+    models on one (model, rmse, mae, n_pairs) relation — both members
+    driver-green r10, so one model-tagged slot certifies both plans
+    (the baseline_topk / window-twin merge precedent; each member's
+    oracle replays under its tag).  Keeping the two metrics in one
+    row also keeps the model-vs-floor comparison a downstream reader
+    actually wants side-by-side (the ALS quality gate makes the same
+    comparison in tests/test_als.py)."""
+    cols = ["rmse", "mae", "n_pairs"]
+    cf = user_cf_rmse_mae(spark, sf_dir).select(
+        F.lit("user_cf").alias("model"), *cols
+    )
+    im = itemmean_rmse_mae(spark, sf_dir).select(
+        F.lit("item_mean").alias("model"), *cols
+    )
+    return cf.unionByName(im)
 
 
 def _cv_fold_sql(fold: int) -> str:

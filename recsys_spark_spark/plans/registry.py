@@ -471,24 +471,28 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: multimodal_image_dhash_dedup, events_asof_last_purchase,
 #: events_sliding_1h, events_stream_user_cms,
 #: events_purchase_view_join, item_sims.
-#: MERGE PIPELINE to pull the cycle back toward 2.4 (125 oracled is
-#: 2.50 — over the ceiling until these land; each merge keeps the
+#: CF-metric merge EXECUTED this round alongside the staged rolling
+#: merge (both members driver-green r10): user_cf_rmse_mae absorbed
+#: itemmean_rmse_mae as ONE model-tagged row keeping the first name
+#: ((model, rmse, mae, n_pairs) grain) — oracled 125 -> 124; the
+#: freed window slot re-promotes user_sims.
+#: MERGE PIPELINE to pull the cycle back under 2.4 (124 oracled is
+#: 2.48 — over the ceiling until these land; each merge keeps the
 #: first-listed name and variant-tags the rest, shared oracles
 #: replayed once per tag):
 #:   r13: events_attribution_last_touch(+_chunked)
 #:        (+ events_stream_attribution if its r12 row is green —
-#:        all three share ATTRIBUTION_SQL verbatim)      125 -> 123
+#:        all three share ATTRIBUTION_SQL verbatim)      124 -> 122
 #:   r13: embedding_hard_negatives(+_ivf)(+_lsh) — identical
 #:        (query_id, query_label, match_id, match_label, sim, rank)
 #:        grain; precondition: exact form green r11, ivf/lsh green
-#:        r12                                            123 -> 121
+#:        r12                                            122 -> 120
 #:   r14: fold embedding_hard_negatives_overfetch into the merged
 #:        hard-negative row (same grain, variant 'overfetch';
-#:        precondition: its own r13 driver row green)    121 -> 120
-#: After the pipeline: 120 oracled = 2.40 cycle — AT the ceiling;
-#: further merge frontier if needed: the CF eval family
-#: (user_cf_rmse_mae + itemmean_rmse_mae share the metric grain) or
-#: the corpus sampling trio (pps/mixture/splits, one doc grain).
+#:        precondition: its own r13 driver row green)    120 -> 119
+#: After the pipeline: 119 oracled = 2.38 cycle — back under the
+#: ceiling; further merge frontier if needed: the corpus sampling
+#: trio (pps/mixture/splits, one doc grain).
 #: (orders_rolling_7d_revenue_auto stays standalone: its (form,
 #: hot_key_rows, ...) grain carries the dispatch decision as data and
 #: does not union with the merged rolling row's variant grain.)
@@ -544,11 +548,14 @@ REGISTERED_WINDOW: frozenset[str] = frozenset({
     "neardup_minhash_lsh",
     "neardup_ngram_jaccard",
     "neardup_simhash",
+    # r12-merged: user_cf_rmse_mae absorbed itemmean_rmse_mae as a
+    # model-tagged row; the freed slot re-promotes user_sims (the CF
+    # family tier r11 skipped)
     "user_cf_rmse_mae",
     "user_cf_cv5_rmse",
     "user_cf_ranking_eval",
     "user_cf_coverage_novelty",
-    "itemmean_rmse_mae",
+    "user_sims",
     "rating_stats_per_user",
     "events_stream_quantile_sketch",
     "events_key_skew_audit",
