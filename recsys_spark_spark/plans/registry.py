@@ -433,7 +433,7 @@ DEMOTED: dict[str, QuerySpec] = {}
 #:                  top_orders_per_customer, top_tokens,
 #:                  user_retention_cohorts, user_sims)
 #:   never: 2 no-oracle BY DESIGN (sequential_topk + als_topk) + the
-#:          oracle-less bench carriers + the 3 r12-born queries
+#:          oracle-less bench carriers + the 4 r12-born queries
 #:          (staged at the r13 window head, each born with
 #:          sf0.001+sf0.01+sf0.1 oracle parity + an out-of-repo
 #:          vanilla drive):
@@ -451,9 +451,12 @@ DEMOTED: dict[str, QuerySpec] = {}
 #:          cap audit, thresholded-levenshtein verify; naive
 #:          quadratic dead at 40k names vs blocked 2M in 15 s with
 #:          zero planted pairs lost, stress/blocked_join_stress.py;
-#:          r11 VERDICT #8).
+#:          r11 VERDICT #8), and doc_url_canonical_dedup (URL
+#:          canonicalization + cross-doc dedup keeper election —
+#:          verdict r11 #8's named alternative; every rule exercised
+#:          by planted noise channels and hand-computed pytests).
 #: ROTATION PLAN for round 13 (pre-staged; verify against
-#: CORRECTNESS_r12 first): window = the 3 r12-born queries above
+#: CORRECTNESS_r12 first): window = the 4 r12-born queries above
 #: (never-checked names lead every rotation) + ALL 24 recency-2 rows
 #: above (mandatory) + the TWO staged merges EXECUTED in the same
 #: commit, each merged row taking a slot for an immediate driver row
@@ -476,23 +479,24 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: itemmean_rmse_mae as ONE model-tagged row keeping the first name
 #: ((model, rmse, mae, n_pairs) grain) — oracled 125 -> 124; the
 #: freed window slot re-promotes user_sims.
-#: MERGE PIPELINE to pull the cycle back under 2.4 (124 oracled is
-#: 2.48 — over the ceiling until these land; each merge keeps the
+#: MERGE PIPELINE to pull the cycle back toward 2.4 (125 oracled is
+#: 2.50 — over the ceiling until these land; each merge keeps the
 #: first-listed name and variant-tags the rest, shared oracles
 #: replayed once per tag):
 #:   r13: events_attribution_last_touch(+_chunked)
 #:        (+ events_stream_attribution if its r12 row is green —
-#:        all three share ATTRIBUTION_SQL verbatim)      124 -> 122
+#:        all three share ATTRIBUTION_SQL verbatim)      125 -> 123
 #:   r13: embedding_hard_negatives(+_ivf)(+_lsh) — identical
 #:        (query_id, query_label, match_id, match_label, sim, rank)
 #:        grain; precondition: exact form green r11, ivf/lsh green
-#:        r12                                            122 -> 120
+#:        r12                                            123 -> 121
 #:   r14: fold embedding_hard_negatives_overfetch into the merged
 #:        hard-negative row (same grain, variant 'overfetch';
-#:        precondition: its own r13 driver row green)    120 -> 119
-#: After the pipeline: 119 oracled = 2.38 cycle — back under the
-#: ceiling; further merge frontier if needed: the corpus sampling
-#: trio (pps/mixture/splits, one doc grain).
+#:        precondition: its own r13 driver row green)    121 -> 120
+#: After the pipeline: 120 oracled = 2.40 cycle — at the ceiling;
+#: next merge frontier, in order: the corpus sampling trio
+#: (pps/mixture/splits, one doc grain), dedup_docs +
+#: doc_url_canonical_dedup (both per-doc keeper mappings).
 #: (orders_rolling_7d_revenue_auto stays standalone: its (form,
 #: hot_key_rows, ...) grain carries the dispatch decision as data and
 #: does not union with the merged rolling row's variant grain.)

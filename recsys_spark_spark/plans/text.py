@@ -467,6 +467,113 @@ def doc_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- URL canonicalization + cross-doc dedup (r12) -----------------------------
+#: Deterministic noisy URL per document — the same planting convention
+#: as _URL_AUG_SQL (the corpus has no URLs), but with every
+#: canonicalization noise channel a crawl dedup actually sees, each
+#: keyed to a different doc_id residue so all channels are exercised
+#: and co-occur: scheme case + http/https flip, optional www., host
+#: case, explicit default ports, trailing slash, tracking query,
+#: fragment.  The PATH is keyed to (source, doc_id % 50), so documents
+#: genuinely collide after canonicalization — the duplicate groups the
+#: keeper election is for.  ONE SQL string instantiated in BOTH
+#: engines (Spark F.expr and the DuckDB oracle), the house convention
+#: that keeps the op sequence identical; regexes avoid backslashes so
+#: the literal survives both parsers unchanged.
+_URL_NOISY_SQL = (
+    "concat("
+    "CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END, '://', "
+    "CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END, "
+    "CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END, "
+    "'.Example.ORG', "
+    "CASE WHEN doc_id % 8 = 0 THEN ':443' "
+    "WHEN doc_id % 8 = 1 THEN ':80' ELSE '' END, "
+    "'/doc/', CAST(doc_id % 50 AS STRING), "
+    "CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END, "
+    "CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&x=1' ELSE '' END, "
+    "CASE WHEN doc_id % 4 = 0 THEN '#sec2' ELSE '' END)"
+)
+
+
+def canonical_url_sql(url_expr: str) -> str:
+    """Canonical-URL SQL expression over ``url_expr`` — identical text
+    in Spark (``F.expr``) and DuckDB: strip fragment + query (full
+    query strip; param-allowlisting is a config point, documented),
+    lowercase the host, drop a leading www., drop explicit default
+    ports (:443/:80 — folded for BOTH schemes since the scheme itself
+    is folded out of the identity), drop trailing slashes, and drop
+    the scheme (http/https serve the same document in a crawl).
+    Canonical identity = host + path."""
+    host = (
+        f"regexp_replace(regexp_replace(lower(regexp_extract({url_expr}, "
+        f"'(?i)^https?://([^/?#]+)', 1)), '^www[.]', ''), ':(443|80)$', '')"
+    )
+    path = (
+        f"regexp_replace(regexp_extract({url_expr}, "
+        f"'(?i)^https?://[^/?#]+([^?#]*)', 1), '/+$', '')"
+    )
+    return f"concat({host}, {path})"
+
+
+@register_demoted(
+    "doc_url_canonical_dedup",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, {_URL_NOISY_SQL} AS url FROM documents
+),
+c AS (
+  SELECT doc_id, url, {canonical_url_sql("url")} AS canonical_url FROM u
+),
+g AS (
+  SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+         CAST(count(*) AS BIGINT) AS n_group_docs
+  FROM c GROUP BY 1
+)
+SELECT c.doc_id, c.url, c.canonical_url, g.keeper_doc_id, g.n_group_docs,
+       c.doc_id = g.keeper_doc_id AS is_keeper
+FROM c JOIN g USING (canonical_url)
+""",
+)
+def doc_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document URL dedup — the crawl-pipeline step that folds
+    scheme/case/www/default-port/trailing-slash/query/fragment noise
+    into one canonical URL identity and elects a keeper per group
+    (min doc_id, the exact-dedup convention): per document, its raw
+    URL, canonical form, group keeper, group size, and keeper flag.
+    Every canonicalization rule is an arithmetic-free string
+    transform shared VERBATIM between the engines
+    (``canonical_url_sql``), so the value hash certifies the full
+    rule chain, not a lookalike.
+
+    Scale shape: one narrow projection, one map-side-combinable
+    groupBy on the canonical key (the standard dedup shuffle), one
+    equi-join back on the same key — no pair explosion anywhere; a
+    hot canonical URL (every crawl has them) fattens one group row,
+    never a join.  Output is |docs| rows.  No reference analogue
+    (SURVEY §2 extension — verdict r11 #8's named alternative)."""
+    d = table(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id",
+        F.expr(_URL_NOISY_SQL).alias("url"),
+    ).select(
+        "doc_id",
+        "url",
+        F.expr(canonical_url_sql("url")).alias("canonical_url"),
+    )
+    g = c.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_group_docs"),
+    )
+    return c.join(g, "canonical_url").select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        "keeper_doc_id",
+        "n_group_docs",
+        (F.col("doc_id") == F.col("keeper_doc_id")).alias("is_keeper"),
+    )
+
+
 # --- Zipf rank-frequency fit -------------------------------------------------
 
 #: fit over the top-N tokens by frequency — the head of the

@@ -170,3 +170,54 @@ def test_auto_row_picks_plain_at_test_scale(spark, sf_dir, queries):
     assert 0 < row[0]["hot_key_rows"] < CARRY_CLASS_CROSSOVER_ROWS[
         "range_frame"
     ]
+
+
+def test_url_canonicalization_channels_hand_computed(spark):
+    """Every canonicalization rule against hand-written URLs — scheme
+    fold + case, www strip, host lowercase, default-port strip (both),
+    non-default port KEPT, query strip, fragment strip, trailing-slash
+    strip, and the identity of an already-canonical URL."""
+    from recsys_spark_spark.plans.text import canonical_url_sql
+
+    cases = [
+        ("https://www.Ex.ORG/doc/1", "ex.org/doc/1"),
+        ("HTTP://EX.org/doc/1", "ex.org/doc/1"),  # scheme folded out
+        ("https://ex.org:443/doc/1", "ex.org/doc/1"),
+        ("http://ex.org:80/doc/1", "ex.org/doc/1"),
+        ("http://ex.org:8080/doc/1", "ex.org:8080/doc/1"),  # kept
+        ("https://ex.org/doc/1?utm_source=a&b=2", "ex.org/doc/1"),
+        ("https://ex.org/doc/1#frag", "ex.org/doc/1"),
+        ("https://ex.org/doc/1///", "ex.org/doc/1"),
+        ("https://ex.org/doc/1?q=1#f", "ex.org/doc/1"),
+        ("https://wwwx.ex.org/p", "wwwx.ex.org/p"),  # only 'www.' strips
+        ("https://ex.org", "ex.org"),  # no path at all
+    ]
+    df = spark.createDataFrame(cases, "url string, expected string")
+    from pyspark.sql import functions as F
+
+    got = df.select(
+        "url",
+        "expected",
+        F.expr(canonical_url_sql("url")).alias("canon"),
+    ).collect()
+    for r in got:
+        assert r["canon"] == r["expected"], (r["url"], r["canon"])
+
+
+def test_url_dedup_groups_are_real_and_keeper_is_min(spark, sf_dir, queries):
+    """The planted noise channels must actually COLLIDE across docs
+    (the query is vacuous if every canonical URL is unique), the
+    keeper must be the group min, and exactly one keeper per group."""
+    from pyspark.sql import functions as F
+
+    df = queries["doc_url_canonical_dedup"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert any(r["n_group_docs"] > 1 for r in rows), "no duplicate groups"
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r["canonical_url"], []).append(r)
+    for canon, grp in by_canon.items():
+        keeper = min(r["doc_id"] for r in grp)
+        assert all(r["keeper_doc_id"] == keeper for r in grp)
+        assert sum(r["is_keeper"] for r in grp) == 1
+        assert all(r["n_group_docs"] == len(grp) for r in grp)
