@@ -817,10 +817,9 @@ FROM (
 """.strip()
 
 
-@register_demoted(
-    "embedding_hard_negatives",
-    oracle=HARD_NEG_SQL.format(n_queries=KNN_QUERIES, k=HARD_NEG_K),
-)
+# r13 rotation: registration merged into the variant-tagged
+# "embedding_hard_negatives" row below (variant "exact") — library
+# API, the recall baseline the indexed routes are audited against.
 def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: for each query
     vector, the top-k highest-cosine vectors whose label DIFFERS from
@@ -912,12 +911,8 @@ def hard_negatives(e: DataFrame, n_queries: int, k: int) -> DataFrame:
 
 
 # --- filter-aware ANN on the IVF route (r11) --------------------------------
-@register_demoted(
-    "embedding_hard_negatives_ivf",
-    oracle=knn_ivf_oracle_sql(
-        KNN_QUERIES, HARD_NEG_K, EMB_DIM, exclude_same="label"
-    ),
-)
+# r13 rotation: registration merged into the variant-tagged
+# "embedding_hard_negatives" row below (variant "ivf").
 def embedding_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining through the INDEXED route — the 100 TB
     recipe the exact form's docstring promises, now shipped: the
@@ -959,12 +954,8 @@ def embedding_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_demoted(
-    "embedding_hard_negatives_lsh",
-    oracle=knn_lsh_oracle_sql(
-        KNN_QUERIES, HARD_NEG_K, EMB_DIM, exclude_same="label"
-    ),
-)
+# r13 rotation: registration merged into the variant-tagged
+# "embedding_hard_negatives" row below (variant "lsh").
 def embedding_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining through the NO-TRAINING indexed route:
     the different-label predicate inside ``cosine_knn_lsh``'s bucket
@@ -995,6 +986,60 @@ def embedding_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sim",
         "rank",
     )
+
+
+@register(
+    "embedding_hard_negatives",
+    oracle=f"""
+SELECT 'exact' AS variant, query_id, query_label, match_id, match_label,
+       sim, rank
+FROM ({HARD_NEG_SQL.format(n_queries=KNN_QUERIES, k=HARD_NEG_K)}) _v_exact
+UNION ALL
+SELECT 'ivf' AS variant, query_id, query_label, match_id, match_label,
+       sim, rank
+FROM ({knn_ivf_oracle_sql(KNN_QUERIES, HARD_NEG_K, EMB_DIM, exclude_same="label")}) _v_ivf
+UNION ALL
+SELECT 'lsh' AS variant, query_id, query_label, match_id, match_label,
+       sim, rank
+FROM ({knn_lsh_oracle_sql(KNN_QUERIES, HARD_NEG_K, EMB_DIM, exclude_same="label")}) _v_lsh
+""",
+)
+def embedding_hard_negatives_merged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Merged hard-negative-mining row (r13 rotation): the exact
+    filter-aware miner and BOTH indexed routes (IVF with the predicate
+    inside the candidate join; LSH with it inside the bucket join) as
+    tagged variants on one (variant, query_id, query_label, match_id,
+    match_label, sim, rank) relation — exact driver-green r11,
+    ivf + lsh driver-green r12, so one variant-tagged slot certifies
+    all three plans (the events_attribution_last_touch precedent).
+    Unlike the attribution trio (one shared oracle), each variant
+    keeps its OWN oracle slice — exact replays the full dot-product
+    join, ivf replays seeded-init → Lloyd step → probe → rerank, lsh
+    replays hyperplane signatures → banding → rerank — so the value
+    hash certifies each route's index arithmetic, not just a common
+    aggregate.  The overfetch form (non-pushable sim-cap) joins as the
+    4th variant in r14 once its own r13 driver row lands
+    (embedding_hard_negatives_overfetch below)."""
+    cols = [
+        "query_id",
+        "query_label",
+        "match_id",
+        "match_label",
+        "sim",
+        "rank",
+    ]
+    exact = embedding_hard_negatives(spark, sf_dir).select(
+        F.lit("exact").alias("variant"), *cols
+    )
+    ivf = embedding_hard_negatives_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("variant"), *cols
+    )
+    lsh = embedding_hard_negatives_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("variant"), *cols
+    )
+    return exact.unionByName(ivf).unionByName(lsh)
 
 
 # --- filtered ANN, over-fetch fallback (r12) ---------------------------------

@@ -230,9 +230,11 @@ def _sample_pred(seed: str, permille):
     return hash60(F.col("doc_id").cast("string"), seed=seed) % 1000 < permille
 
 
-@register_demoted(
-    "corpus_samples",
-    oracle=f"""
+#: flags-only oracle of the former standalone corpus_samples row —
+#: replayed verbatim as the `s` CTE of the merged per-doc
+#: decision-table oracle (see the r13 corpus_samples registration
+#: after corpus_splits below)
+CORPUS_SAMPLE_FLAGS_SQL = f"""
 SELECT doc_id, lang, n_chars,
        CAST(CAST(concat('0x', substr(md5(concat('sample|', CAST(doc_id AS VARCHAR))), 1, 15))
                  AS BIGINT) % 1000 < {SAMPLE_PERMILLE} AS INTEGER) AS in_sample,
@@ -241,8 +243,13 @@ SELECT doc_id, lang, n_chars,
             {_STRATA_CASE_SQL}
             AS INTEGER) AS in_strat_sample
 FROM documents
-""",
-)
+""".strip()
+
+
+# r13 rotation: registration merged into the per-doc decision-table
+# "corpus_samples" row (after corpus_splits below), which absorbs
+# corpus_mixture_sample + corpus_splits on the shared all-docs grain
+# (the doc_quality_scores join-merge precedent) — library API.
 def corpus_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash subsampling, uniform AND stratified, as one
     per-document decision table: keep a doc iff md5-hash(doc_id) mod
@@ -629,10 +636,10 @@ def line_dedup(d: DataFrame, line_tokens: int = LINE_TOKENS) -> DataFrame:
 MIX_K = 0.1
 
 
-@register_demoted(
-    # new in r4 (registry window full at 50); rotate REGISTERED in r5
-    "corpus_mixture_sample",
-    oracle=f"""
+#: oracle of the former standalone corpus_mixture_sample row —
+#: replayed verbatim as the `m` CTE of the merged corpus_samples
+#: decision-table oracle
+MIXTURE_SAMPLE_SQL = f"""
 WITH c AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_source
   FROM documents GROUP BY 1
@@ -647,8 +654,12 @@ r AS (
 SELECT doc_id, d.source, n_source, rate_ppm,
        CAST({{h}} % 1000000 < rate_ppm AS INTEGER) AS in_mix
 FROM documents d JOIN r USING (source)
-""".format(h=hash60_sql("CAST(doc_id AS VARCHAR)", "mix")),
-)
+""".strip().format(h=hash60_sql("CAST(doc_id AS VARCHAR)", "mix"))
+
+
+# r13 rotation: registration merged into the per-doc decision-table
+# "corpus_samples" row (after corpus_splits below) — library API,
+# also feeds the planted skewed-corpus pytests via mixture_sample.
 def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mixture-sampling decisions: rare sources are kept
     at a boosted rate ∝ √(N/n_s) (capped at 1), abundant sources are
@@ -666,14 +677,13 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(table(spark, sf_dir, "documents"))
 
 
-def mixture_sample(d: DataFrame, k: float = MIX_K) -> DataFrame:
-    """Library form of corpus_mixture_sample (so tests can plant a
-    skewed source distribution)."""
-    from ..operators.dedup import hash60
-
+def _mixture_rates(d: DataFrame, k: float) -> DataFrame:
+    """Per-source √-temperature acceptance rates (ppm) — SHARED by the
+    mixture_sample library form and the merged corpus_samples decision
+    table so the rate arithmetic can never drift."""
     counts = d.groupBy("source").agg(F.count("*").alias("n_source"))
     tot = d.agg(F.count("*").alias("n"))
-    rates = counts.crossJoin(F.broadcast(tot)).select(
+    return counts.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_source",
         F.floor(
@@ -688,6 +698,14 @@ def mixture_sample(d: DataFrame, k: float = MIX_K) -> DataFrame:
         .cast("bigint")
         .alias("rate_ppm"),
     )
+
+
+def mixture_sample(d: DataFrame, k: float = MIX_K) -> DataFrame:
+    """Library form of corpus_mixture_sample (so tests can plant a
+    skewed source distribution)."""
+    from ..operators.dedup import hash60
+
+    rates = _mixture_rates(d, k)
     return d.join(rates, "source").select(
         "doc_id",
         "source",
@@ -997,9 +1015,10 @@ SPLIT_TRAIN_PM = 960
 SPLIT_VAL_PM = 980
 
 
-@register(
-    "corpus_splits",
-    oracle=f"""
+#: oracle of the former standalone corpus_splits row — replayed
+#: verbatim as the `p` CTE of the merged corpus_samples
+#: decision-table oracle
+CORPUS_SPLITS_SQL = f"""
 SELECT doc_id, lang,
        CASE WHEN pm < {SPLIT_TRAIN_PM} THEN 'train'
             WHEN pm < {SPLIT_VAL_PM} THEN 'val'
@@ -1010,8 +1029,12 @@ FROM (
            % 1000 AS pm
   FROM documents
 )
-""",
-)
+""".strip()
+
+
+# r13 rotation: registration merged into the per-doc decision-table
+# "corpus_samples" row below — library API (the writers'
+# partition-by-split round-trip tests consume this form directly).
 def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic STRATIFIED train/val/test assignment (new r5):
     every document lands in exactly one split by
@@ -1026,9 +1049,16 @@ def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash), not probabilistic.
 
     100 TB shape: one narrow map, no shuffle, no state."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", _split_col().alias("split"))
+
+
+def _split_col():
+    """The stratified split assignment as a pure column expression —
+    SHARED by the corpus_splits library form and the merged
+    corpus_samples decision table so the two can never drift."""
     from ..operators.dedup import hash60
 
-    docs = table(spark, sf_dir, "documents")
     pm = (
         hash60(
             F.concat(
@@ -1038,13 +1068,73 @@ def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         % 1000
     )
-    return docs.select(
-        "doc_id",
-        "lang",
+    return (
         F.when(pm < SPLIT_TRAIN_PM, "train")
         .when(pm < SPLIT_VAL_PM, "val")
         .otherwise("test")
-        .alias("split"),
+    )
+
+
+@register(
+    "corpus_samples",
+    oracle=f"""
+WITH s AS (
+  {CORPUS_SAMPLE_FLAGS_SQL}
+),
+m AS (
+  {MIXTURE_SAMPLE_SQL}
+),
+p AS (
+  {CORPUS_SPLITS_SQL}
+)
+SELECT s.doc_id, s.lang, s.n_chars, s.in_sample, s.in_strat_sample,
+       m.source, m.n_source, m.rate_ppm, m.in_mix, p.split
+FROM s JOIN m ON m.doc_id = s.doc_id JOIN p ON p.doc_id = s.doc_id
+""",
+)
+def corpus_sampling_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged per-document sampling DECISION TABLE (r13 rotation):
+    corpus_samples absorbed corpus_mixture_sample + corpus_splits —
+    all three emit one row per document carrying a pure-function-of-id
+    decision (uniform + stratified keep flags; √-temperature mixture
+    rate + keep flag; train/val/test split), so they share the
+    all-docs grain exactly (the doc_quality_scores join-merge
+    precedent; every member driver-green by r11: samples r10,
+    mixture + splits r11).  The ORACLE replays each member's former
+    standalone SQL verbatim as a CTE and joins on doc_id, so the
+    value hash still certifies every member's hash arithmetic
+    independently; the SPARK side composes the opposite way — ONE
+    scan of documents plus the O(sources) broadcast rate join, every
+    flag row-local — which is the shape a 100 TB pipeline wants (the
+    three-scan join-of-members form would shuffle the corpus on
+    doc_id twice for no reason).
+
+    corpus_pps_sample stays standalone, for the record: it emits a
+    FILTERED sample (with Horvitz–Thompson inclusion probabilities),
+    not an all-docs decision row, so folding it in would change its
+    grain rather than tag it."""
+    from ..operators.dedup import hash60
+
+    d = table(spark, sf_dir, "documents")
+    rates = _mixture_rates(d, MIX_K)
+    return d.join(F.broadcast(rates), "source").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        _sample_pred("sample", SAMPLE_PERMILLE).cast("int").alias("in_sample"),
+        _sample_pred("strata", _strata_rate())
+        .cast("int")
+        .alias("in_strat_sample"),
+        "source",
+        "n_source",
+        "rate_ppm",
+        (
+            hash60(F.col("doc_id").cast("string"), seed="mix") % 1000000
+            < F.col("rate_ppm")
+        )
+        .cast("int")
+        .alias("in_mix"),
+        _split_col().alias("split"),
     )
 
 

@@ -500,74 +500,160 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: (orders_rolling_7d_revenue_auto stays standalone: its (form,
 #: hot_key_rows, ...) grain carries the dispatch decision as data and
 #: does not union with the merged rolling row's variant grain.)
+#:
+#: Round 13 (EXECUTED this round): verified CORRECTNESS_r12 50/50
+#: green first (zero err), then the pre-staged plan ran with THREE
+#: merges executed in this commit:
+#:   (a) attribution trio — events_attribution_last_touch(+_chunked)
+#:       (+ events_stream_attribution, its r12 row green) -> ONE
+#:       variant-tagged row keeping the plain name ((variant, day,
+#:       ...) grain; the shared ATTRIBUTION_SQL independent-algorithm
+#:       oracle replays once per tag)                     125 -> 123
+#:   (b) hard-negative family — embedding_hard_negatives(+_ivf)(+_lsh)
+#:       (exact green r11; ivf/lsh green r12) -> ONE variant-tagged
+#:       row keeping the first name; unlike (a) each variant keeps
+#:       its OWN oracle slice (exact dot-join / IVF pipeline / LSH
+#:       banding), unioned with tags                      123 -> 121
+#:   (c) sampling decision table — corpus_samples absorbed
+#:       corpus_mixture_sample + corpus_splits (the named next merge
+#:       frontier; all-docs per-doc decision grain shared by all
+#:       three — the doc_quality_scores join-merge precedent; members
+#:       green r10/r11/r11).  Spark side = ONE documents scan + the
+#:       O(sources) broadcast rate join; oracle = the three former
+#:       standalone SQLs replayed verbatim as CTEs joined on doc_id.
+#:       corpus_pps_sample stays standalone (FILTERED sample grain,
+#:       not an all-docs decision row)                    121 -> 119
+#: Window = the 4 r12-born queries (orders_rolling_7d_revenue_auto,
+#: embedding_hard_negatives_overfetch, customer_name_er_matches,
+#: doc_url_canonical_dedup) + ALL 23 mandatory recency-2 rows (the
+#: r12 audit's list minus user_sims, which the r12 metric-merge slot
+#: re-promoted and which went green r12 — set arithmetic verified
+#: against CORRECTNESS_r01..r12 keys by script this round; the merged
+#: corpus_samples takes its own mandatory slot for an immediate
+#: driver row on its new columns) + the 2 other merged rows
+#: (events_attribution_last_touch, embedding_hard_negatives — the
+#: doc_unigram_logprob immediate-row precedent) + the 21 suggested
+#: recency-1 rows verbatim.
+#:
+#: Post-r13 audit (recency = rounds since last driver-green row,
+#: assuming the r13 window runs green):
+#:   recency 0: 50 (the window below)
+#:   recency 1: 44 (the r12 window minus the 4 merged-away names that
+#:                  were green r12: events_attribution_last_touch_chunked,
+#:                  events_stream_attribution,
+#:                  embedding_hard_negatives_ivf,
+#:                  embedding_hard_negatives_lsh — their plans now
+#:                  certify through the merged variant rows; minus the
+#:                  two merge keepers re-promoted this round)
+#:   recency 2: 25 (green r11, not re-promoted this round — mandatory
+#:                  in r14: brand_region_market_share,
+#:                  cf_negative_samples, content_topk_cosine,
+#:                  corpus_line_dedup, corpus_vocab,
+#:                  customer_name_fuzzy_pairs, customer_rfm_segments,
+#:                  customer_running_revenue, doc_dedup_cut,
+#:                  doc_duplicate_spans, doc_quality_scores,
+#:                  embedding_centroids_by_label (if not windowed r13
+#:                  — it IS, so drop from this list at r14 staging),
+#:                  events_daily_dense, events_join_explosion_audit,
+#:                  events_prev_gap, events_sessions,
+#:                  events_user_temporal_split, events_value_features,
+#:                  events_value_quantile_sketch,
+#:                  image_dhash_near_pairs, lineitem_bloom_semijoin,
+#:                  top_tokens_cms, user_value_scd2 — plus the two
+#:                  merged-away recency-1 names corpus_mixture_sample
+#:                  / corpus_splits REMOVED from every pool)
+#: Steady state: 119 oracled (125 − 2 attribution − 2 hard-neg − 2
+#: sampling) + 1 r13-born (dedup_incremental, the stored-corpus
+#: incremental dedup frontier) = 120 / 50-row window = 2.40-round
+#: cycle — AT the ceiling, back from r12's 2.50.
+#: ROTATION PLAN for round 14 (pre-staged; verify against
+#: CORRECTNESS_r13 first): window = any r13-born queries
+#: (dedup_incremental) + ALL mandatory recency-2 rows (recompute the
+#: list above against CORRECTNESS_r13 keys — embedding_centroids_by_label
+#: is windowed this round and leaves it) + the staged r14 merges
+#: below, each merged row taking a slot for an immediate driver row +
+#: recency-1 fill.  STAGED MERGES for r14 (execute once
+#: preconditions hold, i.e. every member has a driver-green row):
+#:   (a) fold embedding_hard_negatives_overfetch into the merged
+#:       embedding_hard_negatives row as variant 'overfetch' (same
+#:       grain by its docstring; precondition: its r13 row green)
+#:                                                        120 -> 119
+#:   (b) dedup_docs + doc_url_canonical_dedup -> one variant-tagged
+#:       per-doc keeper-mapping row keeping the dedup_docs name
+#:       (precondition: the URL row's r13 driver row green; check
+#:       column grains union cleanly — both map doc_id -> keeper)
+#:                                                        119 -> 118
+#: Rejected merge candidates, for the record:
+#: orders_rolling_7d_revenue_auto (dispatch-decision grain, see
+#: above); corpus_pps_sample into corpus_samples (filtered-sample
+#: grain vs all-docs decision grain).
 
 #: THE driver-facing correctness window for this round — exactly the
 #: names whose QuerySpec lands in QUERIES; every other registration
 #: lands in DEMOTED regardless of which decorator the def site uses.
 #: Rotations edit THIS tuple (and the audit comment above) only.
 REGISTERED_WINDOW: frozenset[str] = frozenset({
-    # r11-born, never had a driver row (7) — never-checked names lead
-    "embedding_hard_negatives_ivf",
-    "embedding_hard_negatives_lsh",
-    "events_attribution_last_touch_chunked",
-    "events_stream_attribution",
-    "q17_small_quantity_revenue",
-    "q22_dormant_high_value",
-    "events_distinct_sketch_rollup",
-    # merged this round — the variant-tagged rolling-twin row deserves
-    # an immediate driver row on its new variant columns (1)
-    "orders_rolling_7d_revenue",
-    # recency 2 — green r9, skipped in r10/r11 (21, mandatory;
-    # item_pagerank displaced from the r11 window by the re-promoted
-    # recall audit)
-    "item_pagerank",
-    "cf_predictions",
-    "corpus_bpe_pair_counts",
-    "corpus_lang_temperature_weights",
-    "decontaminate_docs",
-    "dedup_docs",
-    "doc_bm25_search",
-    "doc_pii_scrub",
-    "doc_repetition_scores",
-    "doc_simhash",
-    "doc_unigram_logprob",
-    "doc_winnow_fingerprints",
-    "doc_zipf_fit",
-    "event_ratings_projection",
-    "events_dau_wau_stickiness",
-    "events_in_anomaly_windows",
-    "events_json_props",
-    "events_value_robust_scaled",
-    "neardup_dedup_docs",
-    "order_ship_latency",
-    "sales_rollup",
-    # recency 1 — green r10, demoted r11 (21 of 45; tiers r11 skipped:
-    # heavy analytics/streaming, neardup family, CF eval family,
-    # stream quantile sketch, skew/DQ/cap audits, CF top-k + baseline)
-    "hybrid_topk",
-    "corpus_clean",
-    "corpus_train_ready",
-    "neardup_components",
-    "neardup_group_keepers",
-    "neardup_minhash_lsh",
-    "neardup_ngram_jaccard",
-    "neardup_simhash",
-    # r12-merged: user_cf_rmse_mae absorbed itemmean_rmse_mae as a
-    # model-tagged row; the freed slot re-promotes user_sims (the CF
-    # family tier r11 skipped)
-    "user_cf_rmse_mae",
-    "user_cf_cv5_rmse",
-    "user_cf_ranking_eval",
-    "user_cf_coverage_novelty",
-    "user_sims",
-    "rating_stats_per_user",
-    "events_stream_quantile_sketch",
-    "events_key_skew_audit",
-    "events_dq_audit",
-    "dedup_cap_audit",
-    "user_topk_cosine",
-    "item_topk_cosine",
-    "baseline_topk",
+    # r12-born, never had a driver row (4) — never-checked names lead
+    "orders_rolling_7d_revenue_auto",
+    "embedding_hard_negatives_overfetch",
+    "customer_name_er_matches",
+    "doc_url_canonical_dedup",
+    # merged this round — each variant-tagged row deserves an
+    # immediate driver row on its new variant columns (2; the third
+    # merge keeper corpus_samples sits in its mandatory recency-2
+    # slot below)
+    "events_attribution_last_touch",
+    "embedding_hard_negatives",
+    # recency 2 — green r10, skipped in r11/r12 (23, mandatory; the
+    # r12 audit listed 24 including user_sims, but the r12
+    # metric-merge slot re-promoted user_sims and it went green r12)
+    "corpus_pack",
+    "corpus_samples",
+    "customer_k_anonymity",
+    "customer_semi_anti_joins",
+    "doc_chunks",
+    "doc_stats_by_lang",
+    "doc_url_domains",
+    "embedding_knn_lsh",
+    "embedding_semdedup",
+    "events_anomaly_daily",
+    "events_daily",
+    "events_funnel",
+    "events_transition_matrix",
+    "item_cooccurrence_lift",
+    "item_graph_triangles",
+    "multimodal_features_frames",
+    "order_customer_set_ops",
+    "order_priority_pivot",
+    "part_price_median_by_brand",
+    "sales_cube",
+    "top_orders_per_customer",
+    "top_tokens",
+    "user_retention_cohorts",
+    # recency 1 — green r11, demoted r12 (the 21 suggested picks:
+    # ANN/embedding family, seq trio, TPC-H q1/q3/q5, multimodal
+    # decode, as-of/stream companions, item_sims)
+    "embedding_knn_exact",
+    "embedding_knn_indexed",
+    "embedding_knn_recall_audit",
+    "embedding_neardup_pairs",
+    "embedding_semdedup_scale",
+    "embedding_centroids_by_label",
+    "seq_baskets_periods",
+    "seq_rule_support",
+    "seq_sequences",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "multimodal_ppm_resize",
+    "multimodal_video_frames",
+    "multimodal_wav_features",
+    "multimodal_image_dhash_dedup",
+    "events_asof_last_purchase",
+    "events_sliding_1h",
+    "events_stream_user_cms",
+    "events_purchase_view_join",
+    "item_sims",
 })
 
 

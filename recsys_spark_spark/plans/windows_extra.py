@@ -1331,7 +1331,10 @@ GROUP BY 1
 """.strip()
 
 
-@register_demoted("events_attribution_last_touch", oracle=ATTRIBUTION_SQL)
+# r13 rotation: registration merged into the variant-tagged
+# "events_attribution_last_touch" row below (variant "plain") —
+# library API, feeds the merged plain slice and the planted-fixture
+# pytests.
 def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily last-touch attribution: each purchase is credited to the
     most recent prior view by the same user within a 7-day lookback
@@ -1421,9 +1424,8 @@ def _attribution_daily_agg(attr: DataFrame) -> DataFrame:
     )
 
 
-@register_demoted(
-    "events_attribution_last_touch_chunked", oracle=ATTRIBUTION_SQL
-)
+# r13 rotation: registration merged into the variant-tagged
+# "events_attribution_last_touch" row below (variant "chunked").
 def events_attribution_last_touch_chunked(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1445,7 +1447,8 @@ def events_attribution_last_touch_chunked(
     )
 
 
-@register_demoted("events_stream_attribution", oracle=ATTRIBUTION_SQL)
+# r13 rotation: registration merged into the variant-tagged
+# "events_attribution_last_touch" row below (variant "streaming").
 def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING last-touch attribution — the L6 completion of the
     r10-born attribution family (r10 VERDICT #8 option a), third
@@ -1514,6 +1517,58 @@ def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap_us.alias("gap_us"),
     )
     return _attribution_daily_agg(attr)
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+SELECT 'plain' AS variant, * FROM ({ATTRIBUTION_SQL}) _v_plain
+UNION ALL
+SELECT 'chunked' AS variant, * FROM ({ATTRIBUTION_SQL}) _v_chunked
+UNION ALL
+SELECT 'streaming' AS variant, * FROM ({ATTRIBUTION_SQL}) _v_streaming
+""",
+)
+def events_attribution_last_touch_merged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Merged attribution-family row (r13 rotation): the batch as-of
+    plan, its ghost-carry bounded-task twin, and the STREAMING
+    stream-stream-join form as tagged variants on one (variant, day,
+    n_purchases, n_attributed, attributed_value, direct_value,
+    avg_gap_s) relation — all three members driver-green by r12
+    (plain r11; chunked + streaming r12), so one variant-tagged slot
+    certifies all three plans forever (the orders_rolling_7d_revenue
+    precedent; the shared ATTRIBUTION_SQL oracle — an INDEPENDENT
+    quadratic-argmax algorithm — replays once per tag).  Gap sums run
+    in exact int64 microseconds, so every variant is bit-stable
+    against the oracle with no rounding caveat beyond the shared
+    6-dp output quantization.
+
+    Scale shape per member unchanged: plain = one user shuffle +
+    linear carry (operators/asof.py); chunked = per-(user, day-chunk)
+    task bound (asof_join_chunked, crossover in
+    stress/asof_twin_stress.py); streaming = watermark-bounded
+    stream-stream join through the exactly-once batch_id sink
+    (streaming/joins.py)."""
+    cols = [
+        "day",
+        "n_purchases",
+        "n_attributed",
+        "attributed_value",
+        "direct_value",
+        "avg_gap_s",
+    ]
+    plain = events_attribution_last_touch(spark, sf_dir).select(
+        F.lit("plain").alias("variant"), *cols
+    )
+    chunked = events_attribution_last_touch_chunked(spark, sf_dir).select(
+        F.lit("chunked").alias("variant"), *cols
+    )
+    streaming = events_stream_attribution(spark, sf_dir).select(
+        F.lit("streaming").alias("variant"), *cols
+    )
+    return plain.unionByName(chunked).unionByName(streaming)
 
 
 # --- bounded-task twin of the time-RANGE rolling window (r10) ----------------

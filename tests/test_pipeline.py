@@ -367,13 +367,9 @@ def test_bpe_pair_counts_hand_computed(spark, tmp_path):
 def test_corpus_splits_disjoint_total_and_stable(spark, sf_dir):
     """Every doc in exactly one split; assignment is a pure function
     (rerun-identical); split rates land near 96/2/2 per stratum."""
-    # look the query up across BOTH tiers — the registered/demoted
-    # split rotates every round (round-6 lesson: a DEMOTED[...] lookup
-    # broke the moment the rotation promoted the query)
-    from recsys_spark_spark.plans.registry import DEMOTED, QUERIES, _load_all
-
-    _load_all()
-    fn = {**QUERIES, **DEMOTED}["corpus_splits"].fn
+    # r13: corpus_splits merged into the corpus_samples decision-table
+    # row — the library form is the stable handle
+    from recsys_spark_spark.plans.pipeline import corpus_splits as fn
     a = {r["doc_id"]: r["split"] for r in fn(spark, sf_dir).collect()}
     b = {r["doc_id"]: r["split"] for r in fn(spark, sf_dir).collect()}
     assert a == b
