@@ -93,6 +93,7 @@ def asof_join_chunked(
     tiebreak: str | None = None,
     out_col: str | None = None,
     chunk_s: int = 86_400,
+    check_unique: bool = False,
 ) -> DataFrame:
     """Bounded-task scale twin of :func:`asof_join` (IDENTICAL output
     and semantics) — fifth member of the chunked window-twin family
@@ -133,7 +134,37 @@ def asof_join_chunked(
     compares through the VALUE field and deterministically serves the
     largest value — the two forms can then disagree (and the plain
     form can disagree with itself across shuffles).  The registered
-    attribution query is immune (its value_col IS the right ts)."""
+    attribution query is immune (its value_col IS the right ts).
+
+    ``check_unique=True`` (r12 VERDICT #5) ENFORCES that contract
+    instead of documenting it: one aggregate over the right side
+    counts (key, ts, tiebreak) groups holding more than one DISTINCT
+    value (same-value duplicates are harmless — any order serves the
+    same answer) and raises ``ValueError`` naming an offending key —
+    a loud failure where the divergence would otherwise be silent.
+    The check is an EAGER Spark action at call time (one
+    groupBy + limit-1 collect, O(right) map-side-combinable);
+    default-off so production plans stay fully lazy."""
+    if check_unique:
+        tb_chk = tiebreak or right_ts
+        dup = (
+            right.groupBy(by, right_ts, tb_chk)
+            .agg(F.count_distinct(F.col(value_col)).alias("_nv"))
+            .where(F.col("_nv") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            d = dup[0]
+            raise ValueError(
+                "asof_join_chunked: duplicate right rows at "
+                f"({by}={d[by]!r}, {right_ts}={d[right_ts]!r}, "
+                f"tiebreak={d[tb_chk]!r}) carry {d['_nv']} distinct "
+                f"{value_col!r} values — the window order among them is "
+                "ambiguous and the plain/chunked twins can diverge; make "
+                "the tiebreak unique per (key, ts) or collapse the "
+                "duplicates first"
+            )
     out_col = out_col or f"asof_{value_col}"
     tb_l = tiebreak or left_ts
     tb_r = tiebreak or right_ts

@@ -43,10 +43,17 @@ MAX_BLOCK = 1000
 
 
 def _pass_rows(
-    rows: DataFrame, key_col: str, passes: list[tuple[str, Column]]
+    rows: DataFrame,
+    key_col: str,
+    passes: list[tuple[str, Column]],
+    array_passes: list[tuple[str, Column]] = (),
 ) -> DataFrame:
-    """(pass, bk, name) across all blocking passes — one narrow union,
-    no explode (each pass contributes exactly one row per input)."""
+    """(pass, bk, name) across all blocking passes — one narrow union.
+    ``passes`` entries contribute exactly one row per input (scalar
+    key, no explode); ``array_passes`` entries (r13) hold an
+    ``array<string>`` key expression and contribute one row per
+    element — the neighborhood-key shape (symmetric-deletion variants,
+    token sets), bounded by the caller's array construction."""
     parts = [
         rows.select(
             F.lit(pname).alias("pass"),
@@ -54,6 +61,15 @@ def _pass_rows(
             F.col(key_col).alias("name"),
         )
         for pname, expr in passes
+    ] + [
+        rows.select(
+            F.lit(pname).alias("pass"),
+            # cast BEFORE the explode: a generator cannot nest inside
+            # another expression (Spark UNSUPPORTED_GENERATOR)
+            F.explode(expr.cast("array<string>")).alias("bk"),
+            F.col(key_col).alias("name"),
+        )
+        for pname, expr in array_passes
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -61,19 +77,38 @@ def _pass_rows(
     return out.where(F.col("bk").isNotNull())
 
 
+def block_sizes(
+    rows: DataFrame,
+    key_col: str,
+    passes: list[tuple[str, Column]],
+    array_passes: list[tuple[str, Column]] = (),
+) -> DataFrame:
+    """(pass, bk, c) — the one count-per-key aggregate both the
+    keep-filter and the drop audit consume.  Callers running the audit
+    ALONGSIDE the candidate build (the documented ER pattern) should
+    compute this once and pass it to both (r12 ADVICE: the previous
+    shape rebuilt the pass union and the count shuffle twice)."""
+    return _pass_rows(rows, key_col, passes, array_passes).groupBy(
+        "pass", "bk"
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+
 def blocked_cap_audit(
     rows: DataFrame,
     key_col: str,
     passes: list[tuple[str, Column]],
     max_block: int = MAX_BLOCK,
+    array_passes: list[tuple[str, Column]] = (),
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Per-pass drop report: (pass, n_blocks, n_blocks_dropped,
     rows_in_dropped).  A dropped block means every pair RELYING ON
     THAT PASS ALONE is lost — the no-silent-caps discipline makes the
-    loss a first-class relation instead of a surprise."""
-    sizes = _pass_rows(rows, key_col, passes).groupBy("pass", "bk").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    loss a first-class relation instead of a surprise.  ``sizes``: a
+    precomputed :func:`block_sizes` relation to share with the
+    candidate build (one aggregate serves both)."""
+    if sizes is None:
+        sizes = block_sizes(rows, key_col, passes, array_passes)
     hot = F.col("c") > max_block
     return sizes.groupBy("pass").agg(
         F.count(F.lit(1)).alias("n_blocks"),
@@ -89,19 +124,18 @@ def _raw_candidates(
     key_col: str,
     passes: list[tuple[str, Column]],
     max_block: int,
+    array_passes: list[tuple[str, Column]] = (),
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Within-block pairs (name_a < name_b) across surviving blocks,
     WITH cross-pass duplicates — callers place the dedup shuffle where
     it is cheapest (after a selective verify, the duplicates are a
     row-local recompute; before it, they are a full-width shuffle of
     the much larger candidate relation)."""
-    b = _pass_rows(rows, key_col, passes)
-    keep = (
-        b.groupBy("pass", "bk")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") <= max_block)
-        .select("pass", "bk")
-    )
+    b = _pass_rows(rows, key_col, passes, array_passes)
+    if sizes is None:
+        sizes = block_sizes(rows, key_col, passes, array_passes)
+    keep = sizes.where(F.col("c") <= max_block).select("pass", "bk")
     b = b.join(keep, ["pass", "bk"])
     a, c = b.alias("a"), b.alias("c")
     return a.join(
@@ -120,10 +154,14 @@ def blocked_candidates(
     key_col: str,
     passes: list[tuple[str, Column]],
     max_block: int = MAX_BLOCK,
+    array_passes: list[tuple[str, Column]] = (),
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct unordered candidate pairs (name_a < name_b) sharing at
     least one surviving block across the passes."""
-    return _raw_candidates(rows, key_col, passes, max_block).distinct()
+    return _raw_candidates(
+        rows, key_col, passes, max_block, array_passes, sizes
+    ).distinct()
 
 
 def blocked_fuzzy_pairs(
@@ -132,6 +170,8 @@ def blocked_fuzzy_pairs(
     passes: list[tuple[str, Column]],
     max_dist: int = 2,
     max_block: int = MAX_BLOCK,
+    array_passes: list[tuple[str, Column]] = (),
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """(name_a, name_b, dist) with exact ``levenshtein`` ≤ max_dist,
     verified on the blocked candidate set only.
@@ -148,7 +188,9 @@ def blocked_fuzzy_pairs(
     verify — the raw block join + scan is 6 s, the JVM levenshtein
     ~30 s; blocking's job is to make the verified set small, and the
     cap audit is where to look when it is not."""
-    p = _raw_candidates(rows, key_col, passes, max_block)
+    p = _raw_candidates(
+        rows, key_col, passes, max_block, array_passes, sizes
+    )
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"), max_dist)
     return (
         p.select("name_a", "name_b", dist.cast("int").alias("dist"))

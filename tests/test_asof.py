@@ -168,3 +168,32 @@ def test_asof_chunked_equals_plain_on_dense_history(spark):
         for r in _chunked(left, right, by="k", value_col="v", chunk_s=30).collect()
     }
     assert plain == chunked
+
+
+def test_asof_chunked_check_unique_raises_on_ambiguous_duplicates(spark):
+    """r12 VERDICT #5: duplicate (key, ts, tiebreak) right rows with
+    DIFFERENT values make the twin order ambiguous — strict mode must
+    fail loudly instead of silently diverging from the plain form."""
+    import pytest
+
+    left = spark.createDataFrame([(1, _ts(10))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(5), 10.0), (1, _ts(5), 11.0)],
+        "k long, ts timestamp, v double",
+    )
+    with pytest.raises(ValueError, match="distinct 'v' values"):
+        _chunked(left, right, by="k", value_col="v", check_unique=True)
+
+
+def test_asof_chunked_check_unique_allows_same_value_duplicates(spark):
+    """Same-value duplicates are harmless (any order serves the same
+    answer) — strict mode must NOT reject them."""
+    left = spark.createDataFrame([(1, _ts(10))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(5), 10.0), (1, _ts(5), 10.0), (1, _ts(7), 12.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = _chunked(
+        left, right, by="k", value_col="v", check_unique=True
+    ).collect()
+    assert len(out) == 1 and out[0]["asof_v"] == 12.0

@@ -100,7 +100,7 @@ def test_blocked_join_plan_is_equi_join_not_cartesian(spark, sf_dir):
     (pass, bk) — a planner fallback to BroadcastNestedLoopJoin or
     CartesianProduct would silently reintroduce the all-pairs scan
     the operator exists to avoid."""
-    from recsys_spark_spark.plans.linkage import ER_SEGMENTS, MAX_BUCKET
+    from recsys_spark_spark.plans.linkage import MAX_BUCKET, er_passes
     from recsys_spark_spark.sources.readers import table
 
     names = (
@@ -108,8 +108,9 @@ def test_blocked_join_plan_is_equi_join_not_cartesian(spark, sf_dir):
         .select(F.col("c_name").alias("name"))
         .distinct()
     )
+    passes, array_passes = er_passes("name")
     pairs = blocked_fuzzy_pairs(
-        names, "name", _seg_passes(ER_SEGMENTS), 2, MAX_BUCKET
+        names, "name", passes, 2, MAX_BUCKET, array_passes=array_passes
     )
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
@@ -120,13 +121,22 @@ def test_blocked_join_plan_is_equi_join_not_cartesian(spark, sf_dir):
 def test_er_query_recall_vs_exact_on_real_names(spark, sf_dir, duck):
     """The registered query's blocking recall against EXACT all-pairs
     ED<=2 over the real customer names (1500 at sf0.01, brute force
-    affordable here, never in the engine): the capped blocking keeps
-    >= 0.9 of true pairs — the dropped all-names '000' head segment
-    costs the rest, visibly (the audit row), not silently."""
+    affordable here, never in the engine).  r13 pass redesign
+    (interleaved segment-pair keys + the suffix delete-1 neighborhood
+    — rationale at plans/linkage.py::ER_N_SEGMENTS): equal-length
+    ED<=2 = {Hamming<=2} ∪ {1-ins+1-del shifts}; the segment pairs
+    are pigeonhole-exact for the first class while nothing drops, the
+    delete-1 pass catches the second, so recall is 1.0 on this corpus
+    (measured 0.92 under the r12 contiguous-segment design, whose
+    all-names '000' head block dropped).  The cap stays active
+    (MAX_BUCKET unchanged; the planted-hot-block test above keeps the
+    drop path exercised) and the shared sizes relation feeds both the
+    keep-filter and the audit (r12 ADVICE)."""
+    from recsys_spark_spark.operators.blocking import block_sizes
     from recsys_spark_spark.plans.linkage import (
         ER_MAX_DIST,
-        ER_SEGMENTS,
         MAX_BUCKET,
+        er_passes,
     )
     from recsys_spark_spark.sources.readers import table
 
@@ -142,29 +152,32 @@ def test_er_query_recall_vs_exact_on_real_names(spark, sf_dir, duck):
         .select(F.col("c_name").alias("name"))
         .distinct()
     )
+    passes, array_passes = er_passes("name")
+    sizes = block_sizes(names, "name", passes, array_passes)
     pairs = blocked_fuzzy_pairs(
         names,
         "name",
-        _seg_passes(ER_SEGMENTS),
+        passes,
         max_dist=ER_MAX_DIST,
         max_block=MAX_BUCKET,
+        array_passes=array_passes,
+        sizes=sizes,
     )
     got = {(r["name_a"], r["name_b"]) for r in pairs.collect()}
     ex = {tuple(r) for r in exact}
     assert got <= ex  # verify is exact: no false positives, ever
     recall = len(got & ex) / len(ex)
-    assert recall >= 0.90, f"blocking recall regressed: {recall:.3f}"
-    # any hot-block drop the recall pays for is audited, not silent:
-    # the all-names '000' head segment is one block of |names| rows,
-    # dropped exactly when the corpus outgrows the cap (sf0.01+; at
-    # sf0.001's 150 names it survives and recall is 1.0)
-    n = names.count()
+    assert recall >= 0.97, f"blocking recall regressed: {recall:.3f}"
+    # no block outgrows the cap on this corpus under the interleaved
+    # keys — the audit (fed by the SAME sizes relation as the
+    # keep-filter) proves the recall is cap-free, not cap-lucky
     audit = {
         r["pass"]: r["n_blocks_dropped"]
         for r in blocked_cap_audit(
-            names, "name", _seg_passes(ER_SEGMENTS), MAX_BUCKET
+            names, "name", passes, MAX_BUCKET,
+            array_passes=array_passes, sizes=sizes,
         ).collect()
     }
-    assert audit["seg1"] == (1 if n > MAX_BUCKET else 0)
-    if n <= MAX_BUCKET:
-        assert recall == 1.0  # nothing dropped -> pigeonhole recall
+    assert set(audit) == {f"p{a}{b}" for a in range(4) for b in range(4) if a < b} | {"del1"}
+    assert all(v == 0 for v in audit.values())
+    assert recall == 1.0  # nothing dropped -> pigeonhole + del1 recall
