@@ -90,13 +90,49 @@ def normalized_grand(total: float, gemm_gflops: float | None):
     JSON contract — pure so the contract is pytest-able without running
     the bench.  ``valid`` is None when no probe ran (smoke scales:
     nothing to validate), False when the probe is off-band (normalized
-    nulled), True in-band."""
-    if not gemm_gflops:
+    nulled), True in-band.  A measured 0.0 is an OFF-BAND reading, not
+    a skip (r12 ADVICE: the falsy check misclassified a degenerate
+    probe as a smoke-scale skip)."""
+    if gemm_gflops is None:
         return None, None
     lo, hi = NORMALIZED_VALID_GFLOPS
     if not (lo <= gemm_gflops <= hi):
         return None, False
     return round(total * gemm_gflops / REFERENCE_GFLOPS, 3), True
+
+
+#: r13 NORMALIZATION CONVENTION (VERDICT r12 #2): the JVM-side
+#: calibration DRIVES cross-round normalization; the BLAS GEMM stays a
+#: secondary witness only.  Evidence (PERF.md r12): on one idle host
+#: the GEMM probe spread 4.7x across three runs (134 -> 59 -> 28.5
+#: GFLOPS) — and 20x in a same-minute A/B (11.6 GFLOPS vs jvm 4.55
+#: Ghashes/s in-band) — while the JVM raw band moved 8%; GEMM feels
+#: co-tenant memory-bandwidth pressure the cache-resident
+#: whole-stage-codegen workload (what the bench actually measures)
+#: does not.  The pin is the r12 host's recorded calibration (5.4
+#: Ghashes/s, BENCH_r12_local_run3 / PERF.md r12 — "the baseline for
+#: future rounds"), so normalized values read as "seconds on the r12
+#: bench host".
+REFERENCE_JVM_GHASHES = 5.4
+
+#: same [half, double] validity-domain discipline as the GEMM model:
+#: a linear throughput correction is first-order and only trustworthy
+#: near the calibration point; off-band hosts null the field.
+JVM_NORMALIZED_VALID_GHASHES = (2.7, 10.8)
+
+
+def normalized_grand_jvm(total: float, jvm_ghashes: float | None):
+    """(normalized_seconds | None, valid: bool | None) — the PRIMARY
+    cross-round normalization since r13 (same contract shape as
+    :func:`normalized_grand`: None = no calibration ran, False =
+    off-band reading nulled, True = in-band).  A measured 0.0 is
+    off-band, never a skip."""
+    if jvm_ghashes is None:
+        return None, None
+    lo, hi = JVM_NORMALIZED_VALID_GHASHES
+    if not (lo <= jvm_ghashes <= hi):
+        return None, False
+    return round(total * jvm_ghashes / REFERENCE_JVM_GHASHES, 3), True
 
 
 def main() -> None:
@@ -130,26 +166,6 @@ def main() -> None:
 
     # warm the JVM + parquet footers once with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
-
-    # JVM-side calibration (r12): the BLAS GEMM probe proved unstable
-    # on some hosts (134 -> 59 GFLOPS between idle runs) while JVM raw
-    # grands stayed within 3.5% — GEMM feels co-tenant memory-bandwidth
-    # pressure the cache-resident JVM workload does not (PERF.md r12).
-    # Time a FIXED whole-stage-codegen job (range -> xxhash64 ->
-    # bit_xor, fully deterministic, no I/O) as the calibration load
-    # that tracks what the bench actually measures; best of 2 to shed
-    # JIT warmup.  Recorded alongside gemm_gflops for cross-round
-    # readers — no convention change yet, evidence first.
-    if ambient:
-        jvm_best = float("inf")
-        for _ in range(2):
-            j0 = time.perf_counter()
-            spark.range(8_000_000_000).selectExpr(
-                "bit_xor(xxhash64(id)) AS h"
-            ).collect()
-            jvm_best = min(jvm_best, time.perf_counter() - j0)
-        ambient["jvm_xxhash_sec"] = round(jvm_best, 3)
-        ambient["jvm_ghashes_per_sec"] = round(8.0 / jvm_best, 2)
 
     # SPARK_GRAFT_BENCH_FIRST hoists one query to the head of the
     # (otherwise alphabetical) loop — the r11 probe instrument for
@@ -249,12 +265,6 @@ def main() -> None:
             stages[name] = tr
 
     total = round(sum(timings.values()), 3)
-    # host-normalized grand (see REFERENCE_GFLOPS): None when the quiet
-    # probe was skipped (smoke scales) OR the probe read off-band
-    # (NORMALIZED_VALID_GFLOPS) — never guess the host speed
-    grand_normalized, normalized_valid = normalized_grand(
-        total, ambient.get("gemm_gflops")
-    )
 
     # scale-curve evidence: replay the bench set at sf0.01 AFTER the
     # cold headline pass (protocol above stays round-comparable; the
@@ -279,6 +289,37 @@ def main() -> None:
                 "ratio": round(timings[name] / t_small, 2) if t_small else None,
             }
 
+    # JVM-side calibration (r12, CONVENTION-DRIVING since r13 — see
+    # REFERENCE_JVM_GHASHES): a FIXED whole-stage-codegen job (range
+    # 8B -> xxhash64 -> bit_xor, fully deterministic, no I/O), best of
+    # 2.  Runs AFTER every timed loop (r12 ADVICE: between warm-up and
+    # the loop it changed the JVM/JIT age the timed queries saw,
+    # breaking like-for-like with pre-r12 raw grands; the r12 band
+    # 140.8-152.4 s carries that pre-loop calibration — noted in
+    # PERF.md).  The aged-JVM placement is itself fixed convention:
+    # every round's calibration now measures the same
+    # post-17-query JVM state.
+    if ambient:
+        jvm_best = float("inf")
+        for _ in range(2):
+            j0 = time.perf_counter()
+            spark.range(8_000_000_000).selectExpr(
+                "bit_xor(xxhash64(id)) AS h"
+            ).collect()
+            jvm_best = min(jvm_best, time.perf_counter() - j0)
+        ambient["jvm_xxhash_sec"] = round(jvm_best, 3)
+        ambient["jvm_ghashes_per_sec"] = round(8.0 / jvm_best, 2)
+
+    # PRIMARY host-normalized grand (r13 convention): JVM calibration
+    # drives it; the GEMM-normalized line stays as a secondary witness.
+    # Both null their field off-band — never guess the host speed.
+    grand_jvm_normalized, jvm_normalized_valid = normalized_grand_jvm(
+        total, ambient.get("jvm_ghashes_per_sec")
+    )
+    grand_normalized, normalized_valid = normalized_grand(
+        total, ambient.get("gemm_gflops")
+    )
+
     print(
         json.dumps(
             {
@@ -289,6 +330,9 @@ def main() -> None:
                 "stages": stages,
                 "scaling": scaling,
                 "ambient": ambient,
+                "grand_jvm_normalized": grand_jvm_normalized,
+                "jvm_normalized_valid": jvm_normalized_valid,
+                "reference_jvm_ghashes": REFERENCE_JVM_GHASHES,
                 "grand_gflops_normalized": grand_normalized,
                 "normalized_valid": normalized_valid,
                 "reference_gflops": REFERENCE_GFLOPS,
@@ -321,6 +365,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "grand": total,
+                "grand_jvm_normalized": grand_jvm_normalized,
+                "jvm_normalized_valid": jvm_normalized_valid,
+                "reference_jvm_ghashes": REFERENCE_JVM_GHASHES,
                 "grand_gflops_normalized": grand_normalized,
                 "normalized_valid": normalized_valid,
                 "reference_gflops": REFERENCE_GFLOPS,

@@ -254,13 +254,44 @@ def test_bench_normalized_grand_validity_domain():
     # the r11 driver incident verbatim: 18 GFLOPS → nulled + invalid
     assert normalized_grand(198.3, 18.0) == (None, False)
     assert normalized_grand(100.0, hi * 2) == (None, False)
-    # no probe (smoke scale): nothing to validate
+    # no probe (smoke scale): nothing to validate; a MEASURED 0.0 is an
+    # off-band reading, not a skip (r12 ADVICE — the falsy check
+    # misclassified a degenerate probe)
     assert normalized_grand(100.0, None) == (None, None)
-    assert normalized_grand(100.0, 0.0) == (None, None)
+    assert normalized_grand(100.0, 0.0) == (None, False)
     # in-band (incl. both edges): linear model applies
     assert normalized_grand(100.0, 240.0) == (100.0, True)
     assert normalized_grand(100.0, lo) == (round(100 * lo / 240.0, 3), True)
     assert normalized_grand(100.0, hi) == (round(100 * hi / 240.0, 3), True)
+
+
+def test_bench_jvm_normalized_grand_contract():
+    """r13 convention (VERDICT r12 #2): the JVM whole-stage-codegen
+    calibration DRIVES cross-round normalization — the GEMM probe
+    proved 4.7x unstable on an idle host while the JVM band moved 8%,
+    so GEMM can never drive it.  Same contract shape: None = no
+    calibration, off-band (incl. a measured 0.0) = nulled + invalid,
+    in-band = linear correction against the 5.4 Ghashes/s r12 pin."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    from bench import (
+        JVM_NORMALIZED_VALID_GHASHES,
+        REFERENCE_JVM_GHASHES,
+        normalized_grand_jvm,
+    )
+
+    lo, hi = JVM_NORMALIZED_VALID_GHASHES
+    assert REFERENCE_JVM_GHASHES == 5.4  # the recorded r12 baseline
+    assert lo == REFERENCE_JVM_GHASHES / 2 and hi == REFERENCE_JVM_GHASHES * 2
+    assert normalized_grand_jvm(100.0, None) == (None, None)
+    assert normalized_grand_jvm(100.0, 0.0) == (None, False)
+    assert normalized_grand_jvm(100.0, hi * 2) == (None, False)
+    # the r12 run-3 record verbatim: 152.402 s at 5.4 Ghashes/s is
+    # 152.402 normalized seconds (the pin host normalizes to itself)
+    assert normalized_grand_jvm(152.402, 5.4) == (152.402, True)
+    assert normalized_grand_jvm(100.0, lo) == (round(100 * lo / 5.4, 3), True)
+    assert normalized_grand_jvm(100.0, hi) == (round(100 * hi / 5.4, 3), True)
 
 
 def test_cooccurrence_lift_distributed_topn(spark, sf_dir, queries):
