@@ -1,0 +1,299 @@
+"""Incremental near-dedup against a STORED signature corpus (r13
+frontier operator — VERDICT r12 #7).
+
+Every shipped dedup family is batch: corpus vs itself, rescanning
+everything per run.  A production ingestion pipeline dedups *new
+shards against the existing corpus store* — at 100 TB the corpus
+CANNOT be rescanned per arriving shard, so the store holds the
+corpus's MinHash state instead of its text:
+
+- ``sigs``  (id, sig array<bigint>[N_HASHES]) — the per-doc MinHash
+  signature, O(docs x N_HASHES) however large the documents are;
+- ``bands`` (id, band, bsig) — the LSH banding of those signatures,
+  the equi-join key that finds candidates without pair explosion.
+
+Matching a new shard is then O(shard + candidates): shingle/sign/band
+the SHARD ONLY (the only text touched), equi-join its band rows
+against the stored band table, and verify candidates by MinHash
+COMPONENT AGREEMENT — ``|{i : sig_a[i] = sig_b[i]}| / N_HASHES``, the
+unbiased Jaccard estimator (E[agreement] = J exactly, per-component
+collision probability of MinHash).  Exact-Jaccard verification would
+need the stored docs' shingle sets, i.e. a corpus rescan — the
+estimator is what lets the store stay signature-sized; its rational
+arithmetic (n_agree / N_HASHES) is bit-stable across engines, so the
+whole incremental path carries a DuckDB value-hash oracle
+(:func:`incremental_neardup_sql`).  Threshold guidance: at true
+Jaccard J the agreement count is Binomial(N_HASHES, J), so
+min_agree = N_HASHES/2 targets J >= 0.5 with sigma = sqrt(J(1-J)/64)
+~ 0.06 — same operating point as the batch MinHash family.
+
+Store maintenance reuses the exactly-once idempotent-partition
+pattern of ``streaming/sinks.py``: each appended shard writes under
+its own ``shard_id=`` partition with dynamic partition overwrite, so
+a replayed/retried append REPLACES its own partition — duplicates
+are structurally impossible without a transaction log
+(:func:`append_shard_to_store`, replay contract pytest-pinned).
+
+100 TB shape: the store is (docs x 64) bigints + (docs x 16) band
+rows — ~1% of a text corpus; candidate volume is bounded by the
+stored hot-band cap exactly like the batch path (over-cap STORE
+buckets dropped before the join, auditable via
+:func:`store_hot_buckets`); the shard side is whatever just arrived.
+Lineage: banding/signatures shared verbatim with
+``operators/dedup.py`` (same Carter-Wegman family, same band
+layout), so a store built today matches signatures computed by any
+future shard run — the determinism contract that makes incremental
+dedup possible at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import (
+    CW_P,
+    MAX_MINHASH_BUCKET,
+    N_HASHES,
+    ROWS_PER_BAND,
+    SHINGLE,
+    band_rows,
+    cw_params,
+    hash60_sql,
+    minhash_signatures,
+    shingle_rows,
+    shingles_sql,
+)
+
+#: MinHash components (of N_HASHES) that must agree for a match —
+#: the J >= 0.5 operating point of the batch MinHash family
+MIN_AGREE = N_HASHES // 2
+
+
+def signature_store_frames(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = SHINGLE,
+    n_hashes: int = N_HASHES,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> tuple[DataFrame, DataFrame]:
+    """(sigs, bands) for a document set — the store's two relations,
+    computed by the batch family's own builders so stored state and
+    any future shard's signatures can never drift."""
+    sh = shingle_rows(docs, id_col, text_col, shingle)
+    sigs = minhash_signatures(sh, n_hashes)
+    bands = band_rows(sigs, rows_per_band, n_hashes)
+    return sigs, bands
+
+
+def append_shard_to_store(
+    docs: DataFrame,
+    store_path: str,
+    shard_id: int,
+    **kwargs,
+) -> None:
+    """Idempotently add a shard's signature state to the store: both
+    relations land under their own ``shard_id=`` partition with
+    dynamic partition overwrite (the exactly-once ``foreachBatch``
+    sink pattern, streaming/sinks.py) — a retried append overwrites
+    itself instead of duplicating."""
+    sigs, bands = signature_store_frames(docs, **kwargs)
+    for sub, df in (("sigs", sigs), ("bands", bands)):
+        (
+            df.withColumn("shard_id", F.lit(shard_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("shard_id")
+            .parquet(f"{store_path}/{sub}")
+        )
+
+
+def read_store(spark: SparkSession, store_path: str) -> tuple[DataFrame, DataFrame]:
+    """(sigs, bands) read back from a store directory (the synthetic
+    ``shard_id`` partition column is dropped — it exists for append
+    idempotence, not for consumers)."""
+    sigs = spark.read.parquet(f"{store_path}/sigs").drop("shard_id")
+    bands = spark.read.parquet(f"{store_path}/bands").drop("shard_id")
+    return sigs, bands
+
+
+def store_hot_buckets(
+    store_bands: DataFrame, max_bucket: int = MAX_MINHASH_BUCKET
+) -> DataFrame:
+    """Over-cap STORE band buckets (band, bsig, c) — dropped before
+    the candidate join and reportable as a first-class relation (the
+    no-silent-caps discipline; cap on the STORE side because pair
+    volume per bucket is |shard ∩ bucket| x |store ∩ bucket| and the
+    store is the unbounded side)."""
+    return (
+        store_bands.groupBy("band", "bsig")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > max_bucket)
+    )
+
+
+def incremental_neardup_matches(
+    new_docs: DataFrame,
+    store_sigs: DataFrame,
+    store_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_agree: int = MIN_AGREE,
+    max_bucket: int = MAX_MINHASH_BUCKET,
+    shingle: int = SHINGLE,
+    n_hashes: int = N_HASHES,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Per-new-doc dedup decision against the store: (new_id, is_dup,
+    dup_of, match_frac) — every shard doc present; dup_of = the
+    stored doc with the highest component agreement >= ``min_agree``
+    (ties break to the smallest stored id, the keeper-election
+    convention); match_frac = that agreement / n_hashes (6 dp).
+
+    Only the SHARD's text is shingled; the store contributes
+    signatures and band rows.  The candidate join is an equi-join on
+    (band, bsig) with over-cap store buckets anti-joined out first."""
+    sh_n = shingle_rows(new_docs, id_col, text_col, shingle)
+    sigs_n = minhash_signatures(sh_n, n_hashes)
+    bands_n = band_rows(sigs_n, rows_per_band, n_hashes)
+
+    hot = store_hot_buckets(store_bands, max_bucket).select("band", "bsig")
+    ok_store = store_bands.join(F.broadcast(hot), ["band", "bsig"], "anti")
+    cand = (
+        bands_n.select(F.col("id").alias("new_id"), "band", "bsig")
+        .join(
+            ok_store.select(F.col("id").alias("store_id"), "band", "bsig"),
+            ["band", "bsig"],
+        )
+        .where(F.col("new_id") != F.col("store_id"))
+        .select("new_id", "store_id")
+        .distinct()
+    )
+    n_agree = F.aggregate(
+        F.zip_with(
+            F.col("_sn"), F.col("_sc"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    agree = (
+        cand.join(
+            sigs_n.select(F.col("id").alias("new_id"), F.col("sig").alias("_sn")),
+            "new_id",
+        )
+        .join(
+            store_sigs.select(
+                F.col("id").alias("store_id"), F.col("sig").alias("_sc")
+            ),
+            "store_id",
+        )
+        .select("new_id", "store_id", n_agree.alias("n_agree"))
+        .where(F.col("n_agree") >= min_agree)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("n_agree"), F.asc("store_id")
+    )
+    best = (
+        agree.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "new_id",
+            F.col("store_id").alias("dup_of"),
+            F.round(F.col("n_agree").cast("double") / n_hashes, 6).alias(
+                "match_frac"
+            ),
+        )
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("new_id"))
+        .distinct()
+        .join(best, "new_id", "left")
+        .select(
+            "new_id",
+            F.col("dup_of").isNotNull().cast("int").alias("is_dup"),
+            "dup_of",
+            "match_frac",
+        )
+    )
+
+
+def incremental_neardup_sql(
+    corpus_pred: str,
+    new_pred: str,
+    table: str = "documents",
+    min_agree: int = MIN_AGREE,
+    max_bucket: int = MAX_MINHASH_BUCKET,
+    shingle: int = SHINGLE,
+    n_hashes: int = N_HASHES,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> str:
+    """DuckDB twin of store build + :func:`incremental_neardup_matches`
+    replayed as ONE WITH chain (store side suffixed _c, shard side
+    _n; the mh relations verify agreement per seed — the set form of
+    the Spark side's zip_with over signature arrays)."""
+    seeds_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(cw_params(n_hashes))
+    )
+    return f"""
+WITH corpus AS (SELECT * FROM {table} WHERE {corpus_pred}),
+newdocs AS (SELECT * FROM {table} WHERE {new_pred}),
+seeds(seed, a, b) AS (VALUES {seeds_rows}),
+sh_c AS ({shingles_sql("corpus", shingle)}),
+sh_n AS ({shingles_sql("newdocs", shingle)}),
+h_c AS (SELECT id, {hash60_sql("s")} % {CW_P} AS b31 FROM sh_c),
+h_n AS (SELECT id, {hash60_sql("s")} % {CW_P} AS b31 FROM sh_n),
+mh_c AS (
+  SELECT h_c.id, seeds.seed, min((h_c.b31 * seeds.a + seeds.b) % {CW_P}) AS mh
+  FROM h_c, seeds GROUP BY 1, 2
+),
+mh_n AS (
+  SELECT h_n.id, seeds.seed, min((h_n.b31 * seeds.a + seeds.b) % {CW_P}) AS mh
+  FROM h_n, seeds GROUP BY 1, 2
+),
+bands_c AS (
+  SELECT id, seed // {rows_per_band} AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY seed) AS bsig
+  FROM mh_c GROUP BY 1, 2
+),
+bands_n AS (
+  SELECT id, seed // {rows_per_band} AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY seed) AS bsig
+  FROM mh_n GROUP BY 1, 2
+),
+okb AS (
+  SELECT band, bsig FROM bands_c
+  GROUP BY 1, 2 HAVING count(*) <= {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT n.id AS new_id, c.id AS store_id
+  FROM bands_n n
+  JOIN bands_c c ON c.band = n.band AND c.bsig = n.bsig
+  JOIN okb k ON k.band = n.band AND k.bsig = n.bsig
+  WHERE c.id <> n.id
+),
+agree AS (
+  SELECT cand.new_id, cand.store_id,
+         sum(CASE WHEN mc.mh = mn.mh THEN 1 ELSE 0 END) AS n_agree
+  FROM cand
+  JOIN mh_n mn ON mn.id = cand.new_id
+  JOIN mh_c mc ON mc.id = cand.store_id AND mc.seed = mn.seed
+  GROUP BY 1, 2
+  HAVING sum(CASE WHEN mc.mh = mn.mh THEN 1 ELSE 0 END) >= {min_agree}
+),
+best AS (
+  SELECT new_id, store_id AS dup_of, n_agree FROM (
+    SELECT new_id, store_id, n_agree, row_number() OVER (
+             PARTITION BY new_id ORDER BY n_agree DESC, store_id ASC) AS rn
+    FROM agree
+  ) WHERE rn = 1
+)
+SELECT d.doc_id AS new_id,
+       CAST(b.dup_of IS NOT NULL AS INTEGER) AS is_dup,
+       b.dup_of,
+       floor((CAST(b.n_agree AS DOUBLE) / {n_hashes}) * 1000000.0 + 0.5)
+         / 1000000.0 AS match_frac
+FROM newdocs d LEFT JOIN best b ON b.new_id = d.doc_id
+""".strip()

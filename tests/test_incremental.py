@@ -1,0 +1,135 @@
+"""Incremental dedup against a stored corpus (operators/incremental.py):
+planted-fixture match semantics, the append-replay idempotence
+contract, non-vacuity on the real corpus, and the store round-trip.
+Oracle parity of the registered dedup_incremental query runs in
+test_oracle_parity.py like every oracled row."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from recsys_spark_spark.operators.incremental import (
+    MIN_AGREE,
+    N_HASHES,
+    append_shard_to_store,
+    incremental_neardup_matches,
+    read_store,
+    signature_store_frames,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+def test_planted_dup_matched_and_unrelated_not(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, BASE),
+            (2, "completely different words about spark physics and cheese"),
+        ],
+    )
+    # doc 10: one token changed from doc 1 (high Jaccard); doc 11:
+    # unrelated text — must come back is_dup 0 with NULL dup_of
+    shard = _docs(
+        spark,
+        [
+            (10, BASE.replace("dog", "cat")),
+            (11, "unrelated corpus of entirely novel tokens nine eight seven"),
+        ],
+    )
+    sigs, bands = signature_store_frames(corpus)
+    out = {
+        r["new_id"]: (r["is_dup"], r["dup_of"], r["match_frac"])
+        for r in incremental_neardup_matches(shard, sigs, bands).collect()
+    }
+    assert set(out) == {10, 11}  # every shard doc present
+    assert out[10][0] == 1 and out[10][1] == 1
+    assert out[10][2] >= MIN_AGREE / N_HASHES
+    assert out[11] == (0, None, None)
+
+
+def test_match_frac_is_exact_agreement_fraction(spark):
+    """match_frac must be n_agree/N_HASHES of the SIGNATURES, not a
+    recomputed text Jaccard — an identical text matches at 1.0."""
+    corpus = _docs(spark, [(1, BASE)])
+    shard = _docs(spark, [(10, BASE)])
+    sigs, bands = signature_store_frames(corpus)
+    [r] = incremental_neardup_matches(shard, sigs, bands).collect()
+    assert (r["is_dup"], r["dup_of"], r["match_frac"]) == (1, 1, 1.0)
+
+
+def test_tie_breaks_to_smallest_store_id(spark):
+    corpus = _docs(spark, [(7, BASE), (3, BASE)])  # identical stored twins
+    shard = _docs(spark, [(10, BASE)])
+    sigs, bands = signature_store_frames(corpus)
+    [r] = incremental_neardup_matches(shard, sigs, bands).collect()
+    assert r["dup_of"] == 3  # equal agreement -> smallest id wins
+
+
+def test_append_replay_is_idempotent(spark, tmp_path):
+    """The exactly-once contract: re-appending the same shard_id (a
+    retried batch) REPLACES its partition — store contents and match
+    results are bit-identical to a single append."""
+    store = str(tmp_path / "store")
+    corpus = _docs(spark, [(1, BASE), (2, "other words entirely here")])
+    append_shard_to_store(corpus, store, shard_id=0)
+    sigs1 = sorted(
+        (r["id"], tuple(r["sig"])) for r in read_store(spark, store)[0].collect()
+    )
+    append_shard_to_store(corpus, store, shard_id=0)  # the replay
+    sigs2 = sorted(
+        (r["id"], tuple(r["sig"])) for r in read_store(spark, store)[0].collect()
+    )
+    assert sigs1 == sigs2 and len(sigs1) == 2
+    # and a second shard under its own partition ADDS without touching
+    # shard 0
+    append_shard_to_store(
+        _docs(spark, [(5, "late arriving doc text")]), store, shard_id=1
+    )
+    sigs3 = read_store(spark, store)[0]
+    assert sigs3.count() == 3
+
+
+def test_store_roundtrip_matches_in_memory_frames(spark, tmp_path):
+    """What incremental matching reads back must equal what
+    signature_store_frames computed — the storage path adds nothing
+    and loses nothing."""
+    store = str(tmp_path / "store")
+    corpus = _docs(spark, [(1, BASE), (2, "other words entirely here")])
+    append_shard_to_store(corpus, store, shard_id=0)
+    mem_sigs, mem_bands = signature_store_frames(corpus)
+    rd_sigs, rd_bands = read_store(spark, store)
+    assert sorted(
+        (r["id"], tuple(r["sig"])) for r in mem_sigs.collect()
+    ) == sorted((r["id"], tuple(r["sig"])) for r in rd_sigs.collect())
+    assert sorted(map(tuple, mem_bands.collect())) == sorted(
+        map(tuple, rd_bands.collect())
+    )
+
+
+def test_registered_query_is_nonvacuous(spark, sf_dir):
+    """The real corpus must plant near-dup families ACROSS the
+    shard/corpus split, or the driver row would certify only the
+    no-match path."""
+    from recsys_spark_spark.plans.registry import DEMOTED, QUERIES, _load_all
+
+    _load_all()
+    fn = {**QUERIES, **DEMOTED}["dedup_incremental"].fn
+    out = fn(spark, sf_dir)
+    n_dup = out.where("is_dup = 1").count()
+    n_all = out.count()
+    assert n_all > 0 and 0 < n_dup < n_all
+    # dup rows carry a qualifying agreement and a real stored doc id
+    bad = out.where(
+        (F.col("is_dup") == 1)
+        & (
+            F.col("dup_of").isNull()
+            | (F.col("match_frac") < MIN_AGREE / N_HASHES)
+        )
+    ).count()
+    assert bad == 0
