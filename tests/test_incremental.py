@@ -133,3 +133,17 @@ def test_registered_query_is_nonvacuous(spark, sf_dir):
         )
     ).count()
     assert bad == 0
+
+
+def test_incremental_plan_is_equi_join_not_cartesian(spark):
+    """The candidate stage must execute as a hash/merge EQUI-join on
+    (band, bsig) — a planner fallback to a nested-loop join would
+    reintroduce the shard x corpus scan the store exists to avoid."""
+    corpus = _docs(spark, [(i, f"doc number {i} words") for i in range(20)])
+    shard = _docs(spark, [(100 + i, f"doc number {i} words") for i in range(3)])
+    sigs, bands = signature_store_frames(corpus)
+    out = incremental_neardup_matches(shard, sigs, bands)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
