@@ -297,3 +297,83 @@ SELECT d.doc_id AS new_id,
          / 1000000.0 AS match_frac
 FROM newdocs d LEFT JOIN best b ON b.new_id = d.doc_id
 """.strip()
+
+
+def make_ingest_dedup_processor(
+    store_path: str,
+    decisions_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_agree: int = MIN_AGREE,
+    max_bucket: int = MAX_MINHASH_BUCKET,
+):
+    """ONLINE ingestion near-dedup: the ``foreachBatch`` processor that
+    turns :func:`incremental_neardup_matches` into a streaming
+    pipeline — each arriving micro-batch is matched against the store,
+    its per-doc decisions land under ``decisions_path/batch_id=<id>``,
+    and only the NON-duplicate survivors' signatures are appended to
+    the store (``shard_id = batch_id``), so later batches dedup
+    against everything kept before them.
+
+    Exactly-once under replay, BOTH relations: a replayed batch
+    overwrites its own decisions partition AND its own store
+    partition (dynamic partition overwrite) — and, the subtle half,
+    it must match against exactly the PRE-batch store: the previous
+    attempt may already have appended this batch's survivors, so the
+    store read EXCLUDES ``shard_id = batch_id`` (partition-pruned
+    filter before the drop).  Without that exclusion a replayed doc
+    would near-dup ITSELF and flip its decision — the replay pytest
+    plants exactly that hazard.
+
+    First batch / empty store: every doc is new (is_dup 0, NULL
+    dup_of), and the store is seeded from it."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            sigs = spark.read.parquet(f"{store_path}/sigs").where(
+                F.col("shard_id") != batch_id
+            ).drop("shard_id")
+            bands = spark.read.parquet(f"{store_path}/bands").where(
+                F.col("shard_id") != batch_id
+            ).drop("shard_id")
+            have_store = True
+        except Exception:  # noqa: BLE001 — first batch: no store yet
+            have_store = False
+        if have_store:
+            decisions = incremental_neardup_matches(
+                batch_df,
+                sigs,
+                bands,
+                id_col=id_col,
+                text_col=text_col,
+                min_agree=min_agree,
+                max_bucket=max_bucket,
+            )
+        else:
+            decisions = batch_df.select(
+                F.col(id_col).alias("new_id"),
+                F.lit(0).alias("is_dup"),
+                F.lit(None).cast("bigint").alias("dup_of"),
+                F.lit(None).cast("double").alias("match_frac"),
+            )
+        # decisions must be materialized to a deterministic snapshot
+        # BEFORE the store append below changes what a recompute would
+        # see — the idempotent-partition write is that materialization
+        (
+            decisions.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(decisions_path)
+        )
+        kept = spark.read.parquet(decisions_path).where(
+            (F.col("batch_id") == batch_id) & (F.col("is_dup") == 0)
+        ).select(F.col("new_id").alias(id_col))
+        survivors = batch_df.join(kept, id_col)
+        append_shard_to_store(
+            survivors, store_path, shard_id=batch_id,
+            id_col=id_col, text_col=text_col,
+        )
+
+    return _process

@@ -147,3 +147,64 @@ def test_incremental_plan_is_equi_join_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_ingest_processor_dedups_across_batches(spark, tmp_path):
+    """Online ingestion (make_ingest_dedup_processor): batch 1 seeds
+    the store; batch 2's near-dup of a batch-1 keeper is flagged and
+    NOT appended; batch 3 sees batch 2's novel survivor as store
+    content — the growing-store contract."""
+    from recsys_spark_spark.operators.incremental import (
+        make_ingest_dedup_processor,
+    )
+
+    store = str(tmp_path / "store")
+    dec = str(tmp_path / "decisions")
+    proc = make_ingest_dedup_processor(store, dec)
+
+    proc(_docs(spark, [(1, BASE), (2, "totally other text here now")]), 0)
+    proc(_docs(spark, [(10, BASE.replace("dog", "cat")), (11, "novel words for batch two arriving")]), 1)
+    proc(_docs(spark, [(20, "novel words for batch two arriving")]), 2)
+
+    d = {
+        r["new_id"]: (r["batch_id"], r["is_dup"], r["dup_of"])
+        for r in spark.read.parquet(dec).collect()
+    }
+    assert d[1] == (0, 0, None) and d[2] == (0, 0, None)  # seed batch all new
+    assert d[10] == (1, 1, 1)  # near-dup of batch-1 keeper
+    assert d[11] == (1, 0, None)
+    assert d[20] == (2, 1, 11)  # exact dup of batch-2 SURVIVOR
+    # store holds exactly the keepers
+    ids = {r["id"] for r in spark.read.parquet(f"{store}/sigs").collect()}
+    assert ids == {1, 2, 11}
+
+
+def test_ingest_processor_replay_is_exactly_once(spark, tmp_path):
+    """The planted replay hazard: after batch 1 appended its survivor,
+    a REPLAY of batch 1 must match against the pre-batch store only —
+    without the shard_id exclusion the replayed doc would near-dup
+    ITSELF and flip its decision from kept to duplicate."""
+    from recsys_spark_spark.operators.incremental import (
+        make_ingest_dedup_processor,
+    )
+
+    store = str(tmp_path / "store")
+    dec = str(tmp_path / "decisions")
+    proc = make_ingest_dedup_processor(store, dec)
+    proc(_docs(spark, [(1, BASE)]), 0)
+    proc(_docs(spark, [(10, "fresh unrelated batch one text")]), 1)
+
+    def snapshot():
+        return (
+            sorted(map(tuple, spark.read.parquet(dec).collect())),
+            sorted(
+                (r["id"], r["shard_id"])
+                for r in spark.read.parquet(f"{store}/sigs").collect()
+            ),
+        )
+
+    before = snapshot()
+    proc(_docs(spark, [(10, "fresh unrelated batch one text")]), 1)  # replay
+    assert snapshot() == before  # decisions AND store bit-identical
+    d = {r["new_id"]: r["is_dup"] for r in spark.read.parquet(dec).collect()}
+    assert d[10] == 0  # still kept — never matched itself
