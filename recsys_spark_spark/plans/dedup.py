@@ -331,9 +331,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     stress/incremental_dedup_stress.py (corpus 50k -> 400k docs, fixed
     2k shard: full batch re-dedup 16.8 -> 35.9 s and climbing with the
     corpus, incremental match 4.1 -> 5.1 s near-FLAT with 100/100
-    planted cross-split dups found at every size; the residual
-    incremental slope is the store band-table scan, which a bucketed
-    store layout prunes at cluster scale).
+    planted cross-split dups found at every size).  The candidate join
+    BROADCASTS the shard's band rows (plan-verified BuildLeft
+    BroadcastHashJoin, tests/test_incremental.py), so the store never
+    shuffles for matching — its cost is one columnar scan of
+    signature-sized data (~1% of the text it stands for) plus the
+    map-side-combinable hot-bucket count; that scan is the residual
+    slope in the stress curve.
     The sf0.01 corpus plants real near-dup families across the split,
     so is_dup rows are non-vacuous (value-asserted in
     tests/test_incremental.py alongside the append-replay idempotence
