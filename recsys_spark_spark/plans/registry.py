@@ -545,15 +545,15 @@ DEMOTED: dict[str, QuerySpec] = {}
 #:                  embedding_hard_negatives_lsh — their plans now
 #:                  certify through the merged variant rows; minus the
 #:                  two merge keepers re-promoted this round)
-#:   recency 2: 25 (green r11, not re-promoted this round — mandatory
-#:                  in r14: brand_region_market_share,
+#:   recency 2: 23 (green r11, not re-promoted this round — mandatory
+#:                  in r14, verified by script against the
+#:                  CORRECTNESS_r01..r12 keys + this window:
+#:                  brand_region_market_share,
 #:                  cf_negative_samples, content_topk_cosine,
-#:                  corpus_line_dedup, corpus_vocab,
+#:                  corpus_line_dedup, corpus_pps_sample, corpus_vocab,
 #:                  customer_name_fuzzy_pairs, customer_rfm_segments,
 #:                  customer_running_revenue, doc_dedup_cut,
 #:                  doc_duplicate_spans, doc_quality_scores,
-#:                  embedding_centroids_by_label (if not windowed r13
-#:                  — it IS, so drop from this list at r14 staging),
 #:                  events_daily_dense, events_join_explosion_audit,
 #:                  events_prev_gap, events_sessions,
 #:                  events_user_temporal_split, events_value_features,
