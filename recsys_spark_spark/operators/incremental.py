@@ -97,9 +97,20 @@ def append_shard_to_store(
     relations land under their own ``shard_id=`` partition with
     dynamic partition overwrite (the exactly-once ``foreachBatch``
     sink pattern, streaming/sinks.py) — a retried append overwrites
-    itself instead of duplicating."""
+    itself instead of duplicating.
+
+    A third relation rides along: ``bcounts`` (band, bsig, c) — THIS
+    shard's per-bucket row counts, pre-combined at append time.  Bucket
+    hotness is a store-global property (counts sum across shards), so
+    matching derives the hot set by aggregating the tiny bcounts
+    relation (O(distinct buckets)) instead of re-counting the full
+    band table (O(store band rows)) on every arriving shard — the
+    mergeable-sketch discipline applied to the cap audit itself."""
     sigs, bands = signature_store_frames(docs, **kwargs)
-    for sub, df in (("sigs", sigs), ("bands", bands)):
+    bcounts = bands.groupBy("band", "bsig").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    for sub, df in (("sigs", sigs), ("bands", bands), ("bcounts", bcounts)):
         (
             df.withColumn("shard_id", F.lit(shard_id))
             .write.mode("overwrite")
@@ -109,7 +120,9 @@ def append_shard_to_store(
         )
 
 
-def read_store(spark: SparkSession, store_path: str) -> tuple[DataFrame, DataFrame]:
+def read_store(
+    spark: SparkSession, store_path: str
+) -> tuple[DataFrame, DataFrame]:
     """(sigs, bands) read back from a store directory (the synthetic
     ``shard_id`` partition column is dropped — it exists for append
     idempotence, not for consumers)."""
@@ -118,19 +131,41 @@ def read_store(spark: SparkSession, store_path: str) -> tuple[DataFrame, DataFra
     return sigs, bands
 
 
+def read_store_bucket_counts(
+    spark: SparkSession, store_path: str
+) -> DataFrame | None:
+    """The store's merged per-bucket counts (band, bsig, c), summed
+    across shard partitions — or None for a store written before the
+    bcounts relation existed (matching then falls back to counting
+    the band table)."""
+    try:
+        bc = spark.read.parquet(f"{store_path}/bcounts").drop("shard_id")
+    except Exception:  # noqa: BLE001 — legacy store layout
+        return None
+    return bc.groupBy("band", "bsig").agg(F.sum("c").alias("c"))
+
+
 def store_hot_buckets(
-    store_bands: DataFrame, max_bucket: int = MAX_MINHASH_BUCKET
+    store_bands: DataFrame,
+    max_bucket: int = MAX_MINHASH_BUCKET,
+    bucket_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Over-cap STORE band buckets (band, bsig, c) — dropped before
     the candidate join and reportable as a first-class relation (the
     no-silent-caps discipline; cap on the STORE side because pair
     volume per bucket is |shard ∩ bucket| x |store ∩ bucket| and the
-    store is the unbounded side)."""
-    return (
-        store_bands.groupBy("band", "bsig")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") > max_bucket)
+    store is the unbounded side).  ``bucket_counts``: the store's
+    pre-combined counts relation (read_store_bucket_counts) — when
+    given, the hot set derives from it without touching the band
+    table."""
+    sizes = (
+        bucket_counts
+        if bucket_counts is not None
+        else store_bands.groupBy("band", "bsig").agg(
+            F.count(F.lit(1)).alias("c")
+        )
     )
+    return sizes.where(F.col("c") > max_bucket)
 
 
 def incremental_neardup_matches(
@@ -144,6 +179,7 @@ def incremental_neardup_matches(
     shingle: int = SHINGLE,
     n_hashes: int = N_HASHES,
     rows_per_band: int = ROWS_PER_BAND,
+    bucket_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-new-doc dedup decision against the store: (new_id, is_dup,
     dup_of, match_frac) — every shard doc present; dup_of = the
@@ -153,12 +189,17 @@ def incremental_neardup_matches(
 
     Only the SHARD's text is shingled; the store contributes
     signatures and band rows.  The candidate join is an equi-join on
-    (band, bsig) with over-cap store buckets anti-joined out first."""
+    (band, bsig) with over-cap store buckets anti-joined out first;
+    pass ``bucket_counts`` (read_store_bucket_counts) to derive the
+    hot set from the store's pre-combined counts instead of
+    re-aggregating the band table per shard."""
     sh_n = shingle_rows(new_docs, id_col, text_col, shingle)
     sigs_n = minhash_signatures(sh_n, n_hashes)
     bands_n = band_rows(sigs_n, rows_per_band, n_hashes)
 
-    hot = store_hot_buckets(store_bands, max_bucket).select("band", "bsig")
+    hot = store_hot_buckets(store_bands, max_bucket, bucket_counts).select(
+        "band", "bsig"
+    )
     ok_store = store_bands.join(F.broadcast(hot), ["band", "bsig"], "anti")
     cand = (
         bands_n.select(F.col("id").alias("new_id"), "band", "bsig")
@@ -337,6 +378,13 @@ def make_ingest_dedup_processor(
             bands = spark.read.parquet(f"{store_path}/bands").where(
                 F.col("shard_id") != batch_id
             ).drop("shard_id")
+            bcounts = (
+                spark.read.parquet(f"{store_path}/bcounts")
+                .where(F.col("shard_id") != batch_id)
+                .drop("shard_id")
+                .groupBy("band", "bsig")
+                .agg(F.sum("c").alias("c"))
+            )
             have_store = True
         except Exception:  # noqa: BLE001 — first batch: no store yet
             have_store = False
@@ -349,6 +397,7 @@ def make_ingest_dedup_processor(
                 text_col=text_col,
                 min_agree=min_agree,
                 max_bucket=max_bucket,
+                bucket_counts=bcounts,
             )
         else:
             decisions = batch_df.select(

@@ -348,6 +348,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_shard_to_store,
         incremental_neardup_matches,
         read_store,
+        read_store_bucket_counts,
     )
 
     d = table(spark, sf_dir, "documents")
@@ -356,4 +357,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = tempfile.mkdtemp(prefix="sig_store_")
     append_shard_to_store(corpus, store, shard_id=0)
     sigs, bands = read_store(spark, store)
-    return incremental_neardup_matches(shard, sigs, bands)
+    bcounts = read_store_bucket_counts(spark, store)
+    return incremental_neardup_matches(
+        shard, sigs, bands, bucket_counts=bcounts
+    )

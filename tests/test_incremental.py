@@ -208,3 +208,31 @@ def test_ingest_processor_replay_is_exactly_once(spark, tmp_path):
     assert snapshot() == before  # decisions AND store bit-identical
     d = {r["new_id"]: r["is_dup"] for r in spark.read.parquet(dec).collect()}
     assert d[10] == 0  # still kept — never matched itself
+
+
+def test_bucket_counts_hot_set_equals_band_table_aggregate(spark, tmp_path):
+    """The store's pre-combined bcounts relation must yield the SAME
+    hot set as re-counting the band table — bucket hotness sums
+    across shard partitions (planted: one bucket goes over-cap only
+    when both shards' counts combine)."""
+    from recsys_spark_spark.operators.incremental import (
+        read_store_bucket_counts,
+        store_hot_buckets,
+    )
+
+    store = str(tmp_path / "store")
+    # two shards of identical texts: each shard's buckets hold 3 rows,
+    # combined 6 — over a cap of 5 only ACROSS shards
+    batch = [(i, BASE) for i in range(3)]
+    append_shard_to_store(_docs(spark, batch), store, shard_id=0)
+    append_shard_to_store(
+        _docs(spark, [(10 + i, BASE) for i in range(3)]), store, shard_id=1
+    )
+    _, bands = read_store(spark, store)
+    bcounts = read_store_bucket_counts(spark, store)
+    assert bcounts is not None
+    from_counts = sorted(
+        map(tuple, store_hot_buckets(bands, 5, bcounts).collect())
+    )
+    from_bands = sorted(map(tuple, store_hot_buckets(bands, 5).collect()))
+    assert from_counts == from_bands and len(from_counts) > 0
