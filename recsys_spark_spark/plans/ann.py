@@ -988,61 +988,7 @@ def embedding_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_hard_negatives",
-    oracle=f"""
-SELECT 'exact' AS variant, query_id, query_label, match_id, match_label,
-       sim, rank
-FROM ({HARD_NEG_SQL.format(n_queries=KNN_QUERIES, k=HARD_NEG_K)}) _v_exact
-UNION ALL
-SELECT 'ivf' AS variant, query_id, query_label, match_id, match_label,
-       sim, rank
-FROM ({knn_ivf_oracle_sql(KNN_QUERIES, HARD_NEG_K, EMB_DIM, exclude_same="label")}) _v_ivf
-UNION ALL
-SELECT 'lsh' AS variant, query_id, query_label, match_id, match_label,
-       sim, rank
-FROM ({knn_lsh_oracle_sql(KNN_QUERIES, HARD_NEG_K, EMB_DIM, exclude_same="label")}) _v_lsh
-""",
-)
-def embedding_hard_negatives_merged(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Merged hard-negative-mining row (r13 rotation): the exact
-    filter-aware miner and BOTH indexed routes (IVF with the predicate
-    inside the candidate join; LSH with it inside the bucket join) as
-    tagged variants on one (variant, query_id, query_label, match_id,
-    match_label, sim, rank) relation — exact driver-green r11,
-    ivf + lsh driver-green r12, so one variant-tagged slot certifies
-    all three plans (the events_attribution_last_touch precedent).
-    Unlike the attribution trio (one shared oracle), each variant
-    keeps its OWN oracle slice — exact replays the full dot-product
-    join, ivf replays seeded-init → Lloyd step → probe → rerank, lsh
-    replays hyperplane signatures → banding → rerank — so the value
-    hash certifies each route's index arithmetic, not just a common
-    aggregate.  The overfetch form (non-pushable sim-cap) joins as the
-    4th variant in r14 once its own r13 driver row lands
-    (embedding_hard_negatives_overfetch below)."""
-    cols = [
-        "query_id",
-        "query_label",
-        "match_id",
-        "match_label",
-        "sim",
-        "rank",
-    ]
-    exact = embedding_hard_negatives(spark, sf_dir).select(
-        F.lit("exact").alias("variant"), *cols
-    )
-    ivf = embedding_hard_negatives_ivf(spark, sf_dir).select(
-        F.lit("ivf").alias("variant"), *cols
-    )
-    lsh = embedding_hard_negatives_lsh(spark, sf_dir).select(
-        F.lit("lsh").alias("variant"), *cols
-    )
-    return exact.unionByName(ivf).unionByName(lsh)
-
-
-# --- filtered ANN, over-fetch fallback (r12) ---------------------------------
+# --- filtered ANN, over-fetch fallback (r12; merged variant since r14) -------
 #: near-duplicate guard for hard negatives: candidates with cosine
 #: above this are likely the same content mislabeled (false
 #: negatives), poison for contrastive training — exclude them.  The
@@ -1068,22 +1014,77 @@ HARD_NEG_CAP_SELECTIVITY = 0.5
 HARD_NEG_OVERFETCH_PROBES = 16
 
 
-@register_demoted(
-    "embedding_hard_negatives_overfetch",
+@register(
+    "embedding_hard_negatives",
     oracle=f"""
-WITH base AS (
+WITH _v_over_base AS (
   {knn_ivf_oracle_sql(KNN_QUERIES, overfetch_k(HARD_NEG_K, HARD_NEG_CAP_SELECTIVITY), EMB_DIM, n_probe=HARD_NEG_OVERFETCH_PROBES, exclude_same="label")}
 )
-SELECT query_id, query_label, match_id, match_label, sim,
-       CAST(rk AS INTEGER) AS rank
+SELECT 'exact' AS variant, query_id, query_label, match_id, match_label,
+       sim, rank
+FROM ({HARD_NEG_SQL.format(n_queries=KNN_QUERIES, k=HARD_NEG_K)}) _v_exact
+UNION ALL
+SELECT 'ivf' AS variant, query_id, query_label, match_id, match_label,
+       sim, rank
+FROM ({knn_ivf_oracle_sql(KNN_QUERIES, HARD_NEG_K, EMB_DIM, exclude_same="label")}) _v_ivf
+UNION ALL
+SELECT 'lsh' AS variant, query_id, query_label, match_id, match_label,
+       sim, rank
+FROM ({knn_lsh_oracle_sql(KNN_QUERIES, HARD_NEG_K, EMB_DIM, exclude_same="label")}) _v_lsh
+UNION ALL
+SELECT 'overfetch' AS variant, query_id, query_label, match_id, match_label,
+       sim, CAST(rk AS INTEGER) AS rank
 FROM (
   SELECT query_id, query_label, match_id, match_label, sim,
          row_number() OVER (
            PARTITION BY query_id ORDER BY sim DESC, match_id ASC) AS rk
-  FROM base WHERE sim <= {HARD_NEG_SIM_CAP}
-) WHERE rk <= {HARD_NEG_K}
+  FROM _v_over_base WHERE sim <= {HARD_NEG_SIM_CAP}
+) _v_over WHERE rk <= {HARD_NEG_K}
 """,
 )
+def embedding_hard_negatives_merged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Merged hard-negative-mining row (r13 rotation; 4th variant r14):
+    the exact filter-aware miner, BOTH indexed routes (IVF with the
+    predicate inside the candidate join; LSH with it inside the bucket
+    join), and — since r14, its own r13 driver row green — the
+    OVERFETCH route (non-pushable sim-cap: fetch k/selectivity at 2x
+    probes, post-filter, re-rank) as tagged variants on one (variant,
+    query_id, query_label, match_id, match_label, sim, rank) relation —
+    exact driver-green r11, ivf + lsh driver-green r12, overfetch
+    driver-green r13, so one variant-tagged slot certifies all four
+    plans (the events_attribution_last_touch precedent).  Unlike the
+    attribution trio (one shared oracle), each variant keeps its OWN
+    oracle slice — exact replays the full dot-product join, ivf
+    replays seeded-init → Lloyd step → probe → rerank, lsh replays
+    hyperplane signatures → banding → rerank, overfetch replays the
+    deep-fetch IVF pipeline + sim-cap post-filter — so the value hash
+    certifies each route's index arithmetic, not just a common
+    aggregate."""
+    cols = [
+        "query_id",
+        "query_label",
+        "match_id",
+        "match_label",
+        "sim",
+        "rank",
+    ]
+    exact = embedding_hard_negatives(spark, sf_dir).select(
+        F.lit("exact").alias("variant"), *cols
+    )
+    ivf = embedding_hard_negatives_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("variant"), *cols
+    )
+    lsh = embedding_hard_negatives_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("variant"), *cols
+    )
+    over = embedding_hard_negatives_overfetch(spark, sf_dir).select(
+        F.lit("overfetch").alias("variant"), *cols
+    )
+    return exact.unionByName(ivf).unionByName(lsh).unionByName(over)
+
+
 def embedding_hard_negatives_overfetch(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -342,8 +342,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     so is_dup rows are non-vacuous (value-asserted in
     tests/test_incremental.py alongside the append-replay idempotence
     contract)."""
-    import tempfile
-
+    from ..functions.scratch import scratch_dir
     from ..operators.incremental import (
         append_shard_to_store,
         incremental_neardup_matches,
@@ -354,7 +353,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     corpus = d.where(F.expr(INCR_CORPUS_PRED))
     shard = d.where(F.expr(INCR_SHARD_PRED))
-    store = tempfile.mkdtemp(prefix="sig_store_")
+    store = scratch_dir("sig_store_")
     append_shard_to_store(corpus, store, shard_id=0)
     sigs, bands = read_store(spark, store)
     bcounts = read_store_bucket_counts(spark, store)

@@ -55,66 +55,98 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
+#: DuckDB expression for the canonicalized text hash — the oracle twin
+#: of ``_norm_text()`` above (DuckDB regexp_replace needs the 'g' flag
+#: Spark applies by default)
+_NORM_HASH_SQL = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', "
+    "'', 'g'), ' +', ' ', 'g')))"
+)
+
+
+# the URL-canonicalization fragments live in plans/text.py (their
+# home); text.py registers its own queries on import and does not
+# import this module, so the top-level import is cycle-free
+from .text import _URL_NOISY_SQL, canonical_url_sql  # noqa: E402
+
+_DEDUP_DOCS_ORACLE = f"""
+WITH keys AS (
+  SELECT 'exact' AS variant, doc_id, md5(text) AS dup_key FROM documents
+  UNION ALL
+  SELECT 'normalized' AS variant, doc_id, {_NORM_HASH_SQL} AS dup_key
+  FROM documents
+  UNION ALL
+  SELECT 'url_canonical' AS variant, doc_id,
+         {canonical_url_sql("url")} AS dup_key
+  FROM (SELECT doc_id, {_URL_NOISY_SQL} AS url FROM documents)
+)
+SELECT variant, doc_id, dup_key,
+       CAST(min(doc_id) OVER w AS BIGINT) AS keeper_doc_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_group_docs,
+       CAST(doc_id <> min(doc_id) OVER w AS INTEGER) AS is_dup
+FROM keys WINDOW w AS (PARTITION BY variant, dup_key)
+"""
+
+
 @register_demoted(
     "dedup_docs",
-    oracle="""
-WITH norm AS (
-  SELECT doc_id, md5(text) AS text_hash,
-         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-                                 ' +', ' ', 'g'))) AS norm_hash
-  FROM documents
-)
-SELECT doc_id, text_hash,
-       min(doc_id) OVER (PARTITION BY text_hash) AS keep_doc_id,
-       CAST(doc_id <> min(doc_id) OVER (PARTITION BY text_hash) AS INTEGER) AS is_dup,
-       norm_hash,
-       min(doc_id) OVER (PARTITION BY norm_hash) AS norm_keep_doc_id,
-       CAST(doc_id <> min(doc_id) OVER (PARTITION BY norm_hash) AS INTEGER)
-         AS norm_is_dup
-FROM norm
-""",
+    oracle=_DEDUP_DOCS_ORACLE,
 )
 def dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L1 exact + normalized dedup as ONE per-document keeper mapping:
-    every doc gets (content hash, keeper id = min doc_id in its hash
-    group, is_dup flag) for both the raw text hash and the
-    canonicalized (lowercase, strip punctuation, collapse whitespace)
-    hash.  Emitting the full mapping — not just the >1 groups — keeps
-    the oracle non-vacuous on a duplicate-free corpus (the
-    min-over-hash-partition logic is value-checked on every row) and
-    is the shape a downstream pipeline actually joins against.  Two
-    hash-partitioned window shuffles on 32-char keys — the hashes, not
-    the document bodies, are what shuffle.  (Merged from the former
-    dedup_exact_docs + dedup_normalized_docs registry entries — same
-    grain, one scan.)"""
+    """Merged per-document keeper-mapping row (r14 rotation): L1 exact
+    dedup, normalized (lowercase / strip punctuation / collapse
+    whitespace) dedup, and URL-canonicalization dedup
+    (scheme/case/www/port/slash/query/fragment folding — formerly the
+    standalone doc_url_canonical_dedup, driver-green r13) as tagged
+    variants of ONE relation: (variant, doc_id, dup_key,
+    keeper_doc_id = min doc_id in the key group, n_group_docs,
+    is_dup).  Emitting the full mapping — not just the >1 groups —
+    keeps the oracle non-vacuous on a duplicate-free corpus and is the
+    shape a downstream pipeline actually joins against.
+    (Merge lineage: dedup_exact_docs + dedup_normalized_docs -> one
+    row in r6; + doc_url_canonical_dedup in r14.)
+
+    Plan shape: ONE documents scan melts each doc into its three
+    (variant, dup_key) identities via explode (3x|docs| narrow rows of
+    ~40-char keys — the keys, never the document bodies, are what
+    shuffle), then ONE hash-partitioned window over (variant, dup_key)
+    computes keeper/size/flag for all variants in a single shuffle —
+    strictly fewer shuffles than the three standalone plans it
+    replaces (was: two window shuffles + a groupBy+join).  A hot key
+    (every crawl has them) fattens one window partition, never a
+    join.  Output is 3x|docs| rows."""
     d = table(spark, sf_dir, "documents")
-    norm = _norm_text()
-    we = Window.partitionBy("text_hash")
-    wn = Window.partitionBy("norm_hash")
-    return (
-        d.select(
-            "doc_id",
-            F.md5(F.col("text").cast("binary")).alias("text_hash"),
-            F.md5(norm.cast("binary")).alias("norm_hash"),
-        )
-        .withColumn("keep_doc_id", F.min("doc_id").over(we))
-        .withColumn(
-            "is_dup", (F.col("doc_id") != F.col("keep_doc_id")).cast("int")
-        )
-        .withColumn("norm_keep_doc_id", F.min("doc_id").over(wn))
-        .withColumn(
-            "norm_is_dup",
-            (F.col("doc_id") != F.col("norm_keep_doc_id")).cast("int"),
-        )
-        .select(
-            "doc_id",
-            "text_hash",
-            "keep_doc_id",
-            "is_dup",
-            "norm_hash",
-            "norm_keep_doc_id",
-            "norm_is_dup",
-        )
+    keys = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("exact").alias("variant"),
+                    F.md5(F.col("text").cast("binary")).alias("dup_key"),
+                ),
+                F.struct(
+                    F.lit("normalized").alias("variant"),
+                    F.md5(_norm_text().cast("binary")).alias("dup_key"),
+                ),
+                F.struct(
+                    F.lit("url_canonical").alias("variant"),
+                    F.expr(
+                        canonical_url_sql(f"({_URL_NOISY_SQL})")
+                    ).alias("dup_key"),
+                ),
+            )
+        ).alias("k"),
+    ).select("doc_id", "k.variant", "k.dup_key")
+    w = Window.partitionBy("variant", "dup_key")
+    return keys.select(
+        "variant",
+        "doc_id",
+        "dup_key",
+        F.min("doc_id").over(w).alias("keeper_doc_id"),
+        F.count(F.lit(1)).over(w).alias("n_group_docs"),
+        (F.col("doc_id") != F.min("doc_id").over(w))
+        .cast("int")
+        .alias("is_dup"),
     )
 
 

@@ -587,73 +587,145 @@ DEMOTED: dict[str, QuerySpec] = {}
 #: orders_rolling_7d_revenue_auto (dispatch-decision grain, see
 #: above); corpus_pps_sample into corpus_samples (filtered-sample
 #: grain vs all-docs decision grain).
+#:
+#: Round 14 (EXECUTED this round): verified CORRECTNESS_r13 50/50
+#: green first (zero err, checked by the recency script against
+#: r01..r13), then the pre-staged plan ran verbatim with BOTH staged
+#: merges executed in this commit:
+#:   (a) embedding_hard_negatives_overfetch -> variant 'overfetch' of
+#:       the merged embedding_hard_negatives row (same grain; its own
+#:       r13 driver row green; the overfetch oracle slice — deep-fetch
+#:       IVF + sim-cap post-filter — joins the per-variant UNION)
+#:                                                        120 -> 119
+#:   (b) dedup_docs + doc_url_canonical_dedup -> ONE variant-tagged
+#:       per-doc keeper-mapping row keeping the dedup_docs name
+#:       ((variant, doc_id, dup_key, keeper_doc_id, n_group_docs,
+#:       is_dup) grain; variants exact/normalized/url_canonical; the
+#:       URL row's r13 driver row green; Spark side = ONE documents
+#:       scan -> melt -> ONE window shuffle, fewer shuffles than the
+#:       standalone pair)                                 119 -> 118
+#: Window = dedup_incremental (r13-born frontier, first driver row) +
+#: ALL 23 mandatory recency-2 rows (recomputed by script against
+#: CORRECTNESS_r01..r13: the r13 audit list verbatim) + the 2 merged
+#: keepers (immediate driver row on their new variant columns — the
+#: doc_unigram_logprob precedent) + 24 recency-1 picks (CF/eval
+#: family, neardup family, corpus/train-ready family, q17/q22,
+#: item_pagerank, hybrid_topk).
+#: Post-r14 audit (recency = rounds since last driver-green row,
+#: assuming the r14 window runs green):
+#:   recency 0: 50 (the window below)
+#:   recency 1: 23 (the r13 window minus the 2 merged-away names
+#:                  green r13 — embedding_hard_negatives_overfetch,
+#:                  doc_url_canonical_dedup — minus the 25 window
+#:                  names re-promoted this round)
+#:   recency 2: 21 (green r12, not re-promoted this round — mandatory
+#:                  in r15: corpus_lang_temperature_weights,
+#:                  dedup_cap_audit, doc_bm25_search,
+#:                  doc_repetition_scores, doc_simhash,
+#:                  doc_unigram_logprob, doc_winnow_fingerprints,
+#:                  doc_zipf_fit, event_ratings_projection,
+#:                  events_dau_wau_stickiness,
+#:                  events_distinct_sketch_rollup, events_dq_audit,
+#:                  events_in_anomaly_windows, events_json_props,
+#:                  events_key_skew_audit,
+#:                  events_stream_quantile_sketch,
+#:                  events_value_robust_scaled, order_ship_latency,
+#:                  orders_rolling_7d_revenue, rating_stats_per_user,
+#:                  sales_rollup)
+#: Steady state: 118 oracled post-merge + 2 r14-born oracled rows
+#: (corpus_bpe_encode — the fixed-merge-list encoder, closing r13
+#: VERDICT missing #2; embedding_knn_stored — stored-index serve,
+#: VERDICT #6) = 120 / 50-row window = 2.40-round cycle — AT the
+#: ceiling.
+#: ROTATION PLAN for round 15 (pre-staged; verify against
+#: CORRECTNESS_r14 first): window = r14-born queries
+#: (corpus_bpe_encode, embedding_knn_stored — first driver rows) +
+#: ALL 21 mandatory recency-2 rows above (recompute against
+#: CORRECTNESS_r14 keys) + the staged r15 merges below + recency-1
+#: fill.  STAGED MERGES for r15 (execute once preconditions hold,
+#: i.e. every member has a driver-green row):
+#:   (a) corpus_bpe_encode + corpus_bpe_pair_counts -> one
+#:       variant-tagged BPE row keeping the corpus_bpe_pair_counts
+#:       name is NOT clean (different grains: per-doc token array vs
+#:       per-pair counts) — instead fold corpus_bpe_encode INTO the
+#:       corpus token/vocab family only if its r14+r15 rows prove the
+#:       grain stable; otherwise the default partner is
+#:       (b)'s slot.  Precondition: corpus_bpe_encode driver-green
+#:       r15.                                              120 -> 119
+#:   (b) embedding_knn_stored + embedding_knn_indexed -> one
+#:       variant-tagged indexed-ANN row keeping the
+#:       embedding_knn_indexed name (same (query_id, match_id, sim,
+#:       rank [+ variant]) grain family: 'ivf'/'pq'/'ivfpq' variants
+#:       already share it; 'stored' = the same IVF arithmetic read
+#:       back from parquet).  Precondition: embedding_knn_stored
+#:       driver-green r15.                                 119 -> 118
+#: (If (a)'s grain check fails, (b) alone holds the ceiling at 119
+#: with one more merge from the named frontier: dedup_cap_audit into
+#: the caps family.)
 
 #: THE driver-facing correctness window for this round — exactly the
 #: names whose QuerySpec lands in QUERIES; every other registration
 #: lands in DEMOTED regardless of which decorator the def site uses.
 #: Rotations edit THIS tuple (and the audit comment above) only.
 REGISTERED_WINDOW: frozenset[str] = frozenset({
-    # r12-born, never had a driver row (4) — never-checked names lead
-    "orders_rolling_7d_revenue_auto",
-    "embedding_hard_negatives_overfetch",
-    "customer_name_er_matches",
-    "doc_url_canonical_dedup",
+    # r13-born, never had a driver row (1) — never-checked names lead
+    "dedup_incremental",
     # merged this round — each variant-tagged row deserves an
-    # immediate driver row on its new variant columns (2; the third
-    # merge keeper corpus_samples sits in its mandatory recency-2
-    # slot below)
-    "events_attribution_last_touch",
+    # immediate driver row on its new variant columns (2)
     "embedding_hard_negatives",
-    # recency 2 — green r10, skipped in r11/r12 (23, mandatory; the
-    # r12 audit listed 24 including user_sims, but the r12
-    # metric-merge slot re-promoted user_sims and it went green r12)
-    "corpus_pack",
-    "corpus_samples",
-    "customer_k_anonymity",
-    "customer_semi_anti_joins",
-    "doc_chunks",
-    "doc_stats_by_lang",
-    "doc_url_domains",
-    "embedding_knn_lsh",
-    "embedding_semdedup",
-    "events_anomaly_daily",
-    "events_daily",
-    "events_funnel",
-    "events_transition_matrix",
-    "item_cooccurrence_lift",
-    "item_graph_triangles",
-    "multimodal_features_frames",
-    "order_customer_set_ops",
-    "order_priority_pivot",
-    "part_price_median_by_brand",
-    "sales_cube",
-    "top_orders_per_customer",
-    "top_tokens",
-    "user_retention_cohorts",
-    # recency 1 — green r11, demoted r12 (the 21 suggested picks:
-    # ANN/embedding family, seq trio, TPC-H q1/q3/q5, multimodal
-    # decode, as-of/stream companions, item_sims)
-    "embedding_knn_exact",
-    "embedding_knn_indexed",
-    "embedding_knn_recall_audit",
-    "embedding_neardup_pairs",
-    "embedding_semdedup_scale",
-    "embedding_centroids_by_label",
-    "seq_baskets_periods",
-    "seq_rule_support",
-    "seq_sequences",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "multimodal_ppm_resize",
-    "multimodal_video_frames",
-    "multimodal_wav_features",
-    "multimodal_image_dhash_dedup",
-    "events_asof_last_purchase",
-    "events_sliding_1h",
-    "events_stream_user_cms",
-    "events_purchase_view_join",
-    "item_sims",
+    "dedup_docs",
+    # recency 2 — green r11, skipped in r12/r13 (23, mandatory;
+    # recomputed by script against CORRECTNESS_r01..r13)
+    "brand_region_market_share",
+    "cf_negative_samples",
+    "content_topk_cosine",
+    "corpus_line_dedup",
+    "corpus_pps_sample",
+    "corpus_vocab",
+    "customer_name_fuzzy_pairs",
+    "customer_rfm_segments",
+    "customer_running_revenue",
+    "doc_dedup_cut",
+    "doc_duplicate_spans",
+    "doc_quality_scores",
+    "events_daily_dense",
+    "events_join_explosion_audit",
+    "events_prev_gap",
+    "events_sessions",
+    "events_user_temporal_split",
+    "events_value_features",
+    "events_value_quantile_sketch",
+    "image_dhash_near_pairs",
+    "lineitem_bloom_semijoin",
+    "top_tokens_cms",
+    "user_value_scd2",
+    # recency 1 — green r12, demoted r13 (24 picks: CF/eval family,
+    # neardup family, corpus/train-ready family, q17/q22, pagerank,
+    # hybrid flagship)
+    "baseline_topk",
+    "cf_predictions",
+    "corpus_bpe_pair_counts",
+    "corpus_clean",
+    "corpus_train_ready",
+    "decontaminate_docs",
+    "doc_pii_scrub",
+    "hybrid_topk",
+    "item_pagerank",
+    "item_topk_cosine",
+    "neardup_components",
+    "neardup_dedup_docs",
+    "neardup_group_keepers",
+    "neardup_minhash_lsh",
+    "neardup_ngram_jaccard",
+    "neardup_simhash",
+    "q17_small_quantity_revenue",
+    "q22_dormant_high_value",
+    "user_cf_coverage_novelty",
+    "user_cf_cv5_rmse",
+    "user_cf_ranking_eval",
+    "user_cf_rmse_mae",
+    "user_sims",
+    "user_topk_cosine",
 })
 
 

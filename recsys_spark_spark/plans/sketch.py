@@ -154,7 +154,7 @@ def events_stream_quantile_sketch(
     is scoped to the stream: it's captured when the streaming query
     STARTS and pinned by the checkpoint thereafter, so the batch
     merge/quantile stages below still run at the session width."""
-    import tempfile
+    from ..functions.scratch import scratch_dir
     import time
 
     from ..streaming.sinks import read_batched, write_stream_exactly_once
@@ -162,7 +162,7 @@ def events_stream_quantile_sketch(
 
     global last_stream_sketch_timings
     t0 = time.perf_counter()
-    workdir = tempfile.mkdtemp(prefix="stream_sketch_")
+    workdir = scratch_dir("stream_sketch_")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
     try:
@@ -277,14 +277,14 @@ def events_stream_user_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded; this is why heavy-user detection sketches); the top-k
     estimate stage touches the ≤ depth×width merged grid plus one
     distinct-user aggregate, never the raw facts."""
-    import tempfile
+    from ..functions.scratch import scratch_dir
 
     from pyspark.sql import Window
 
     from ..streaming.sinks import read_batched, write_stream_exactly_once
     from ..streaming.windows import cms_user_sketch_stream, read_events_stream
 
-    workdir = tempfile.mkdtemp(prefix="stream_cms_")
+    workdir = scratch_dir("stream_cms_")
     stream = cms_user_sketch_stream(read_events_stream(spark, sf_dir))
     q = write_stream_exactly_once(
         stream, f"{workdir}/store", f"{workdir}/ck", output_mode="update"

@@ -515,25 +515,6 @@ def canonical_url_sql(url_expr: str) -> str:
     return f"concat({host}, {path})"
 
 
-@register_demoted(
-    "doc_url_canonical_dedup",
-    oracle=f"""
-WITH u AS (
-  SELECT doc_id, {_URL_NOISY_SQL} AS url FROM documents
-),
-c AS (
-  SELECT doc_id, url, {canonical_url_sql("url")} AS canonical_url FROM u
-),
-g AS (
-  SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
-         CAST(count(*) AS BIGINT) AS n_group_docs
-  FROM c GROUP BY 1
-)
-SELECT c.doc_id, c.url, c.canonical_url, g.keeper_doc_id, g.n_group_docs,
-       c.doc_id = g.keeper_doc_id AS is_keeper
-FROM c JOIN g USING (canonical_url)
-""",
-)
 def doc_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document URL dedup — the crawl-pipeline step that folds
     scheme/case/www/default-port/trailing-slash/query/fragment noise
@@ -550,7 +531,14 @@ def doc_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join back on the same key — no pair explosion anywhere; a
     hot canonical URL (every crawl has them) fattens one group row,
     never a join.  Output is |docs| rows.  No reference analogue
-    (SURVEY §2 extension — verdict r11 #8's named alternative)."""
+    (SURVEY §2 extension — verdict r11 #8's named alternative).
+
+    r14: the REGISTRY row moved into the merged ``dedup_docs``
+    keeper-mapping relation (plans/llm.py, variant 'url_canonical' —
+    driver-green standalone in r13, merge precondition met); this
+    function stays as the richer library form (keeps the raw url and
+    is_keeper columns) and is pytest-pinned against hand-computed
+    canonicalization cases."""
     d = table(spark, sf_dir, "documents")
     c = d.select(
         "doc_id",

@@ -1476,14 +1476,14 @@ def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-bounded pair relation (≤ in-lookback views per
     purchase); the read-back aggregates only the sink store and the
     purchases slice, never re-scans views."""
-    import tempfile
+    from ..functions.scratch import scratch_dir
 
     from ..streaming.joins import attribution_view_pairs_stream
     from ..streaming.sinks import read_batched, write_stream_exactly_once
     from ..streaming.windows import read_events_stream
     from .sketch import STREAM_STATE_PARTITIONS
 
-    workdir = tempfile.mkdtemp(prefix="stream_attrib_")
+    workdir = scratch_dir("stream_attrib_")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
     try:

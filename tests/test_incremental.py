@@ -236,3 +236,105 @@ def test_bucket_counts_hot_set_equals_band_table_aggregate(spark, tmp_path):
     )
     from_bands = sorted(map(tuple, store_hot_buckets(bands, 5).collect()))
     assert from_counts == from_bands and len(from_counts) > 0
+
+
+def test_bcounts_fallback_only_on_verified_absence(spark, tmp_path):
+    """r13 VERDICT wrong #1 / ADVICE: the legacy-layout fallback must
+    trigger ONLY when bcounts/ verifiably does not exist; a PRESENT
+    but unreadable bcounts relation must raise, not silently demote
+    every future shard match to the band-table recount path."""
+    import os
+
+    import pytest
+
+    from recsys_spark_spark.operators.incremental import (
+        read_store_bucket_counts,
+    )
+
+    store = str(tmp_path / "store")
+    append_shard_to_store(_docs(spark, [(1, BASE)]), store, shard_id=0)
+    # genuine legacy layout: bcounts absent -> None (the one fallback)
+    import shutil
+
+    shutil.rmtree(f"{store}/bcounts")
+    assert read_store_bucket_counts(spark, store) is None
+    # corrupt relation: directory exists, content is not parquet
+    os.makedirs(f"{store}/bcounts/shard_id=0", exist_ok=True)
+    with open(f"{store}/bcounts/shard_id=0/part-00000.parquet", "w") as f:
+        f.write("this is not a parquet file")
+    with pytest.raises(Exception):
+        read_store_bucket_counts(spark, store).collect()
+
+
+def test_ingest_processor_corrupt_store_fails_loudly(spark, tmp_path):
+    """A present-but-unreadable store must FAIL the batch (the
+    checkpoint will replay it) — the old catch-all classified any
+    read failure as 'no store yet' and let every duplicate through
+    with is_dup=0, permanently, in a component advertised as
+    exactly-once."""
+    import glob
+    import pytest
+
+    from recsys_spark_spark.operators.incremental import (
+        make_ingest_dedup_processor,
+    )
+
+    store = str(tmp_path / "store")
+    dec = str(tmp_path / "decisions")
+    proc = make_ingest_dedup_processor(store, dec)
+    proc(_docs(spark, [(1, BASE)]), 0)
+    # corrupt every sigs data file in place
+    for p in glob.glob(f"{store}/sigs/shard_id=0/*.parquet"):
+        with open(p, "w") as f:
+            f.write("garbage, not parquet")
+    with pytest.raises(Exception):
+        proc(_docs(spark, [(10, BASE)]), 1)
+    # and the duplicate was NOT silently admitted as new
+    decided = spark.read.parquet(dec).where(F.col("batch_id") == 1).count()
+    assert decided == 0
+
+
+def test_ingest_processor_partial_first_append_reseeds(spark, tmp_path):
+    """Crash-mid-first-append hazard: sigs/ written but bands/ never
+    created.  The replayed seed batch must detect 'no usable store'
+    and seed again — not wedge forever on reading a never-created
+    bands/ directory."""
+    import shutil
+
+    from recsys_spark_spark.operators.incremental import (
+        make_ingest_dedup_processor,
+    )
+
+    store = str(tmp_path / "store")
+    dec = str(tmp_path / "decisions")
+    proc = make_ingest_dedup_processor(store, dec)
+    proc(_docs(spark, [(1, BASE)]), 0)
+    shutil.rmtree(f"{store}/bands")  # simulate the partial first append
+    proc(_docs(spark, [(1, BASE)]), 0)  # replay of the seed batch
+    d = {r["new_id"]: r["is_dup"] for r in spark.read.parquet(dec).collect()}
+    assert d == {1: 0}
+    assert spark.read.parquet(f"{store}/bands").count() > 0  # re-seeded
+
+
+def test_ingest_processor_string_ids_keep_schema_stable(spark, tmp_path):
+    """r13 ADVICE: with a non-bigint id column the empty-store branch
+    must derive dup_of's type from the id column — a hardcoded bigint
+    cast gave decision partitions conflicting parquet schemas across
+    batches (batch 0 bigint, batch 1 string) and broke the read-back."""
+    from recsys_spark_spark.operators.incremental import (
+        make_ingest_dedup_processor,
+    )
+
+    def _sdocs(rows):
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    store = str(tmp_path / "store")
+    dec = str(tmp_path / "decisions")
+    proc = make_ingest_dedup_processor(store, dec)
+    proc(_sdocs([("a1", BASE)]), 0)  # empty-store branch: NULL dup_of
+    proc(_sdocs([("b1", BASE), ("b2", "novel second batch text")]), 1)
+    out = spark.read.parquet(dec)  # merged read across both partitions
+    assert dict(out.dtypes)["dup_of"] == "string"
+    d = {r["new_id"]: (r["is_dup"], r["dup_of"]) for r in out.collect()}
+    assert d["a1"] == (0, None)
+    assert d["b1"] == (1, "a1") and d["b2"] == (0, None)

@@ -187,11 +187,14 @@ def test_cf_predictions_reuses_cached_ratings(spark, sf_dir, queries):
 
 
 def test_merged_dedup_docs_single_scan(spark, sf_dir, queries):
-    """dedup_docs (exact + normalized keeper mappings) must stay one
-    documents scan feeding two hash-partitioned windows."""
+    """dedup_docs (exact + normalized + url_canonical keeper mappings,
+    r14 merge) must stay ONE documents scan melting into ONE
+    hash-partitioned window over (variant, dup_key) — the merge's
+    fewer-shuffles claim, pinned."""
     t = tree_of(queries["dedup_docs"].fn(spark, sf_dir))
     assert t.count("Scan parquet") == 1, "documents scanned more than once"
-    assert t.count("Window") == 2
+    assert t.count("Window") == 1
+    assert "Generate explode" in t, "variant melt (explode) missing"
 
 
 def test_child_topk_plans_read_scored_cache(spark, sf_dir, queries):

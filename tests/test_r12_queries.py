@@ -204,13 +204,17 @@ def test_url_canonicalization_channels_hand_computed(spark):
         assert r["canon"] == r["expected"], (r["url"], r["canon"])
 
 
-def test_url_dedup_groups_are_real_and_keeper_is_min(spark, sf_dir, queries):
+def test_url_dedup_groups_are_real_and_keeper_is_min(spark, sf_dir):
     """The planted noise channels must actually COLLIDE across docs
     (the query is vacuous if every canonical URL is unique), the
-    keeper must be the group min, and exactly one keeper per group."""
-    from pyspark.sql import functions as F
+    keeper must be the group min, and exactly one keeper per group.
+    Runs the LIBRARY form (plans/text.py keeps the richer url +
+    is_keeper columns); the registry row lives in the merged
+    dedup_docs relation since r14 — see
+    test_merged_dedup_docs_url_variant_matches_library below."""
+    from recsys_spark_spark.plans.text import doc_url_canonical_dedup
 
-    df = queries["doc_url_canonical_dedup"].fn(spark, sf_dir)
+    df = doc_url_canonical_dedup(spark, sf_dir)
     rows = df.collect()
     assert any(r["n_group_docs"] > 1 for r in rows), "no duplicate groups"
     by_canon = {}
@@ -221,3 +225,28 @@ def test_url_dedup_groups_are_real_and_keeper_is_min(spark, sf_dir, queries):
         assert all(r["keeper_doc_id"] == keeper for r in grp)
         assert sum(r["is_keeper"] for r in grp) == 1
         assert all(r["n_group_docs"] == len(grp) for r in grp)
+
+
+def test_merged_dedup_docs_url_variant_matches_library(spark, sf_dir, queries):
+    """The r14 merge must not have changed the URL-dedup semantics:
+    the merged row's 'url_canonical' variant slice == the standalone
+    library form projected onto the shared grain."""
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.plans.text import doc_url_canonical_dedup
+
+    merged = (
+        queries["dedup_docs"]
+        .fn(spark, sf_dir)
+        .where(F.col("variant") == "url_canonical")
+        .select("doc_id", "dup_key", "keeper_doc_id", "n_group_docs", "is_dup")
+    )
+    lib = doc_url_canonical_dedup(spark, sf_dir).select(
+        "doc_id",
+        F.col("canonical_url").alias("dup_key"),
+        "keeper_doc_id",
+        "n_group_docs",
+        (~F.col("is_keeper")).cast("int").alias("is_dup"),
+    )
+    assert merged.exceptAll(lib).count() == 0
+    assert lib.exceptAll(merged).count() == 0
