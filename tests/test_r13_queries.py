@@ -41,19 +41,23 @@ def test_attribution_merged_slices_equal_members(spark, sf_dir):
 
 
 def test_hard_negatives_merged_slices_equal_members(spark, sf_dir):
+    # r14 rotation: the merged row gained the 'overfetch' variant
+    # (formerly the standalone embedding_hard_negatives_overfetch row)
     from recsys_spark_spark.plans.ann import (
         embedding_hard_negatives,
         embedding_hard_negatives_ivf,
         embedding_hard_negatives_lsh,
+        embedding_hard_negatives_overfetch,
     )
 
     merged = _ALL["embedding_hard_negatives"].fn(spark, sf_dir)
     tags = {r["variant"] for r in merged.select("variant").distinct().collect()}
-    assert tags == {"exact", "ivf", "lsh"}
+    assert tags == {"exact", "ivf", "lsh", "overfetch"}
     for tag, member in (
         ("exact", embedding_hard_negatives),
         ("ivf", embedding_hard_negatives_ivf),
         ("lsh", embedding_hard_negatives_lsh),
+        ("overfetch", embedding_hard_negatives_overfetch),
     ):
         got = _rows(merged.where(f"variant = '{tag}'").drop("variant"))
         assert got == _rows(member(spark, sf_dir)), tag
