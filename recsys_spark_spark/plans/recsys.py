@@ -468,6 +468,15 @@ def hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefilter_neighbors=PREFILTER,
         materialize=False,
     )
+    # The axis materialization target is the RANK_CACHE_K ranked cache
+    # (r14): the pre-rank scored relation is no longer cached (see
+    # _rank_items — it was 2 × ~550 MiB of storage with zero reuse),
+    # so each thread computes its axis THROUGH the rank window into
+    # the O(users·20) ranked cache the blend and the standalone
+    # children read.
+    u = _rank_items(u_scored, CHILD_K, share=True)
+    i = _rank_items(i_scored, CHILD_K, share=True)
+
     def _timed(pair):
         name, d = pair
         t0 = _time.perf_counter()
@@ -476,12 +485,10 @@ def hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _t0 = _time.perf_counter()
     with ThreadPoolExecutor(2) as ex:
-        list(ex.map(_timed, (("axis_user", u_scored), ("axis_item", i_scored))))
+        list(ex.map(_timed, (("axis_user", u), ("axis_item", i))))
     # the per-axis walls overlap; "axes_wall" is the actual elapsed span
     timings["axes_wall"] = round(_time.perf_counter() - _t0, 3)
     last_hybrid_timings = timings
-    u = _rank_items(u_scored, CHILD_K, share=True)
-    i = _rank_items(i_scored, CHILD_K, share=True)
     return hybrid_topk(u, i, weight_a=0.6, weight_b=0.4, k_items=K_ITEMS)
 
 

@@ -67,27 +67,6 @@ def _materialize(model: DataFrame) -> DataFrame:
     return model
 
 
-def _share_scored(scored: DataFrame, materialize: bool) -> DataFrame:
-    """Cache the pre-rank scored-candidate DF — the expensive part of
-    every top-K plan (candidate join → neighbor window → aggregate).
-
-    The scored subtree does NOT depend on ``k_items``: the hybrid blend
-    builds it with CHILD_K=20 and each standalone child with K=5, an
-    identical analyzed plan up to the final rank filter.  Caching at
-    this level makes the hybrid ≈ two materializations + a cheap blend
-    and turns the standalone children into rank-only cache reads
-    (round-3 bench: each child re-ran the full candidate subtree,
-    ~8-9 s apiece at sf0.1, on top of hybrid's 44.9 s).
-
-    ``materialize=False`` registers the cache but stays lazy — for
-    callers that only inspect or compose the plan (plan tests, dry
-    planning) and must not pay an eager Spark job at call time."""
-    scored = scored.cache()
-    if materialize:
-        _materialize(scored)
-    return scored
-
-
 def _user_means(ratings: DataFrame) -> DataFrame:
     """Per-user mean over *rated* entries (UserBasedRating...scala:41-45)."""
     return ratings.groupBy("user_id").agg(F.avg("rating").alias("mean_r"))
@@ -111,7 +90,16 @@ def _rank_items(
     the full multi-million-row scored relation — the rank filter is
     then a cheap cache-read ``rank <= k``.  row_number over the same
     ordering is prefix-stable, so filtering the deeper ranking is
-    exactly the shallower one."""
+    exactly the shallower one.
+
+    This ranked relation is the ONLY cache level on the scored path
+    since r14: the pre-rank ``scored`` relation used to be cached too
+    (2 × ~550 MiB storage at sf0.1 for the two hybrid axes), but every
+    consumer reads it exactly once — through this window — so the
+    extra cache bought no reuse and its storage squeezed execution
+    memory enough to push the axis sorts into multi-GB spills on a
+    contended host (guide §5: cache only what is reused; measured in
+    OPTIMIZATION_r14.md)."""
     w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("item_id"))
     if share and k_items <= RANK_CACHE_K:
         ranked = (
@@ -174,9 +162,12 @@ def user_based_scored(
 ) -> DataFrame:
     """Pre-rank scored candidates ``(user_id, item_id, score)`` for
     user k-NN — everything in :func:`user_based_topk` except the final
-    per-user rank filter.  Cached when ``prefilter_neighbors`` is set
-    (the model path) so the hybrid blend and the standalone top-K share
-    one materialization (see _share_scored)."""
+    per-user rank filter.  NOT cached (r14): sharing happens one level
+    up, at the RANK_CACHE_K ranked relation (see _rank_items) — every
+    consumer of this relation reads it exactly once, through that
+    window.  ``materialize`` is kept for API compatibility; the eager
+    materialization now happens on the ranked cache in the *_topk
+    wrappers."""
     sims = _axis_sims(
         ratings,
         kernel=kernel,
@@ -254,8 +245,7 @@ def user_based_scored(
             qround(F.col("mean_r") + F.col("delta"), SCORE_ROUND).alias("score"),
         )
     )
-    if prefilter_neighbors is not None:
-        scored = _share_scored(scored, materialize)
+    del materialize  # see docstring: materialization moved to the ranked cache
     return scored
 
 
@@ -299,7 +289,11 @@ def user_based_topk(
         materialize=materialize,
         use_lsh_candidates=use_lsh_candidates,
     )
-    return _rank_items(scored, k_items, share=prefilter_neighbors is not None)
+    share = prefilter_neighbors is not None
+    out = _rank_items(scored, k_items, share=share)
+    if share and materialize:
+        _materialize(out)  # fills the RANK_CACHE_K ranked cache
+    return out
 
 
 def item_based_scored(
@@ -360,7 +354,11 @@ def item_based_topk(
         materialize=materialize,
         use_lsh_candidates=use_lsh_candidates,
     )
-    return _rank_items(scored, k_items, share=prefilter_neighbors is not None)
+    share = prefilter_neighbors is not None
+    out = _rank_items(scored, k_items, share=share)
+    if share and materialize:
+        _materialize(out)  # fills the RANK_CACHE_K ranked cache
+    return out
 
 
 def scored_from_item_sims(
@@ -372,8 +370,8 @@ def scored_from_item_sims(
 ) -> DataFrame:
     """Pre-rank scored candidates ``(user_id, item_id, score)`` from a
     directed item-similarity DataFrame — :func:`topk_from_item_sims`
-    minus the final per-user rank filter; cached when
-    ``prefilter_neighbors`` is set (see _share_scored)."""
+    minus the final per-user rank filter.  NOT cached since r14 (see
+    user_based_scored: sharing lives at the ranked cache)."""
     if prefilter_neighbors is not None:
         # the classic item-CF model shape: each item keeps its N most
         # similar items; bounds the candidate join at scale
@@ -421,8 +419,7 @@ def scored_from_item_sims(
             qround(F.col("num") / F.col("den"), SCORE_ROUND).alias("score"),
         )
     )
-    if prefilter_neighbors is not None:
-        scored = _share_scored(scored, materialize)
+    del materialize  # see user_based_scored: moved to the ranked cache
     return scored
 
 
@@ -445,7 +442,11 @@ def topk_from_item_sims(
     scored = scored_from_item_sims(
         sims, ratings, k_neighbors, prefilter_neighbors, materialize
     )
-    return _rank_items(scored, k_items, share=prefilter_neighbors is not None)
+    share = prefilter_neighbors is not None
+    out = _rank_items(scored, k_items, share=share)
+    if share and materialize:
+        _materialize(out)  # fills the RANK_CACHE_K ranked cache
+    return out
 
 
 def predict_user_based(

@@ -696,23 +696,53 @@ class SequentialTopK:
                 * F.col("support")
                 * F.col("confidence")
             )
-            best = (
-                um.crossJoin(F.broadcast(rm))
+            # r14: score DISTINCT sequence masks, not users.  The best
+            # rule is a pure function of the mask, and masks repeat
+            # (the same insight rule_counts already exploits: its
+            # exchange carries distinct masks); the argmax attaches
+            # back to users by an equi-join on the mask.  Tie-break
+            # note: the original argmax was max by (s desc, cc asc,
+            # rule_id asc) emitting only cc — per cc keep max s, then
+            # max by (s desc, cc asc) emits the identical cc, so the
+            # rule_id component is redundant for the output.
+            #
+            # Two hazards shaped this plan (measured, OPTIMIZATION_r14):
+            # 1. AQE coalesces the tiny post-distinct exchange to ONE
+            #    partition, serializing the masks × rules nested-loop
+            #    expansion on a single core (sequential_topk 58 s →
+            #    223-259 s in the first cut).  The keyless repartition
+            #    to the default parallelism is applied AFTER distinct
+            #    (so it is not AQE-coalesced away) and costs ~|masks|
+            #    rows.
+            # 2. max(struct) has no mutable-buffer hash path:
+            #    ObjectHashAggregate falls back to SORT-based
+            #    aggregation at 128 groups per task
+            #    (...objectHashAggregate.sortBased.fallbackThreshold),
+            #    which spilled 2.4 GB at sf0.1.  groupBy(mseq, cc) →
+            #    max(double) is a pure codegen HashAggregate with
+            #    map-side partial aggregation; the struct argmax then
+            #    runs over ≤ |masks| × |clusters| pre-aggregated rows.
+            par = um.sparkSession.sparkContext.defaultParallelism
+            dm = um.select("mseq").distinct().repartition(par)
+            best_mask = (
+                dm.crossJoin(F.broadcast(rm))
                 .where(sc > 0)
-                .groupBy("user_id")
+                .groupBy("mseq", "cc")
+                .agg(F.max(sc).alias("s"))
+                .groupBy("mseq")
                 .agg(
                     F.max(
                         F.struct(
-                            sc.alias("s"),
+                            F.col("s"),
                             (-F.col("cc")).alias("nc"),
-                            (-F.col("rule_id")).alias("nr"),
                             F.col("cc").alias("c"),
                         )
                     ).alias("b")
                 )
-                .select(
-                    "user_id", F.col("b.c").alias("consequent_cluster")
-                )
+                .select("mseq", F.col("b.c").alias("consequent_cluster"))
+            )
+            best = um.join(best_mask, "mseq").select(
+                "user_id", "consequent_cluster"
             )
         else:
             useq = self.sequences_.select(

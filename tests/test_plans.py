@@ -198,13 +198,15 @@ def test_merged_dedup_docs_single_scan(spark, sf_dir, queries):
 
 
 def test_child_topk_plans_read_scored_cache(spark, sf_dir, queries):
-    """Round-4 perf contract: the standalone CF children rank over the
-    CACHED pre-rank scored-candidate DF (shared with hybrid via plan
-    identity) — removing _share_scored would silently re-run the whole
+    """Round-4 perf contract, r14 form: the standalone CF children read
+    a CACHED shared relation (since r14 the RANK_CACHE_K ranked cache,
+    shared with hybrid via plan identity; before r14 also the pre-rank
+    scored DF, dropped because it had zero reuse and 2 x ~550 MiB of
+    storage) — losing the cache would silently re-run the whole
     candidate subtree per query (8-9 s apiece at sf0.1)."""
     for name in ("user_topk_cosine", "item_topk_cosine"):
         p = plan_of(queries[name].fn(spark, sf_dir))
-        assert "InMemoryTableScan" in p, f"{name}: scored cache not in plan"
+        assert "InMemoryTableScan" in p, f"{name}: ranked cache not in plan"
 
 
 def test_bench_set_is_stable():
