@@ -304,8 +304,12 @@ def minhash_neardup_pairs(
     # sides); persist so the text scan + shingle explode run once per
     # action, not 4x (same discipline as ngram_jaccard_pairs — lazily
     # consumed, so the cache lives for the session like every shared
-    # plan-identity cache in this package)
-    sh = shingle_rows(docs, id_col, text_col, shingle).persist()
+    # plan-identity cache in this package).  spread_scan: the shingle
+    # explode + per-shingle hashing is the CPU-heavy stage and must
+    # not inherit a 1-task file layout (see readers.spread_scan).
+    from ..sources.readers import spread_scan
+
+    sh = shingle_rows(spread_scan(docs), id_col, text_col, shingle).persist()
     sigs = minhash_signatures(sh, n_hashes, hash_mode)
     cand = lsh_candidate_pairs(
         band_rows(sigs, rows_per_band, n_hashes), max_bucket
@@ -419,7 +423,9 @@ def ngram_jaccard_pairs(
     drops shingles occurring in more than N documents before the join
     (stop-shingle skew guard; changes results only for pairs whose
     overlap is dominated by ubiquitous shingles)."""
-    sh = shingle_rows(docs, id_col, text_col, shingle)
+    from ..sources.readers import spread_scan
+
+    sh = shingle_rows(spread_scan(docs), id_col, text_col, shingle)
     if max_doc_freq is not None:
         df_counts = sh.groupBy("s").agg(F.count("*").alias("_df"))
         sh = sh.join(df_counts, "s").where(F.col("_df") <= max_doc_freq).drop("_df")
@@ -492,6 +498,9 @@ def simhash_signatures(
     Every token *occurrence* votes ±1 on each bit of its 60-bit hash;
     bit b of the fingerprint is 1 iff the vote sum is ≥ 0.  One narrow
     map + one aggregation on the doc id."""
+    from ..sources.readers import spread_scan
+
+    docs = spread_scan(docs)
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
@@ -654,7 +663,9 @@ def decontaminate_pairs(
     appears).  Joining on the raw shingle keeps the count exact; at
     extreme scale swap the key for hash60(s) to shrink the broadcast
     (collision odds ~|shingles|²/2⁶¹)."""
-    t = shingle_rows(train, id_col, text_col, n).select(
+    from ..sources.readers import spread_scan
+
+    t = shingle_rows(spread_scan(train), id_col, text_col, n).select(
         F.col("id").alias("train_id"), "s"
     )
     e = shingle_rows(evals, id_col, text_col, n).select(

@@ -331,6 +331,9 @@ def with_wav_content(
     ``md5(text + '~' + i)``, little-endian int16 pairs — recomputable
     by any engine with md5), packed through :func:`encode_wav`.  The
     encode half of a real audio-decode test."""
+    from ..sources.readers import spread_scan
+
+    docs = spread_scan(docs)  # CPU-heavy Python encode must not run 1-task
     n_bytes = n_samples * 2
     n_blocks = (n_bytes + 15) // 16
     encode = _detached(encode_wav)  # ship by value, not package ref
@@ -409,6 +412,9 @@ def with_ppm_content(
     with md5, no chaining), encoded through :func:`encode_ppm`.  This
     is the encode half of a real decode test: downstream operators
     must parse the header and raster like any netpbm file."""
+    from ..sources.readers import spread_scan
+
+    docs = spread_scan(docs)  # CPU-heavy Python encode must not run 1-task
     n_bytes = width * height * 3
     n_blocks = (n_bytes + 15) // 16
     encode = _detached(encode_ppm)  # ship by value, not package ref

@@ -147,6 +147,12 @@ def clean_corpus(
     number stays comparable while attributing the round-4 driver-box
     drift (26.5 s driver vs 5.5–6.5 s local) to a named stage."""
     n_tokens, _, _, quality = quality_exprs()
+    # spread_scan: the regex-heavy quality gate is CPU-bound and must
+    # not inherit a 1-task small-file scan (readers.spread_scan; no-op
+    # on production-sized inputs)
+    from ..sources.readers import spread_scan
+
+    docs = spread_scan(docs)
     gate = (
         docs.select(
             "doc_id",
@@ -873,7 +879,11 @@ def corpus_train_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_neardup_pairs,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    # spread_scan: the regex-heavy quality gate must not inherit a
+    # 1-task small-file scan (readers.spread_scan; no-op at scale)
+    from ..sources.readers import spread_scan
+
+    docs = spread_scan(table(spark, sf_dir, "documents"))
     n_tokens, _, _, quality = quality_exprs()
     gate = (
         docs.select(

@@ -122,10 +122,9 @@ class BatchSOM:
                 "the first row) — need at least k rows"
             )
         dim = head["d"]
-        # codebook-training sample (deterministic hash filter, so the
-        # same rows are chosen under any partitioning / re-execution);
-        # persisted because every Lloyd iteration scans it
-        sampled = False
+        # codebook-training sample: deterministic hash filter, so the
+        # same rows are chosen under any partitioning / re-execution
+        sample_pred = None
         n_est = None
         if self.fit_sample_rows is not None:
             n = df.count()
@@ -133,23 +132,74 @@ class BatchSOM:
             if n > self.fit_sample_rows:
                 denom = 1 << 30
                 thresh = int(denom * self.fit_sample_rows / n)
-                df = (
-                    df.where(
-                        F.pmod(
-                            F.xxhash64(
-                                F.lit(self.seed ^ 0x5EED), F.col(feature_col)
-                            ),
-                            F.lit(denom),
-                        )
-                        < F.lit(thresh)
+                sample_pred = (
+                    F.pmod(
+                        F.xxhash64(
+                            F.lit(self.seed ^ 0x5EED), F.col(feature_col)
+                        ),
+                        F.lit(denom),
                     )
-                    # few fat partitions: the sample is rescanned once
-                    # per Lloyd iteration, and per-task Arrow setup
-                    # dominates on ~100k rows spread over 32 partitions
-                    .coalesce(8)
-                    .persist()
+                    < F.lit(thresh)
                 )
-                sampled = True
+
+        k = self.k
+        if n_est is not None and n_est * dim <= self.local_fit_budget:
+            # LOCAL iteration path: the training set is bounded
+            # (≤ fit_sample_rows rows — model-fitting state, O(1) in
+            # corpus size), so ONE full-parallelism scan collects the
+            # sample WITH its init hash and everything else — init
+            # selection and all Lloyd iterations — runs in numpy.
+            # (r14: this path previously reused the distributed path's
+            # scaffolding — a coalesce(8)+persist of the sample, a
+            # Spark orderBy/limit job for the init rows, then a third
+            # scan for toPandas; the sample filter hashed every row on
+            # 8 cores and the extra jobs cost ~8 s of the 10.4 s
+            # som.fit at sf0.1.  Same math, same init: argsort of the
+            # identical xxhash64 values — equivalence pinned by
+            # tests/test_som.py and the sequential goldens.)
+            sdf = df.where(sample_pred) if sample_pred is not None else df
+            # toArrow, not toPandas: the list<double> column lands as
+            # one contiguous values buffer + offsets, so the n×dim
+            # matrix is a zero-copy reshape — toPandas materializes an
+            # object column of n small ndarrays and np.stack over it
+            # is a driver-side Python loop (measured 26 s for 130k×64
+            # at sf0.1 vs ~0.01 s for the buffer path)
+            tbl = sdf.select(
+                F.col(feature_col).alias("f"),
+                F.xxhash64(F.lit(self.seed), F.col(feature_col)).alias("_h"),
+            ).toArrow()
+            if tbl.num_rows < k:
+                raise ValueError(f"need at least k={k} rows to fit")
+            fcol = tbl.column("f").combine_chunks()
+            offs = np.asarray(fcol.offsets)
+            if not (np.diff(offs) == dim).all():
+                raise ValueError("BatchSOM.fit: ragged feature vectors")
+            X = np.asarray(fcol.flatten()).astype(np.float64).reshape(-1, dim)
+            # deterministic data-driven init: the k rows with the
+            # smallest feature hash (seeded) — the same k rows the
+            # distributed path's orderBy("_h").limit(k) picks
+            order = np.argsort(
+                np.asarray(tbl.column("_h").combine_chunks()), kind="stable"
+            )[:k]
+            self.codebook_ = X[order].copy()
+            for it in range(self.max_iter):
+                C = self.codebook_
+                c_sq = (C * C).sum(1)
+                b = np.argmin(c_sq[None, :] - 2.0 * (X @ C.T), axis=1)
+                counts = np.bincount(b, minlength=k).astype(float)
+                sums = np.zeros((k, dim))
+                np.add.at(sums, b, X)
+                self._apply_update(counts, sums, self._sigma(it))
+            return self
+
+        # DISTRIBUTED iteration path below: persist the sample because
+        # every Lloyd iteration rescans it (few fat partitions:
+        # per-task Arrow setup dominates on ~100k rows spread over 32
+        # partitions)
+        sampled = False
+        if sample_pred is not None:
+            df = df.where(sample_pred).coalesce(8).persist()
+            sampled = True
         # NOT persisted in the unsampled branch: caching a projection
         # whose columns mix nested higher-order functions with the
         # downstream pandas UDF trips Spark 4.1's interpreted
@@ -174,35 +224,6 @@ class BatchSOM:
         self.codebook_ = np.array(
             [r[feature_col] for r in init_rows], dtype=np.float64
         )
-
-        k = self.k
-        if n_est is not None and n_est * dim <= self.local_fit_budget:
-            # LOCAL iteration path: the training set is bounded
-            # (≤ fit_sample_rows rows — model-fitting state, O(1) in
-            # corpus size), so collect it ONCE and iterate in numpy
-            # instead of shipping the same rows through Arrow
-            # max_iter times.  Same math as the distributed loop
-            # (equivalence asserted in tests/test_som.py).
-            spark = df.sparkSession
-            arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
-            old_arrow = spark.conf.get(arrow_key, "false")
-            spark.conf.set(arrow_key, "true")
-            try:
-                pdf = df.select(F.col(feature_col).alias("f")).toPandas()
-            finally:
-                spark.conf.set(arrow_key, old_arrow)
-            X = np.stack(pdf["f"].to_numpy()).astype(np.float64)
-            for it in range(self.max_iter):
-                C = self.codebook_
-                c_sq = (C * C).sum(1)
-                b = np.argmin(c_sq[None, :] - 2.0 * (X @ C.T), axis=1)
-                counts = np.bincount(b, minlength=k).astype(float)
-                sums = np.zeros((k, dim))
-                np.add.at(sums, b, X)
-                self._apply_update(counts, sums, self._sigma(it))
-            if sampled:
-                df.unpersist()
-            return self
 
         for it in range(self.max_iter):
             # one fused Arrow stage per iteration: BMU argmin AND the

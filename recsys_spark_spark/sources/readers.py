@@ -105,6 +105,34 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition an under-split relation up to the
+    session's default parallelism — guard for CPU-heavy per-row
+    operators (shingling, minhash, text stats, media decode) whose
+    input arrives as fewer tasks than cores.
+
+    Rationale (guide §2.5 input skew): parquet splits at row-group
+    granularity, so a small single-row-group file is ONE unsplittable
+    scan task and everything computed per-row in that stage runs on
+    one core (measured: the whole sf0.1 star schema is one row group
+    per table; the shingle+minhash stage of neardup_minhash_lsh ran
+    3-second 1-task stages in series).  Scale-adaptive by
+    construction, not a local[] tune: when the scan already carries
+    >= defaultParallelism partitions (any production-sized input) the
+    DataFrame is returned UNCHANGED — the repartition only exists in
+    the tiny-input regime where shuffling the handful of megabytes is
+    free.  Results are partitioning-invariant: callers apply this only
+    below row-local projections / explodes and above key-partitioned
+    shuffles, never below order-sensitive ids (the package's only
+    monotonically_increasing_id sits behind its own orderBy contract,
+    recommenders/sequential.py)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def read_ratings_csv(
     spark: SparkSession,
     path: str,

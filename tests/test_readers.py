@@ -84,3 +84,23 @@ def test_features_csv_shape(spark):
     for c in df.columns[1:3]:
         vals = {r[0] for r in df.select(c).distinct().collect()}
         assert vals <= {0, 1}
+
+
+def test_spread_scan_spreads_undersplit_and_noops_at_scale(spark, sf_dir):
+    """r14 perf contract: spread_scan must lift a 1-task small-file
+    scan to the session's default parallelism (the whole testdata star
+    schema is one parquet row group per table, so every CPU-heavy
+    per-row operator would otherwise run single-core) and must be the
+    IDENTITY on a relation already at/above that width (the 100 TB
+    regime: no gratuitous shuffle on production-sized inputs)."""
+    from recsys_spark_spark.sources.readers import spread_scan, table
+
+    par = spark.sparkContext.defaultParallelism
+    docs = table(spark, sf_dir, "documents")
+    assert docs.rdd.getNumPartitions() < par  # the regime under test
+    spread = spread_scan(docs)
+    assert spread.rdd.getNumPartitions() == par
+    # row-set identical (round-robin repartition moves, never drops)
+    assert spread.count() == docs.count()
+    wide = docs.repartition(par)
+    assert spread_scan(wide) is wide  # no-op above the threshold
