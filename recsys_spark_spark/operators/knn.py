@@ -182,8 +182,12 @@ def cosine_knn_lsh(
     """
     # base is consumed by the dim probe, the signature pass, and the
     # exact-rerank vector join — cache once so the parquet arrays are
-    # decoded a single time (same rationale as cosine_knn_ivf)
-    base = track(base.cache())  # released via cache_tracking (ownership: caller)
+    # decoded a single time (same rationale as cosine_knn_ivf).
+    # spread_scan first: the signature pandas_udf is CPU-heavy per-row
+    # and must not inherit a 1-task small-file scan.
+    from ..sources.readers import spread_scan
+
+    base = track(spread_scan(base).cache())  # released via cache_tracking
     dim = base.select(F.size(vec_col).alias("d")).first()["d"]
     base_sigs = lsh_signatures(
         base,

@@ -49,6 +49,22 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # r14: start every exchange 8× wider than the core count and
+        # let AQE coalesce the small ones back down (guide §2.2's
+        # canonical sizing move, via the documented
+        # initialPartitionNum knob).  At width == cores the two CF
+        # axis window sorts each spilled 2.4 GB at sf0.1 (per-task
+        # sort state ~1M rows with 32 concurrent tasks sharing
+        # execution memory); 8× smaller sorts fit, and tiny exchanges
+        # still coalesce to few tasks.  Derived from the session
+        # width, so the driver's lower-core bench run and any
+        # production core count scale the same way (ABBA A/B under
+        # rising co-tenant load: hybrid_topk 65.1/54.1 s vs 73.9 s,
+        # OPTIMIZATION_r14.md).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * shuffle_partitions),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

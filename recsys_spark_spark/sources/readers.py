@@ -75,10 +75,16 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         cores = spark.sparkContext.defaultParallelism
-        spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        width = max(cores, 8)
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # start exchanges wide, let AQE coalesce (see session.get_spark)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * width),
+        )
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
