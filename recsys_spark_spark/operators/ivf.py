@@ -234,12 +234,13 @@ def cosine_knn_ivf(
     # arrays.  At 100 TB the equivalent is a persisted index build
     # (the cache spills via MEMORY_AND_DISK; plan-identity keying
     # shares it with any other query over the same base this session).
-    # spread_scan before the cache: the BMU pandas_udf assignment and
-    # Lloyd partials are CPU-heavy per-row and must not inherit a
-    # 1-task small-file scan (readers.spread_scan; no-op at scale)
-    from ..sources.readers import spread_scan
-
-    base = track(spread_scan(base).cache())  # released via cache_tracking
+    # NOT spread_scan'd (r14 A/B): the base relation here is vectors,
+    # whose TOTAL per-row work at bench scale is small — spreading a
+    # 2k-row input to 32 partitions added per-task Arrow/setup fixed
+    # costs across the index build's several small jobs and regressed
+    # embedding_knn_ivf 2.8 -> 4.7-5.9 s in-bench; at production scale
+    # the scan arrives multi-partition anyway.
+    base = track(base.cache())  # released via cache_tracking (ownership: caller)
     c0 = seed_centroids(base, id_col, vec_col, n_cells)
     c1 = refine_centroids(base, c0, vec_col)
 

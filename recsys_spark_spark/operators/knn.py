@@ -182,12 +182,10 @@ def cosine_knn_lsh(
     """
     # base is consumed by the dim probe, the signature pass, and the
     # exact-rerank vector join — cache once so the parquet arrays are
-    # decoded a single time (same rationale as cosine_knn_ivf).
-    # spread_scan first: the signature pandas_udf is CPU-heavy per-row
-    # and must not inherit a 1-task small-file scan.
-    from ..sources.readers import spread_scan
-
-    base = track(spread_scan(base).cache())  # released via cache_tracking
+    # decoded a single time (same rationale as cosine_knn_ivf).  NOT
+    # spread_scan'd — see cosine_knn_ivf: per-task fixed costs outweigh
+    # the tiny total per-row work of bench-scale vector inputs.
+    base = track(base.cache())  # released via cache_tracking (ownership: caller)
     dim = base.select(F.size(vec_col).alias("d")).first()["d"]
     base_sigs = lsh_signatures(
         base,

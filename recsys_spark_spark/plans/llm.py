@@ -347,12 +347,10 @@ def embedding_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dimension-exploded join + hash aggregation: the base table streams
     once, queries broadcast.  This is the correctness baseline; the
     LSH-bucketed scale path is operators/knn.py."""
-    from ..sources.readers import spread_scan
-
-    # spread_scan: the dim-explode multiplies the scan's rows by the
-    # vector width and the broadcast-join side streams map-side — a
-    # 1-task small-file scan would serialize all of it (no-op at scale)
-    e = spread_scan(table(spark, sf_dir, "embeddings"))
+    # NOT spread_scan'd (r14 A/B) — see operators/ivf.py::cosine_knn_ivf:
+    # bench-scale vector inputs have too little total per-row work to
+    # amortize 32-way task setup; the A/B regressed the ANN trio.
+    e = table(spark, sf_dir, "embeddings")
     flat = e.select(
         "vec_id",
         F.posexplode(F.col("embedding")).alias("pos", "v"),
