@@ -167,6 +167,28 @@ def main() -> None:
     # warm the JVM + parquet footers once with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # r14 measurement fix (documented in OPTIMIZATION_r14.md): also
+    # warm the Python-worker fleet.  Python workers spawn lazily at the
+    # FIRST Python-evaluated stage, so whichever query runs first with
+    # a pandas/Arrow operator (als_topk, alphabetically) was charged
+    # the one-time cost of forking defaultParallelism workers that all
+    # import numpy+pandas simultaneously — profiled at 10-15 s of the
+    # als serve stage's 259 task-s, ~0.2 s/task once warm.  On a real
+    # cluster workers spawn once per executor and amortize over the
+    # application; attributing the fleet spawn to query #1 is a
+    # measurement artifact, the same class as the JVM warm-up above.
+    # (Old numbers, with the spawn charged to als_topk, are kept in
+    # BENCH_r13/r14_local_* — see OPTIMIZATION_r14.md.)
+    def _warm(batches):
+        import numpy  # noqa: F401  (imported for its load cost)
+        import pandas as pd
+
+        for _ in batches:
+            yield pd.DataFrame({"x": [0]})
+
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par).repartition(par).mapInPandas(_warm, "x int").count()
+
     # SPARK_GRAFT_BENCH_FIRST hoists one query to the head of the
     # (otherwise alphabetical) loop — the r11 probe instrument for
     # order-dependent effects: the in-bench vs isolated hybrid gap

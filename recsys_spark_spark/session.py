@@ -65,6 +65,23 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             str(8 * shuffle_partitions),
         )
+        # r14: let AQE coalesce the OUTPUT partitioning of cached plans
+        # too.  Default false pins an InMemoryRelation at the
+        # un-coalesced exchange width — with the 8× initialPartitionNum
+        # above, the ratings/residual/survivor caches materialized at
+        # 256 partitions (~2.3k rows each at sf0.1) and EVERY consumer
+        # stage inherited 256 ~100 ms tasks of pure scheduling overhead
+        # (profiled: the CF stats/means/candidate map stages and all 5
+        # MLlib ALS sweeps ran 256-task stages over ≤15 MB inputs).
+        # CPU-heavy per-row consumers are not at risk of the few-task
+        # regime this creates: every such path re-spreads its input
+        # (sources.readers.spread_scan call sites in operators/dedup,
+        # plans/pipeline, operators/multimodal) or repartitions
+        # explicitly (ALS serve, sequential mask expansion).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

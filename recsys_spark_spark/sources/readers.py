@@ -85,6 +85,13 @@ def ensure_session_confs(spark: SparkSession) -> None:
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             str(8 * width),
         )
+        # and let AQE coalesce cached-plan output too — without this
+        # the wide initial exchanges pin every cache() at the
+        # un-coalesced width (see session.get_spark r14 note)
+        spark.conf.set(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
