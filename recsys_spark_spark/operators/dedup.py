@@ -251,12 +251,24 @@ def lsh_candidate_pairs(
 
 
 def verify_jaccard(
-    cand: DataFrame, sh_rows: DataFrame, threshold: float
+    cand: DataFrame,
+    sh_rows: DataFrame,
+    threshold: float,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets, restricted to candidate pairs.
     jaccard = co / (n_a + n_b − co) — set form of the reference kernel
-    (similarity/JaccardSimilarity.scala:22-29)."""
-    sizes = sh_rows.groupBy("id").agg(F.count("*").alias("n"))
+    (similarity/JaccardSimilarity.scala:22-29).
+
+    ``sizes``: optional precomputed ``(id, n)`` set sizes — callers
+    that already aggregate per-id over the shingle rows (the fused
+    signature+size pass in :func:`minhash_neardup_pairs`) pass it in
+    so this function does not re-scan ``sh_rows`` a second time.
+    ``sh_rows`` may likewise be pre-restricted to the ids appearing in
+    ``cand`` — the co-count join only ever reads those — as long as
+    ``sizes`` still covers the FULL per-document shingle sets."""
+    if sizes is None:
+        sizes = sh_rows.groupBy("id").agg(F.count("*").alias("n"))
     a = sh_rows.select(F.col("id").alias("id_a"), "s")
     b = sh_rows.select(F.col("id").alias("id_b"), "s")
     co = (
@@ -313,8 +325,20 @@ def minhash_neardup_pairs(
     sigs = minhash_signatures(sh, n_hashes, hash_mode)
     cand = lsh_candidate_pairs(
         band_rows(sigs, rows_per_band, n_hashes), max_bucket
-    )
-    return verify_jaccard(cand, sh, threshold)
+    ).persist()
+    # r14: the exact-verify co-count join only reads shingles of docs
+    # that appear in a candidate pair — a tiny subset on a healthy
+    # corpus.  Restricting sh ONCE (broadcast semi-join on the
+    # candidate ids) replaces the two full sh streams of the co join
+    # with two scans of a small cached remnant; sizes stay the FULL
+    # per-doc counts (computed from sh, unchanged values).  cand and
+    # sh_c are O(near-dup docs) rows — KB-scale persists, unlike sh.
+    ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
+    sh_c = sh.join(F.broadcast(ids), "id", "semi").persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    return verify_jaccard(cand, sh_c, threshold, sizes=sizes)
 
 
 def minhash_bands_ctes(
@@ -925,6 +949,16 @@ def dedup_cut_docs(
         .where(~F.col("any_keeper"))
         .select("id", "pos")
     )
+    # r14 note (examined, measured, REJECTED at bench scale): a
+    # duplicate-bounded rebuild — semi-join docs to the ids with ≥1
+    # cut position, pass every untouched doc through verbatim (split +
+    # single-space rejoin is the identity, so the rebuild only needs
+    # the 221/5000 touched docs at sf0.1) — measured +1.4 s on
+    # corpus_train_ready at sf0.1 in an ABAB A/B: the extra persist /
+    # distinct / semi-join stages cost more than the saved posexplode
+    # over a 5k-doc corpus.  At a 100 TB corpus the restricted shape
+    # wins (rebuild cost becomes O(duplicate tokens), not O(corpus
+    # tokens)); revisit when the input regime changes.
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "tok"),

@@ -37,6 +37,10 @@ def get_spark_ui() -> SparkSession:
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             str(8 * DEFAULT_CPUS),
         )
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
@@ -125,6 +129,36 @@ def main() -> None:
         if name == "als_topk":
             _als.release_last_state()
         print(f"{name}: {t_total:.2f}s", flush=True)
+
+        # SQL-tab operator metrics for this query's executions: maps
+        # wall time to OPERATORS (sort/window/join/agg) instead of
+        # stages — the stage names above are all lambda frames.
+        try:
+            execs = rest(spark, "sql?length=200")
+            new_execs = [
+                e
+                for e in execs
+                if e.get("description", "").startswith(f"bench:{name}")
+                or (e.get("jobDescription") or "").startswith(f"bench:{name}")
+            ]
+            nodes = []
+            for e in execs[-6:]:
+                detail = rest(spark, f"sql/{e['id']}")
+                for nd in detail.get("nodes", []):
+                    mets = {
+                        m["name"]: m["value"]
+                        for m in nd.get("metrics", [])
+                        if any(
+                            k in m["name"]
+                            for k in ("time", "spill", "rows", "size")
+                        )
+                    }
+                    nodes.append(
+                        {"node": nd["nodeName"], "metrics": mets}
+                    )
+            per_query_stages[name + "::sql_nodes"] = nodes[:400]
+        except Exception as exc:  # best-effort scrape
+            print(f"  (sql scrape failed: {exc})", flush=True)
 
     out = {
         "tag": tag,
