@@ -111,3 +111,126 @@ def test_checkpoint_cadence_does_not_change_the_model(spark):
     assert train_bpe(docs, 7, checkpoint_every=2) == train_bpe(
         docs, 7, checkpoint_every=100
     )
+
+
+# --- batched greedy (r15) ----------------------------------------------------
+# The batched trainer must replay the one-at-a-time schedule EXACTLY;
+# these corpora are built to trip every unsound batching shortcut.
+
+#: (z,a):95 overlaps the best pair (a,b):100 — naive "skip conflicting,
+#: keep collecting" batching would take (c,d):90 second, but the
+#: sequential schedule takes (z,a) second: merging (a,b) does not touch
+#: the "zaq" occurrences, so (z,a) still counts 95 > 90.
+OVERLAP_TRAP = {"zaq": 95, "ab": 100, "cd": 90}
+
+#: doubled pair (a,a):300 — merging it CREATES (aa,aa):100 > (c,d):50,
+#: so nothing may batch behind a doubled pair.
+DOUBLED_TRAP = {"aaaa": 100, "cd": 50}
+
+#: created-pair trap: merging (a,b):100 creates (z,ab):95 > (c,d):90 —
+#: the batch must end at the strict count drop before (c,d).
+CREATED_TRAP = {"zab": 95, "ab": 5, "cd": 90}
+
+
+def test_batched_trainer_handles_adversarial_corpora(spark):
+    """budget=None forces the DISTRIBUTED batched loop — the soundness
+    target of these traps (the local path is covered separately)."""
+    for wc in (OVERLAP_TRAP, DOUBLED_TRAP, CREATED_TRAP, SENNRICH):
+        docs = _docs_from_counts(spark, wc)
+        got = train_bpe(docs, 6, local_vocab_budget=None)
+        want = _py_train(wc, 6)
+        assert got == want, (wc, got, want)
+
+
+def test_batched_matches_sequential_trainer(spark):
+    """batch_top_m=1 degenerates to the r13 one-merge-per-job loop;
+    the default batched schedule must learn the same model.  Both run
+    the DISTRIBUTED path (budget=None) so the degenerate-batch claim
+    is tested on the Spark loop itself."""
+    docs = _docs_from_counts(spark, SENNRICH)
+    assert train_bpe(docs, 8, local_vocab_budget=None) == train_bpe(
+        docs, 8, batch_top_m=1, local_vocab_budget=None
+    )
+
+
+def test_local_and_distributed_paths_learn_the_same_model(spark):
+    """The bounded local path (default: vocab fits the driver budget)
+    and the distributed batched loop must learn identical rule lists —
+    the SOM local-vs-distributed equivalence discipline."""
+    for wc in (SENNRICH, OVERLAP_TRAP, DOUBLED_TRAP, CREATED_TRAP):
+        docs = _docs_from_counts(spark, wc)
+        local = train_bpe(docs, 8)  # default budget → local path
+        dist = train_bpe(docs, 8, local_vocab_budget=None)
+        assert local == dist == _py_train(wc, 8), wc
+
+
+def test_incremental_local_trainer_matches_recount_twin():
+    """Property: _train_local's incremental pair-count maintenance +
+    lazy-heap argmax equals the recount-every-iteration twin on random
+    corpora (pure driver logic, no Spark)."""
+    import random
+
+    from recsys_spark_spark.operators.bpe import _train_local
+
+    rng = random.Random(11)
+    alphabet = "aabbc"
+    for trial in range(300):
+        wc = {
+            "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(1, 7))
+            ): rng.randint(1, 9)
+            for _ in range(rng.randint(1, 10))
+        }
+        n = rng.randint(1, 15)
+        got = _train_local(list(wc.items()), n)
+        assert got == _py_train(wc, n), (trial, wc, n, got)
+
+
+def test_select_merge_batch_is_sound_on_random_corpora():
+    """Property: on random corpora the batched schedule equals the
+    pure-Python sequential twin (pure driver logic — replays
+    _select_merge_batch over python pair counts, no Spark)."""
+    import random
+
+    from recsys_spark_spark.operators.bpe import _select_merge_batch
+
+    def batched_train(wc, n_merges, m=8):
+        vocab = {w: (list(w), n) for w, n in wc.items()}
+        merges, created = [], set()
+        while len(merges) < n_merges:
+            pairs: Counter = Counter()
+            for syms, n in vocab.values():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += n
+            if not pairs:
+                break
+            top = sorted(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:m]
+            top = [(a, b, c) for (a, b), c in top]
+            batch = _select_merge_batch(
+                top,
+                created,
+                limit=n_merges - len(merges),
+                complete=len(top) < m,
+            )
+            assert batch, "non-empty counts must yield >= 1 merge"
+            for a, b in batch:
+                merges.append((a, b))
+                created.add(a + b)
+                vocab = {
+                    w: (_py_merge(s, a, b), n) for w, (s, n) in vocab.items()
+                }
+        return merges
+
+    rng = random.Random(7)
+    alphabet = "aabbc"  # doubled letters → frequent ties and runs
+    for trial in range(200):
+        wc = {
+            "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(1, 6))
+            ): rng.randint(1, 9)
+            for _ in range(rng.randint(1, 8))
+        }
+        n = rng.randint(1, 12)
+        assert batched_train(wc, n) == _py_train(wc, n), (trial, wc, n)
