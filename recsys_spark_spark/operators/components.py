@@ -47,6 +47,42 @@ from pyspark.sql import functions as F
 #: happens (the sum-unchanged confirmation round).
 MAX_ROUNDS = 25
 
+#: directed-edge budget for the LOCAL path (r15; the BatchSOM/BPE
+#: bounded-local-path precedent): near-dup edge lists are orders of
+#: magnitude smaller than the corpus, and BELOW this row count a
+#: driver-side union-find is exact and replaces the whole iterative
+#: loop — measured ~10 Spark jobs per CC call (2 localCheckpoints + a
+#: convergence collect per round, each paying scheduler+AQE latency on
+#: KB-sized relations) with one collect.  2M (u, v) longs ≈ 32 MB of
+#: driver state.  Above the budget the distributed pointer-jumping
+#: loop runs unchanged.
+LOCAL_EDGE_BUDGET = 2_000_000
+
+
+def _union_find(und_rows: list[tuple], ids: list) -> dict:
+    """Min-id connected components over collected directed edges —
+    the exact local twin of the pointer-jumping loop (component(x) =
+    min id reachable from x).  Path-halving union-by-min."""
+    parent: dict = {i: i for i in ids}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in und_rows:
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        # union by MIN id so every root IS the component label
+        if rv < ru:
+            ru, rv = rv, ru
+        parent[rv] = ru
+    return {i: find(i) for i in ids}
+
 
 def connected_components(
     edges: DataFrame,
@@ -67,7 +103,13 @@ def connected_components(
     and ``rounds``."""
     t0 = time.perf_counter()
     # undirected: one generator explode, not a union of two plans of
-    # the (possibly expensive) edge subtree
+    # the (possibly expensive) edge subtree.  localCheckpoint, NOT
+    # cache (r15): the loop references this relation in EVERY round's
+    # plan, and a cache keeps the full upstream logical plan (e.g. the
+    # whole MinHash verify pipeline) inside each round — Catalyst then
+    # re-analyzes/re-optimizes that subtree for every localCheckpoint
+    # job of the loop, measured as ~0.1-0.5 s driver gaps between the
+    # loop's micro-jobs.  The checkpoint truncates lineage once.
     und = (
         edges.select(
             F.explode(
@@ -79,8 +121,34 @@ def connected_components(
         )
         .select("_e.*")
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
+    if timings_out is not None:
+        timings_out["edges_labels_init"] = round(time.perf_counter() - t0, 3)
+
+    # bounded LOCAL path: tiny edge lists (the near-dup norm) resolve
+    # with a driver union-find instead of a multi-job iterative loop —
+    # exact same (id, comp) relation, same schema; see LOCAL_EDGE_BUDGET
+    t_loop = time.perf_counter()
+    n_und = und.count()
+    if n_und <= LOCAL_EDGE_BUDGET:
+        rows = [(r["u"], r["v"]) for r in und.collect()]
+        ids = sorted({u for u, _ in rows})
+        comp = _union_find(rows, ids)
+        id_type = edges.schema[src].dataType
+        spark = edges.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [StructField("id", id_type), StructField("comp", id_type)]
+        )
+        out = spark.createDataFrame(
+            [(i, comp[i]) for i in ids], schema
+        )
+        if timings_out is not None:
+            timings_out["iterate"] = round(time.perf_counter() - t_loop, 3)
+            timings_out["rounds"] = 0
+        return out
 
     # Iterative plans MUST truncate lineage each round: the pointer
     # jump self-joins the round's label relation, so the logical plan
@@ -96,9 +164,6 @@ def connected_components(
         .select("id", F.col("id").alias("comp"))
         .localCheckpoint()
     )
-    if timings_out is not None:
-        timings_out["edges_labels_init"] = round(time.perf_counter() - t0, 3)
-    t_loop = time.perf_counter()
     rounds = 0
 
     label_sum = None
@@ -155,11 +220,9 @@ def connected_components(
             break
         label_sum = new_sum
     else:
-        und.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
         )
-    und.unpersist()
     if timings_out is not None:
         timings_out["iterate"] = round(time.perf_counter() - t_loop, 3)
         timings_out["rounds"] = rounds

@@ -322,10 +322,18 @@ def minhash_neardup_pairs(
     from ..sources.readers import spread_scan
 
     sh = shingle_rows(spread_scan(docs), id_col, text_col, shingle).persist()
+    # EAGER materialization (r15): a lazily-persisted relation with
+    # multiple consumers inside ONE action gets computed by every
+    # consumer subtree CONCURRENTLY under AQE's parallel stage
+    # futures (profiled: 3-4 racing stages each re-running the shingle
+    # explode + per-shingle md5 before any cache block registers).
+    # One count serializes: compute once, everyone reads the cache.
+    sh.count()
     sigs = minhash_signatures(sh, n_hashes, hash_mode)
     cand = lsh_candidate_pairs(
         band_rows(sigs, rows_per_band, n_hashes), max_bucket
     ).persist()
+    cand.count()  # same race: cand feeds the id set AND the co join
     # r14: the exact-verify co-count join only reads shingles of docs
     # that appear in a candidate pair — a tiny subset on a healthy
     # corpus.  Restricting sh ONCE (broadcast semi-join on the
@@ -337,6 +345,7 @@ def minhash_neardup_pairs(
         F.explode(F.array("id_a", "id_b")).alias("id")
     ).distinct()
     sh_c = sh.join(F.broadcast(ids), "id", "semi").persist()
+    sh_c.count()  # same race: sh_c feeds both sides of the co join
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     return verify_jaccard(cand, sh_c, threshold, sizes=sizes)
 
@@ -457,7 +466,11 @@ def ngram_jaccard_pairs(
     # persist so the explode + upstream text scan runs once, not 3×.
     # MEMORY_AND_DISK (the persist() default): shingle rows ≈ tokens ×
     # ids can exceed executor memory at scale — spill, don't recompute.
+    # EAGER (r15): without the count, the three consumer subtrees race
+    # to compute the cache concurrently under AQE (see
+    # minhash_neardup_pairs) — the explode ran up to 3× per action.
     sh = sh.persist()
+    sh.count()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("id").alias("id_a"), "s")
     b = sh.select(F.col("id").alias("id_b"), "s")
@@ -918,20 +931,31 @@ def dedup_cut_docs(
     per-doc ordered re-assembly.  No suffix array, no pair join."""
     from pyspark.sql import Window as _W  # noqa: F401  (doc parity)
 
-    w = duplicate_window_rows(docs, n, id_col, text_col)
-    dup_fp = (
-        w.select("fp", "id")
-        .distinct()
+    # r15 restructure (guide §2.4 fewer passes/joins): the old shape —
+    # dup_fp aggregate, w ⋈ dup_fp, a SECOND keeper aggregate over the
+    # join, then occ = join ⋈ keepers — planned THREE computations of
+    # the window-fingerprint relation (fp aggregate + both join
+    # consumers) and two fp-keyed join stages.  One combined aggregate
+    # (distinct-doc count + min-(id,start) keeper — identical keeper
+    # set: d's rows per fp ARE w's rows per fp) and one join back
+    # leaves w with two consumers; the persist + eager count reduces
+    # that to ONE window-md5 pass over the corpus (§5: reused twice,
+    # recompute = a full per-window md5 pass — the cache spills to
+    # disk above memory, still cheaper than recomputing
+    # cryptographic hashes of O(corpus tokens) windows).
+    w = duplicate_window_rows(docs, n, id_col, text_col).persist()
+    w.count()
+    fpagg = (
+        w.select("fp", "id", "start")
         .groupBy("fp")
-        .agg(F.count("*").alias("nd"))
+        .agg(
+            F.count_distinct("id").alias("nd"),
+            F.min(F.struct("id", "start")).alias("k"),
+        )
         .where(F.col("nd") >= min_docs)
-        .select("fp")
+        .select("fp", "k")
     )
-    d = w.join(dup_fp, "fp")
-    keepers = d.groupBy("fp").agg(
-        F.min(F.struct("id", "start")).alias("k")
-    )
-    occ = d.join(keepers, "fp").select(
+    occ = w.join(fpagg, "fp").select(
         "id",
         "start",
         (
@@ -943,12 +967,16 @@ def dedup_cut_docs(
         F.explode(F.sequence("start", F.col("start") + (n - 1))).alias("pos"),
         "is_keeper",
     )
+    # cut feeds the token anti-join AND the per-doc cut counts —
+    # persist the duplicate-bounded relation, eager for the AQE race
     cut = (
         coverage.groupBy("id", "pos")
         .agg(F.max("is_keeper").alias("any_keeper"))
         .where(~F.col("any_keeper"))
         .select("id", "pos")
+        .persist()
     )
+    cut.count()
     # r14 note (examined, measured, REJECTED at bench scale): a
     # duplicate-bounded rebuild — semi-join docs to the ids with ≥1
     # cut position, pass every untouched doc through verbatim (split +
