@@ -228,21 +228,40 @@ def user_based_scored(
         F.col("nrank") <= k_neighbors
     )
 
+    # r15: the neighbor aggregation is WINDOW sums over the same
+    # (user_id, item_id) partitioning instead of a groupBy.  The input
+    # is already exchanged+sorted for the nrank window and the group
+    # count ≈ the row count (~24M groups from ~26M rows at sf0.1), so
+    # the groupBy planned a fused partial+final HashAggregate pair
+    # that built two ~24M-entry hash maps for ~0% reduction (profiled:
+    # ~110 task-s of aggregation build per axis, and their memory
+    # squeezed the adjacent rank-window sort into multi-GB spills).
+    # The unbounded-frame window reuses the existing partitioning and
+    # order — no exchange, no sort, no hash map; nrank == 1 then keeps
+    # exactly one row per group.  Values identical up to float sum
+    # order, absorbed by the SCORE_ROUND rounding (the same tolerance
+    # class the DuckDB oracle comparison already rides on).
+    wg = Window.partitionBy("user_id", "item_id")
     scored = (
-        top.groupBy("user_id", "item_id")
-        .agg(
-            (
-                F.sum(F.col("sim") * (F.col("r_n") - F.col("mean_n")))
-                / F.sum("sim")
-            ).alias("delta"),
-            F.sum("sim").alias("sim_total"),
+        # both sums in ONE select → one Window operator (two chained
+        # withColumn calls planned two Window passes over the relation)
+        top.select(
+            "*",
+            F.sum("sim").over(wg).alias("sim_total"),
+            F.sum(F.col("sim") * (F.col("r_n") - F.col("mean_n")))
+            .over(wg)
+            .alias("_num"),
         )
+        .where(F.col("nrank") == 1)
         .where(F.col("sim_total") != 0)
         .join(means, "user_id")
         .select(
             "user_id",
             "item_id",
-            qround(F.col("mean_r") + F.col("delta"), SCORE_ROUND).alias("score"),
+            qround(
+                F.col("mean_r") + F.col("_num") / F.col("sim_total"),
+                SCORE_ROUND,
+            ).alias("score"),
         )
     )
     del materialize  # see docstring: materialization moved to the ranked cache
@@ -406,12 +425,19 @@ def scored_from_item_sims(
         F.col("nrank") <= k_neighbors
     )
 
+    # window sums instead of groupBy — same rationale as
+    # user_based_scored (r15): groups ≈ rows, so the fused
+    # partial+final HashAggregate pair built huge hash maps for ~0%
+    # reduction; the unbounded-frame window reuses the nrank window's
+    # exchange and sort outright
+    wg = Window.partitionBy("user_id", "item_id")
     scored = (
-        top.groupBy("user_id", "item_id")
-        .agg(
-            F.sum(F.col("sim") * F.col("r_u")).alias("num"),
-            F.sum(F.abs("sim")).alias("den"),
+        top.select(
+            "*",
+            F.sum(F.col("sim") * F.col("r_u")).over(wg).alias("num"),
+            F.sum(F.abs("sim")).over(wg).alias("den"),
         )
+        .where(F.col("nrank") == 1)
         .where(F.col("den") != 0)
         .select(
             "user_id",
