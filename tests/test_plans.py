@@ -299,6 +299,34 @@ def test_bench_jvm_normalized_grand_contract():
     assert normalized_grand_jvm(100.0, hi) == (round(100 * hi / 5.4, 3), True)
 
 
+def test_bench_warmup_touches_no_test_data_tables():
+    """Guard the measurement seam (VERDICT r14 #7): bench.py's
+    pre-loop warm-ups may prime the JVM, parquet FOOTERS, and the
+    Python-worker fleet, but must never read a test-data TABLE into
+    cache or state — a future 'warm-up' that scans a fact table would
+    be result precomputation, not warm-up.  Pins the warm-up inputs
+    by source: the only parquet path read is region (footer probe,
+    the smallest dimension), and the Python-worker warm-up feeds on
+    spark.range, never a file."""
+    import pathlib
+    import re
+
+    src = (
+        pathlib.Path(__file__).parent.parent / "bench.py"
+    ).read_text()
+    # region of interest: everything before the timed loop
+    pre_loop = src.split("for name, fn in order:")[0]
+    reads = re.findall(r"read\.parquet\(f?[\"'](.*?)[\"']\)", pre_loop)
+    assert reads == ["{sf_dir}/region.parquet"], reads
+    # the worker warm-up's only relation is spark.range
+    warm = re.search(r"def _warm.*?mapInPandas", pre_loop, re.S)
+    assert warm is not None
+    assert "spark.range(par).repartition(par).mapInPandas" in pre_loop
+    # no other table() / parquet readers in the pre-loop region
+    assert "ratings_from_sales" not in pre_loop
+    assert pre_loop.count("read.parquet") == 1
+
+
 def test_cooccurrence_lift_distributed_topn(spark, sf_dir, queries):
     """The top-100-by-lift must plan TakeOrderedAndProject (per
     partition top-N + tiny driver merge), not a global sort."""
