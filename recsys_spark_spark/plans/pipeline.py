@@ -155,14 +155,30 @@ def _gated_survivors(
         .where(F.col("quality") >= quality_min)
         .where(~F.col("lang").isin(*drop_langs))
     )
-    keep = gate.groupBy(
-        F.md5(F.col("text").cast("binary")).alias("h")
-    ).agg(F.min("doc_id").alias("doc_id"))
+    # exact dedup as ONE window pass (r15): the old groupBy(md5) →
+    # min(doc_id) → semi-join shape planned the regex-heavy gate
+    # subtree TWICE (join side + inside the keeper aggregate — two
+    # racing 0.85 s single-task jobs profiled per materialization) and
+    # at scale shuffled the full-text relation a second time through
+    # the join.  row_number over (md5(text) ORDER BY doc_id) == 1 is
+    # EXACTLY the min-doc_id keeper (doc_id is unique), computes the
+    # gate once, and WindowGroupLimit prunes duplicates map-side
+    # before the one md5-keyed exchange.
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy(
+        F.md5(F.col("text").cast("binary"))
+    ).orderBy("doc_id")
+    surv = (
+        gate.withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     # surv feeds the near-dup machinery AND the final anti-join in BOTH
     # pipelines; without a persist the quality gate re-runs for every
     # consumer.  (Session-lifetime cache by design, like every shared
     # plan-identity cache in this package.)
-    return gate.join(keep.select("doc_id"), "doc_id", "semi").persist()
+    return surv.persist()
 
 
 def clean_corpus(
