@@ -215,6 +215,18 @@ def user_based_scored(
     # relation by neighbor, a third full-size shuffle (measured ~25M
     # rows at sf0.1, the single biggest cost in the axis build).
     cand = sims.join(neigh_r, "neighbor").join(n_means, "neighbor")
+    # project r_n − mean_n NOW (guide §2.3 "project before the
+    # exchange"): only the difference is ever read downstream, and the
+    # candidate relation crosses an exchange and two window sorts —
+    # one double instead of two is ~8 B × ~26M rows less to shuffle
+    # and sort.  Exact: the subtraction happens per row either way.
+    cand = cand.select(
+        "user_id",
+        "item_id",
+        "neighbor",
+        "sim",
+        (F.col("r_n") - F.col("mean_n")).alias("rc"),
+    )
     # ...and the user did not (anti-join replaces the reference's
     # filter(_._1 == 0) unrated scan, UserBasedTopKRecommender.scala:78)
     cand = cand.join(
@@ -248,9 +260,7 @@ def user_based_scored(
         top.select(
             "*",
             F.sum("sim").over(wg).alias("sim_total"),
-            F.sum(F.col("sim") * (F.col("r_n") - F.col("mean_n")))
-            .over(wg)
-            .alias("_num"),
+            F.sum(F.col("sim") * F.col("rc")).over(wg).alias("_num"),
         )
         .where(F.col("nrank") == 1)
         .where(F.col("sim_total") != 0)
