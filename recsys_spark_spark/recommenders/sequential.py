@@ -568,15 +568,34 @@ class SequentialTopK:
         self.rules_.count()  # ≤ max_rules rows
         _lap("rules")
 
+        # seen = distinct (user, item): derive it from the CACHED
+        # clustered baskets (they hold every interaction's item string,
+        # grouped per basket) instead of re-running the raw
+        # interactions join inside the recommend action — the parquet
+        # rescan was the recommend stage's dominant run-to-run swing.
+        # Built BEFORE the vote pool (r15) so max_user_items below is
+        # one tiny aggregate over this cache instead of a second full
+        # scan + join of the raw interactions.
+        self.seen_ = clustered.select(
+            "user_id", F.explode("items").alias("item_id")
+        ).distinct().cache()
+        self.seen_.count()
+        _lap("seen")
+
         # candidate pool: items of last-period transactions, voted per
         # cluster (reference transform :126-149, A9); pre-ranked to the
         # top k_items + max(items/user) per cluster (see field
         # docstring — provably exact: a user can displace at most their
         # own seen count from the top list, and the rank order equals
         # the final ranking order so truncation never reorders)
+        # seen_ rows ARE the distinct (user, item) pairs (collect_list
+        # drops nulls exactly as count_distinct ignores them, and the
+        # string cast is injective), so max items/user is a count over
+        # the cache — identical value to the old count_distinct over
+        # the raw interactions join.
         max_user_items = (
-            interactions.groupBy("user_id")
-            .agg(F.count_distinct("item_id").alias("n"))
+            self.seen_.groupBy("user_id")
+            .agg(F.count("*").alias("n"))
             .agg(F.max("n"))
             .collect()[0][0]
             or 0
@@ -601,21 +620,6 @@ class SequentialTopK:
         )
         self.cluster_votes_.count()  # ≤ clusters × vote_prefilter rows
         _lap("votes")
-        # seen = distinct (user, item): derive it from the CACHED
-        # clustered baskets (they hold every interaction's item string,
-        # grouped per basket) instead of re-running the raw
-        # interactions join inside the recommend action — the parquet
-        # rescan was the recommend stage's dominant run-to-run swing.
-        # Cached + materialized HERE (O(users × distinct items/user)
-        # rows) so recommend() composes only cache reads: the explode
-        # + distinct shuffle otherwise re-ran inside every recommend
-        # action and was the residual source of the recommend-stage
-        # run-to-run swing.
-        self.seen_ = clustered.select(
-            "user_id", F.explode("items").alias("item_id")
-        ).distinct().cache()
-        self.seen_.count()
-        _lap("seen")
         # every model DataFrame (baskets_/sequences_/rules_/votes/seen)
         # is materialized above — the fit-scoped intermediates can go
         for df in self._fit_caches:
