@@ -110,6 +110,29 @@ def pagerank(
         .agg(F.sum("w").cast("double").alias("deg"))
         .cache()
     )
+    # EAGER materialization (r15): the final action's plan references
+    # edges/nodes/deg once per iteration, and lazily-cached relations
+    # with many consumer subtrees get computed CONCURRENTLY by AQE's
+    # stage futures before any cache block registers — profiled as the
+    # upstream co-rating pair join replaying several times inside one
+    # action (427 task-s for a 5-iteration run at sf0.1).  Three tiny
+    # counts serialize the cache builds; every iteration then reads
+    # blocks.
+    edges.count()
+    n_nodes = nodes.count()
+    deg.count()
+    # rank/degree relations are O(nodes); Catalyst's size estimate for
+    # the ITERATED pr plan balloons (join estimates multiply), so it
+    # shuffled the full edge cache every iteration (profiled: 5 ×
+    # 240-300 MB exchanges at sf0.1) instead of broadcasting the tiny
+    # rank relation.  Broadcast explicitly when the node count —
+    # already known from the eager count — is broadcast-sized;
+    # data-derived, so a billion-node graph keeps the shuffle join.
+    bcast_ranks = n_nodes <= 5_000_000
+
+    def _maybe_b(df):
+        return F.broadcast(df) if bcast_ranks else df
+
     pr = nodes.crossJoin(n_df).select(
         "id", (F.lit(1.0) / F.col("n")).alias("pr")
     )
@@ -121,8 +144,8 @@ def pagerank(
     checkpoint = iters > CHECKPOINT_AFTER_ITERS
     for _ in range(iters):
         contrib = (
-            edges.join(pr, edges.src == pr.id)
-            .join(deg, "src")
+            edges.join(_maybe_b(pr), edges.src == pr.id)
+            .join(_maybe_b(deg), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("pr") * F.col("w") / F.col("deg")).alias("c"))
         )

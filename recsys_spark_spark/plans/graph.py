@@ -202,12 +202,24 @@ def triangle_stats(und: DataFrame) -> DataFrame:
 
     from ..functions.rounding import qround
 
+    # r15 (guide §5 cache-what's-reused + the AQE race lesson): this
+    # plan references the oriented edge relation THREE times (two
+    # wedge sides + the closing join), the degree relation three times
+    # and the edge list twice — unpersisted, ONE action replayed the
+    # upstream co-rating pair join ~15× through the duplicated
+    # subtrees (profiled: 97.7 s wall, 2,757 task-s, 110 GB of spill
+    # at sf0.1).  Persist + eagerly materialize each reused relation
+    # (all are O(edges) or O(nodes), far below the pair join), and
+    # fold the unionAll fan-outs into single-reference explodes.
+    und = und.persist()
+    und.count()
     deg = (
-        und.select(F.col("src").alias("id"))
-        .unionAll(und.select(F.col("dst").alias("id")))
+        und.select(F.explode(F.array("src", "dst")).alias("id"))
         .groupBy("id")
         .agg(F.count("*").alias("deg"))
+        .persist()
     )
+    deg.count()
     da = deg.select(F.col("id").alias("src"), F.col("deg").alias("dsrc"))
     db = deg.select(F.col("id").alias("dst"), F.col("deg").alias("ddst"))
     keyed = und.join(da, "src").join(db, "dst")
@@ -218,7 +230,8 @@ def triangle_stats(und: DataFrame) -> DataFrame:
         F.when(fwd, F.struct(F.col("ddst").alias("d"), F.col("dst").alias("i")))
         .otherwise(F.struct(F.col("dsrc").alias("d"), F.col("src").alias("i")))
         .alias("kdst"),
-    )
+    ).persist()
+    o.count()
     o1 = o.select("src", F.col("dst").alias("b"), F.col("kdst").alias("kb"))
     o2 = o.select("src", F.col("dst").alias("c"), F.col("kdst").alias("kc"))
     wedges = o1.join(o2, "src").where(F.col("kb") < F.col("kc"))
@@ -227,9 +240,7 @@ def triangle_stats(und: DataFrame) -> DataFrame:
         F.col("src").alias("a"), "b", "c"
     )
     pern = (
-        tri.select(F.col("a").alias("id"))
-        .unionAll(tri.select(F.col("b").alias("id")))
-        .unionAll(tri.select(F.col("c").alias("id")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
         .groupBy("id")
         .agg(F.count("*").alias("t"))
     )
