@@ -492,7 +492,7 @@ def semdedup(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
     ).select(
         "vec_id", "label", "pos", F.col("v").cast("double").alias("v")
-    )
+    ).persist()
     cent = flat.groupBy("label", "pos").agg(qround(F.avg("v"), 6).alias("c"))
     vn = flat.groupBy("vec_id").agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv")
@@ -520,7 +520,7 @@ def semdedup(
                 6,
             ).alias("cent_sim"),
         )
-    )
+    ).persist()
     pairs = cosine_neardup_pairs(e, threshold, use_lsh_candidates)
     comp = connected_components(pairs.select("id_a", "id_b")).select(
         F.col("id").alias("vec_id"), "comp"
